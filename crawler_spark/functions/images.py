@@ -1,0 +1,331 @@
+"""Image payload functions (BASELINE.json ``input_hint``).
+
+The payload table is ``images(image_id, bytes, w, h, fmt, caption,
+phash)``. The reference has no image pipeline (it *drops* images,
+``src/lib/md/mdUtils.ts:23-44``); the graft keeps image+caption pairs,
+so decode/validate semantics are defined here from scratch:
+
+  * numpy-only codecs for ``ppm`` (P6), ``bmp`` (24-bit BI_RGB),
+    ``png`` (8-bit RGB via zlib), and ``qjpg`` — a deterministic
+    synthetic *lossy* format (uniform quantization, step 8 → PSNR
+    ≈ 40.9 dB) standing in for JPEG since no codec libs exist in the
+    env;
+  * 64-bit perceptual hash (32×32 grayscale → DCT-II → 8×8 low-band →
+    median threshold);
+  * PSNR for the ``allclose`` per-row invariant (PSNR ≥ 40 dB lossy,
+    exact for lossless);
+  * vectorized pandas-UDF wrappers (Arrow batches — no per-row Python
+    at the Spark boundary).
+
+All functions are deterministic; the fixture generator and the engine
+share this module, making golden parity byte-exact for lossless rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Codecs: arrays are uint8, shape (h, w, 3), RGB
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    # P6, ascii header with arbitrary whitespace, maxval 255
+    parts = []
+    i = 2  # skip 'P6'
+    while len(parts) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            while data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        parts.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, _maxval = parts
+    return np.frombuffer(data, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """24-bit uncompressed BI_RGB, bottom-up rows, BGR order, 4-byte row
+    padding — the standard Windows BMP layout."""
+    h, w, _ = arr.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    bgr = arr[::-1, :, ::-1].astype(np.uint8)  # bottom-up, BGR
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp={bpp}")
+    row_size = (w * 3 + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = np.frombuffer(data, np.uint8, count=row_size * h, offset=off).reshape(
+        h, row_size
+    )
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal valid PNG: 8-bit RGB, no interlace, filter 0 scanlines."""
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNGs supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
+    filt, lines = raw[:, 0], raw[:, 1:].astype(np.int16)
+    out = np.zeros((h, w * 3), np.int16)
+    bpp = 3
+    for y in range(h):
+        line = lines[y].copy()
+        prev = out[y - 1] if y else np.zeros(w * 3, np.int16)
+        f = filt[y]
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            for x in range(w * 3):
+                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(w * 3):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            out[y] = line
+        elif f == 4:  # Paeth
+            for x in range(w * 3):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                line[x] = (line[x] + pred) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+_QJPG_MAGIC = b"QJPG"
+_QJPG_STEP = 8  # uniform quantization step → PSNR ≈ 40.9 dB
+
+
+def encode_qjpg(arr: np.ndarray) -> bytes:
+    """Deterministic synthetic lossy format: mid-rise quantization with
+    step 8 (error var ≈ step²/12 → PSNR ≈ 40.9 dB) + zlib. Exercises
+    the PSNR ≥ 40 dB invariant path without a real JPEG codec."""
+    h, w, _ = arr.shape
+    q = (arr.astype(np.uint8) // _QJPG_STEP).astype(np.uint8)
+    return _QJPG_MAGIC + struct.pack("<HHB", w, h, _QJPG_STEP) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_qjpg(data: bytes) -> np.ndarray:
+    if data[:4] != _QJPG_MAGIC:
+        raise ValueError("not a QJPG")
+    w, h, step = struct.unpack_from("<HHB", data, 4)
+    q = np.frombuffer(zlib.decompress(data[9:]), np.uint8).reshape(h, w, 3)
+    return np.minimum(q.astype(np.int32) * step + step // 2, 255).astype(np.uint8)
+
+
+CODECS = {
+    "ppm": (encode_ppm, decode_ppm),
+    "bmp": (encode_bmp, decode_bmp),
+    "png": (encode_png, decode_png),
+    "qjpg": (encode_qjpg, decode_qjpg),
+}
+LOSSY_FMTS = {"qjpg"}
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    return CODECS[fmt][0](arr)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    return CODECS[fmt][1](data)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash + PSNR
+# ---------------------------------------------------------------------------
+
+
+def _resize_gray(arr: np.ndarray, size: int = 32) -> np.ndarray:
+    """Grayscale + area-mean resize to size×size (deterministic)."""
+    gray = arr.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = gray.shape
+    ys = (np.arange(size + 1) * h / size).astype(np.int64)
+    xs = (np.arange(size + 1) * w / size).astype(np.int64)
+    # cumulative-sum area averaging (exact for any h,w)
+    cs = np.zeros((h + 1, w + 1))
+    cs[1:, 1:] = gray.cumsum(0).cumsum(1)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    out = (
+        cs[ys[1:, None], xs[None, 1:]]
+        - cs[ys[:-1, None], xs[None, 1:]]
+        - cs[ys[1:, None], xs[None, :-1]]
+        + cs[ys[:-1, None], xs[None, :-1]]
+    ) / np.maximum(area, 1)
+    return out
+
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+        m[0] = np.sqrt(1.0 / n)
+        _DCT32 = m
+    return _DCT32
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Classic 64-bit pHash: 32×32 gray → 2-D DCT-II → 8×8 low band
+    (excluding nothing; median threshold over the 64 coefficients).
+    Returned as a SIGNED int64 (parquet/Spark LongType-compatible)."""
+    g = _resize_gray(arr, 32)
+    m = _dct_matrix(32)
+    d = m @ g @ m.T
+    block = d[:8, :8].ravel()
+    med = np.median(block)
+    bits = block > med
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    if a.shape != b.shape:
+        return float("-inf")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pandas-UDF bodies (mapInPandas/applyInPandas-ready).
+# Per-row numpy work on Arrow batches — no per-row Python at the Spark
+# boundary (north rule).
+# ---------------------------------------------------------------------------
+
+
+def decode_stats_batch(bytes_s: pd.Series, fmt_s: pd.Series) -> pd.DataFrame:
+    """Decode a batch → (ok, dec_w, dec_h, dec_phash, dec_mean).
+
+    This is the engine-side image validation kernel: the caller joins
+    the result against golden/stored (w, h, phash) and asserts equality
+    plus PSNR bounds (lossless formats round-trip exactly so phash
+    equality is guaranteed; lossy rows rely on the PSNR check).
+    """
+    n = len(bytes_s)
+    ok = np.zeros(n, bool)
+    ws = np.zeros(n, np.int32)
+    hs = np.zeros(n, np.int32)
+    ph = np.zeros(n, np.int64)
+    mean = np.zeros(n, np.float64)
+    for i, (raw, fmt) in enumerate(zip(bytes_s.values, fmt_s.values)):
+        try:
+            arr = decode_image(bytes(raw), fmt)
+            ok[i] = True
+            hs[i], ws[i] = arr.shape[0], arr.shape[1]
+            ph[i] = phash64(arr)
+            mean[i] = float(arr.mean())
+        except Exception:
+            pass
+    return pd.DataFrame(
+        {"ok": ok, "dec_w": ws, "dec_h": hs, "dec_phash": ph, "dec_mean": mean}
+    )
+
+
+def psnr_batch(
+    bytes_a: pd.Series, fmt_a: pd.Series, ref_pixels: pd.Series, ref_w: pd.Series, ref_h: pd.Series
+) -> pd.Series:
+    """PSNR of decoded bytes vs reference raw RGB pixel buffers."""
+    out = np.full(len(bytes_a), float("-inf"))
+    for i in range(len(bytes_a)):
+        try:
+            arr = decode_image(bytes(bytes_a.iloc[i]), fmt_a.iloc[i])
+            ref = np.frombuffer(bytes(ref_pixels.iloc[i]), np.uint8).reshape(
+                int(ref_h.iloc[i]), int(ref_w.iloc[i]), 3
+            )
+            out[i] = psnr(arr, ref)
+        except Exception:
+            pass
+    return pd.Series(out)

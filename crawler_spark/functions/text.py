@@ -1,0 +1,408 @@
+"""Markdown / text normalization functions (SURVEY §2.9 C1-C15).
+
+The reference's scalar workhorse is an ordered reduce of pure
+string→string cleanups (``cleanupMdProcessor``,
+``src/lib/md/mdUtils.ts:238-243``). Each function here is implemented
+twice with identical semantics:
+
+  * ``*_col``   — Spark Column expression (regexp_replace/translate
+                  chains; JVM-side, no UDF) — the engine hot path;
+  * plain def   — pure-Python mirror used by the sequential oracle.
+
+Parity between the two is tested (tests/test_text_functions.py).
+
+The single most important graft change: ``removeMdImgs``
+(``mdUtils.ts:5,23-44``) *dropped* images; the graft **extracts** them —
+:func:`md_images_col` / :func:`extract_md_images` return (caption, link)
+pairs per the named groups ``alt``/``link`` of ``reMdImg``
+(``mdUtils.ts:5``).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Image extraction / removal (C1 — reMdImg `mdUtils.ts:5`, removeMdImgs :23-44)
+# ---------------------------------------------------------------------------
+
+# reference regex: !\[(?<alt>[^\]]*)\]\((?<link>[^)]*)\)
+MD_IMG_RE = re.compile(r"!\[(?P<alt>[^\]]*)\]\((?P<link>[^)]*)\)")
+_MD_IMG_PAT = r"!\[([^\]]*)\]\(([^)]*)\)"
+
+
+def extract_md_images(text: str) -> list[tuple[str, str]]:
+    """All (caption, link) pairs in document order (oracle mirror)."""
+    return [(m.group("alt"), m.group("link")) for m in MD_IMG_RE.finditer(text)]
+
+
+def md_images_col(text: Column | str) -> Column:
+    """Array<struct<caption,link>> of markdown images, document order.
+
+    Pure built-ins: two regexp_extract_all passes zipped positionally.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    caps = F.regexp_extract_all(c, F.lit(_MD_IMG_PAT), F.lit(1))
+    links = F.regexp_extract_all(c, F.lit(_MD_IMG_PAT), F.lit(2))
+    return F.zip_with(
+        caps, links, lambda a, b: F.struct(a.alias("caption"), b.alias("link"))
+    )
+
+
+def remove_md_imgs(text: str, keep_alt: bool = False) -> str:
+    """removeMdImgs (`mdUtils.ts:23-44`): strip ``![alt](link)``;
+    keep_alt replaces with the alt text."""
+    return MD_IMG_RE.sub((lambda m: m.group("alt")) if keep_alt else "", text)
+
+
+def remove_md_imgs_col(text: Column | str, keep_alt: bool = False) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, _MD_IMG_PAT, "$1" if keep_alt else "")
+
+
+# ---------------------------------------------------------------------------
+# C2 removeMdLinks (`mdUtils.ts:46-63`): [alt](link) → alt
+# ---------------------------------------------------------------------------
+
+# negative lookbehind so image syntax is untouched (reference strips images
+# first; the lookbehind makes the op order-independent as well)
+_MD_LINK_PAT = r"(?<!!)\[([^\]]*)\]\(([^)]*)\)"
+
+
+def remove_md_links(text: str, use_link: bool = False) -> str:
+    return re.sub(_MD_LINK_PAT, (r"\2" if use_link else r"\1"), text)
+
+
+def remove_md_links_col(text: Column | str, use_link: bool = False) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, _MD_LINK_PAT, "$2" if use_link else "$1")
+
+
+# ---------------------------------------------------------------------------
+# C3 removeMdHr (`mdUtils.ts:65-67`)
+# ---------------------------------------------------------------------------
+
+_MD_HR_PAT = r"(?m)^[ \t]*(-{3,}|\*{3,}|_{3,})[ \t]*$"
+
+
+def remove_md_hr(text: str) -> str:
+    return re.sub(_MD_HR_PAT, "", text)
+
+
+def remove_md_hr_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, _MD_HR_PAT, "")
+
+
+# ---------------------------------------------------------------------------
+# C6 normalizeQuotes (`mdUtils.ts:112-133`): smart quotes → ascii
+# ---------------------------------------------------------------------------
+
+_DQUOTES = "“”„‟″‶"  # “ ” „ ‟ ″ ‶
+_SQUOTES = "‘’‚‛′‵"  # ‘ ’ ‚ ‛ ′ ‵
+
+
+def normalize_quotes(text: str) -> str:
+    tbl = {ord(ch): '"' for ch in _DQUOTES}
+    tbl.update({ord(ch): "'" for ch in _SQUOTES})
+    return text.translate(tbl)
+
+
+def normalize_quotes_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.translate(c, _DQUOTES + _SQUOTES, '"' * 6 + "'" * 6)
+
+
+# ---------------------------------------------------------------------------
+# C7 normalizeWhitespace (`mdUtils.ts:135-156`): unicode spaces → ' ',
+# zero-widths removed
+# ---------------------------------------------------------------------------
+
+_UNI_SPACES = (
+    "\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007"
+    "\u2008\u2009\u200a\u202f\u205f\u3000"
+)
+_ZERO_WIDTHS = "\u200b\u200c\u200d\u2060\ufeff"
+
+
+def normalize_whitespace(text: str) -> str:
+    tbl = {ord(ch): " " for ch in _UNI_SPACES}
+    tbl.update({ord(ch): None for ch in _ZERO_WIDTHS})
+    return text.translate(tbl)
+
+
+def normalize_whitespace_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.translate(c, _UNI_SPACES, " " * len(_UNI_SPACES))
+    return F.regexp_replace(c, f"[{_ZERO_WIDTHS}]", "")
+
+
+# ---------------------------------------------------------------------------
+# C8 normalizeNumberBullet (`mdUtils.ts:158-165`): "1.foo" → "1. foo"
+# ---------------------------------------------------------------------------
+
+_NUM_BULLET_PAT = r"(?m)^(\d+)\.[ \t]*"
+
+
+def normalize_number_bullet(text: str) -> str:
+    return re.sub(_NUM_BULLET_PAT, r"\1. ", text)
+
+
+def normalize_number_bullet_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, _NUM_BULLET_PAT, "$1. ")
+
+
+# ---------------------------------------------------------------------------
+# C9 normalizeMd (`mdUtils.ts:167-183`): leading spaces, empty headings,
+# hard-break → paragraph break, collapse blank runs
+# ---------------------------------------------------------------------------
+
+
+def normalize_md(text: str) -> str:
+    t = re.sub(r"(?m)^[ \t]+", "", text)
+    t = re.sub(r"(?m)^#+[ \t]*$", "", t)
+    t = t.replace("\\\n", "\n\n")
+    t = re.sub(r"\n{3,}", "\n\n", t)
+    return t
+
+
+def normalize_md_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r"(?m)^[ \t]+", "")
+    c = F.regexp_replace(c, r"(?m)^#+[ \t]*$", "")
+    c = F.regexp_replace(c, r"\\\n", "\n\n")
+    return F.regexp_replace(c, r"\n{3,}", "\n\n")
+
+
+# ---------------------------------------------------------------------------
+# C4 removeRedundantSpaces (`mdUtils.ts:69-91`): trim inside "…" (…) […]
+# ---------------------------------------------------------------------------
+
+
+def remove_redundant_spaces(text: str) -> str:
+    t = re.sub(r'"\s+([^"]*?)\s+"', r'"\1"', text)
+    t = re.sub(r"\(\s+([^)]*?)\s+\)", r"(\1)", t)
+    t = re.sub(r"\[\s+([^\]]*?)\s+\]", r"[\1]", t)
+    return t
+
+
+def remove_redundant_spaces_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, r'"\s+([^"]*?)\s+"', '"$1"')
+    c = F.regexp_replace(c, r"\(\s+([^)]*?)\s+\)", "($1)")
+    return F.regexp_replace(c, r"\[\s+([^\]]*?)\s+\]", "[$1]")
+
+
+# ---------------------------------------------------------------------------
+# C12 heading extract (`src/lib/md/headingUtils.ts:3-25`)
+# ---------------------------------------------------------------------------
+
+_HEADING_RE = re.compile(r"(?m)^(#{1,6})[ \t]+(.+?)[ \t]*$")
+_HEADING_PAT = r"(?m)^(#{1,6})[ \t]+(.+?)[ \t]*$"
+
+
+def extract_headings(text: str) -> list[dict]:
+    """[{text, level, order}] in document order (order is 1-based)."""
+    return [
+        {"text": m.group(2), "level": len(m.group(1)), "order": i + 1}
+        for i, m in enumerate(_HEADING_RE.finditer(text))
+    ]
+
+
+def headings_col(text: Column | str) -> Column:
+    """Array<struct<text,level,order>> — posexplode-ready, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    marks = F.regexp_extract_all(c, F.lit(_HEADING_PAT), F.lit(1))
+    texts = F.regexp_extract_all(c, F.lit(_HEADING_PAT), F.lit(2))
+    zipped = F.zip_with(
+        marks, texts, lambda m, t: F.struct(t.alias("text"), F.length(m).alias("level"))
+    )
+    return F.transform(
+        zipped,
+        lambda s, i: F.struct(
+            s["text"].alias("text"),
+            s["level"].alias("level"),
+            (i + 1).alias("order"),
+        ),
+    )
+
+
+def remove_headings(text: str) -> str:
+    return _HEADING_RE.sub("", text)
+
+
+def remove_headings_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, _HEADING_PAT, "")
+
+
+# ---------------------------------------------------------------------------
+# C15 footnote removeAll (`src/lib/md/footnoteUtils.ts:82-84`) and
+# C13 footnote extract with cumulative-position correction (:46-80)
+# ---------------------------------------------------------------------------
+
+_FOOTNOTE_RE = re.compile(r"\[([^\[\]]+?)\]")
+_FOOTNOTE_PAT = r"\[([^\[\]]+?)\]"
+
+
+def remove_footnotes(text: str) -> str:
+    return _FOOTNOTE_RE.sub("", text)
+
+
+def remove_footnotes_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, _FOOTNOTE_PAT, "")
+
+
+def extract_footnotes(text: str) -> list[dict]:
+    """[{label, position, order}] — position measured in the *stripped*
+    text (reference corrects by cumulative length of earlier matches,
+    ``footnoteUtils.ts:46-80``)."""
+    out = []
+    removed = 0
+    for i, m in enumerate(_FOOTNOTE_RE.finditer(text)):
+        out.append(
+            {"label": m.group(1), "position": m.start() - removed, "order": i + 1}
+        )
+        removed += len(m.group(0))
+    return out
+
+
+# C14 footnote inject (`footnoteUtils.ts:12-39`): splice back desc-order
+def inject_footnotes(text: str, notes: list[dict]) -> str:
+    """Insert ``[label]`` at stripped-text positions, descending so
+    offsets don't shift; positions beyond the end append (overflow
+    semantics of the reference)."""
+    t = text
+    for n in sorted(notes, key=lambda n: n["position"], reverse=True):
+        pos = min(n["position"], len(t))
+        t = t[:pos] + f"[{n['label']}]" + t[pos:]
+    return t
+
+
+# ---------------------------------------------------------------------------
+# C10 splitParagraph (`mdUtils.ts:185-220`): split on blank runs; headings
+# fold into the FOLLOWING paragraph when heading_as_paragraph=False
+# ---------------------------------------------------------------------------
+
+
+def split_paragraphs(text: str, heading_as_paragraph: bool = True) -> list[str]:
+    parts = [p for p in re.split(r"\n{2,}", text) if p.strip()]
+    if heading_as_paragraph:
+        return parts
+    out: list[str] = []
+    carry: list[str] = []
+    for p in parts:
+        if _HEADING_RE.fullmatch(p.strip()):
+            carry.append(p.strip())
+        elif carry:
+            out.append("\n".join([*carry, p]))
+            carry = []
+        else:
+            out.append(p)
+    if carry:
+        out.append("\n".join(carry))
+    return out
+
+
+def split_paragraphs_col(text: Column | str) -> Column:
+    """Array<string> of non-empty paragraphs (heading_as_paragraph=True
+    variant — pure built-ins; the heading-carry variant needs the Python
+    mirror inside a pandas UDF)."""
+    c = F.col(text) if isinstance(text, str) else text
+    parts = F.split(c, r"\n{2,}")
+    return F.filter(parts, lambda p: F.length(F.trim(p)) > 0)
+
+
+# ---------------------------------------------------------------------------
+# C17 sentence split — ONE deterministic splitter shared engine↔oracle
+# (the reference uses winkNLP, `src/lib/wink-nlp.ts:4-11`; byte-parity
+# requires a single spec, so the graft defines a regex splitter)
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?…])\s+(?=[\"'(\[]?[A-ZĐÀ-Ỹ0-9])")
+
+
+def split_sentences(text: str) -> list[str]:
+    pre = [seg for seg in text.split("\\\n") for seg in [seg.strip()] if seg]
+    out: list[str] = []
+    for seg in pre:
+        out.extend(s for s in _SENT_SPLIT_RE.split(seg) if s.strip())
+    return out
+
+
+def split_sentences_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    segs = F.split(c, r"\\\n")
+    sents = F.flatten(
+        F.transform(
+            segs,
+            lambda s: F.split(
+                F.trim(s), r"(?<=[.!?…])\s+(?=[\"'(\[]?[A-ZĐÀ-Ỹ0-9])"
+            ),
+        )
+    )
+    return F.filter(sents, lambda s: F.length(F.trim(s)) > 0)
+
+
+# ---------------------------------------------------------------------------
+# C20 camelCase→SNAKE_UPPER (`treeUtils.ts:175-183`) & C21 title sanitize
+# (`fileUtils.ts:26`)
+# ---------------------------------------------------------------------------
+
+
+def camel_to_snake_upper(s: str) -> str:
+    return re.sub(r"([a-z0-9])([A-Z])", r"\1_\2", s).upper()
+
+
+def camel_to_snake_upper_col(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.upper(F.regexp_replace(c, r"([a-z0-9])([A-Z])", "$1_$2"))
+
+
+_TITLE_BAD = r'[/\\?%*:|"<>]'
+
+
+def sanitize_title(s: str) -> str:
+    return re.sub(_TITLE_BAD, "_", s)
+
+
+def sanitize_title_col(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _TITLE_BAD, "_")
+
+
+# ---------------------------------------------------------------------------
+# cleanup pipeline (cleanupMdProcessor `mdUtils.ts:238-243`, standard order
+# e.g. `thanhlinh.net/getPageContent.ts:64-78`) — image-extracting variant
+# ---------------------------------------------------------------------------
+
+
+def cleanup_md(text: str) -> str:
+    """Standard ordered cleanup, images *removed* (post-extraction)."""
+    t = remove_md_imgs(text)
+    t = remove_md_links(t)
+    t = remove_md_hr(t)
+    t = normalize_quotes(t)
+    t = normalize_whitespace(t)
+    t = normalize_number_bullet(t)
+    t = remove_redundant_spaces(t)
+    t = normalize_md(t)
+    return t.strip()
+
+
+def cleanup_md_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    c = remove_md_imgs_col(c)
+    c = remove_md_links_col(c)
+    c = remove_md_hr_col(c)
+    c = normalize_quotes_col(c)
+    c = normalize_whitespace_col(c)
+    c = normalize_number_bullet_col(c)
+    c = remove_redundant_spaces_col(c)
+    c = normalize_md_col(c)
+    return F.trim(c)
