@@ -1,0 +1,71 @@
+"""Politeness round-selector + priority ordering (SURVEY §4 custom #1).
+
+The reference enforces politeness only implicitly — a strictly
+sequential one-page-in-flight loop per site (``crawler.ts:292-510``,
+``commands/impl.ts:42-62``). The graft makes it explicit: the frontier
+is hash-partitioned by host, and each round takes the top
+``budget_per_round`` eligible URLs per host, ordered by the reference's
+priority key (requires_manual_check false-first, document_number asc —
+``src/lib/crawler/sortUtils.ts:9-21``) extended with (depth, url)
+tiebreaks so the order is total and parallel-schedule-invariant.
+
+Pure DataFrame ops: a broadcast join against the politeness dim and one
+window rank per host — a single shuffle on `host`, which is exactly the
+partitioning the subsequent per-host fetch stage needs (the shuffle is
+reused, not repeated). Skew from a dominant host is handled by AQE +
+the salt column (`host_salt`) carried on the frontier for downstream
+stages whose work per URL is heavy (fetch/parse), where per-host
+ordering no longer matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_ATTEMPTS = 5  # mirrors the reference's retry budget (getPageContent.ts:45-52)
+
+PRIORITY_COLS = ["requires_manual_check", "document_number", "depth", "url"]
+
+
+def priority_order():
+    """The total priority ordering (sortUtils.ts:9-21 + graft tiebreaks)."""
+    return [
+        F.col("requires_manual_check").cast("int").asc(),
+        F.col("document_number").asc(),
+        F.col("depth").asc(),
+        F.col("url").asc(),
+    ]
+
+
+def eligible(frontier: DataFrame) -> DataFrame:
+    """Incomplete, attempts under budget (filterUtils.ts:7-11 analog).
+    This predicate pushes down to the parquet/Iceberg scan."""
+    return frontier.filter(
+        (~F.col("completed")) & (F.col("attempts") < F.lit(MAX_ATTEMPTS))
+    )
+
+
+def select_round(
+    frontier: DataFrame,
+    politeness: DataFrame,
+    default_budget: int = 2,
+) -> DataFrame:
+    """Per-host top-k politeness selection for one crawl round.
+
+    Returns the scheduled rows with ``host_rank`` (1-based priority rank
+    within host) and ``attempt`` (this round's attempt number).
+    """
+    elig = eligible(frontier)
+    pol = F.broadcast(politeness.select("host", "budget_per_round"))
+    w = Window.partitionBy("host").orderBy(*priority_order())
+    return (
+        elig.join(pol, on="host", how="left")
+        .withColumn(
+            "budget", F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
+        )
+        .withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.col("budget"))
+        .withColumn("attempt", F.col("attempts") + F.lit(1))
+        .drop("budget_per_round", "budget")
+    )

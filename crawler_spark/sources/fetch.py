@@ -1,0 +1,123 @@
+"""Fetch stage: vectorized, host-partitioned page fetching (SURVEY S6).
+
+The reference fetches one page at a time per site through a Playwright
+browser with retry-5 + 15-min timeout (``thanhlinh.net/
+getPageContent.ts:32-60``, ``src/lib/bluebird.ts:7-37``). The graft's
+fetch stage is an ``applyInPandas`` over the round's scheduled rows
+grouped by host: one task owns one host's (≤ budget) URLs per round —
+politeness single-flight per host comes from the grouping itself, and
+retry/timeout live *inside* the UDF (Spark task retry is too coarse; a
+task = many URLs — SURVEY §4).
+
+Fetchers are pluggable:
+
+  * :class:`FixtureFetcher` — resolves URLs against the synthetic
+    ``web_graph`` (broadcast at tiny scale); transient failures succeed
+    once ``attempt > fail_rounds`` — deterministic, matching the
+    oracle byte-for-byte.
+  * :class:`HttpFetcher` — stdlib urllib with retry + timeout for a
+    real deployment; never used in tests (no network in the sandbox).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+FETCH_RESULT_FIELDS = [
+    T.StructField("body", T.StringType(), True),
+    T.StructField("status", T.IntegerType(), False),
+    T.StructField("success", T.BooleanType(), False),
+    T.StructField("latency_ms", T.IntegerType(), False),
+]
+
+
+@dataclass
+class FixtureFetcher:
+    """Deterministic fetcher over the synthetic web graph.
+
+    pages: {canonical_url: (body, fail_rounds, latency_ms)}
+    """
+
+    pages: dict[str, tuple[str, int, int]]
+
+    def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        bodies, statuses, succ, lat = [], [], [], []
+        for url, attempt in zip(pdf["url"], pdf["attempt"]):
+            spec = self.pages.get(url)
+            if spec is None:
+                bodies.append(None), statuses.append(404), succ.append(False), lat.append(1)
+                continue
+            body, fail_rounds, latency = spec
+            if int(attempt) > fail_rounds:
+                bodies.append(body), statuses.append(200), succ.append(True), lat.append(latency)
+            else:
+                bodies.append(None), statuses.append(503), succ.append(False), lat.append(latency)
+        out = pdf.copy()
+        out["body"], out["status"], out["success"], out["latency_ms"] = (
+            bodies,
+            statuses,
+            succ,
+            lat,
+        )
+        return out
+
+
+@dataclass
+class HttpFetcher:
+    """Real-network fetcher (urllib), retry w/ backoff inside the UDF.
+
+    Per-URL retry mirrors the reference's async-retry budget; a whole
+    Spark-task retry would re-fetch every URL in the batch.
+    """
+
+    timeout_s: float = 30.0
+    retries: int = 5
+    backoff_s: float = 0.5
+
+    def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+        import urllib.request
+
+        bodies, statuses, succ, lat = [], [], [], []
+        for url in pdf["url"]:
+            body, status = None, 0
+            t0 = time.monotonic()
+            for k in range(self.retries):
+                try:
+                    with urllib.request.urlopen(url, timeout=self.timeout_s) as r:
+                        status = r.status
+                        body = r.read().decode("utf-8", "replace")
+                        break
+                except Exception:
+                    status = 599
+                    time.sleep(self.backoff_s * (2**k))
+            bodies.append(body)
+            statuses.append(status)
+            succ.append(body is not None)
+            lat.append(int((time.monotonic() - t0) * 1000))
+        out = pdf.copy()
+        out["body"], out["status"], out["success"], out["latency_ms"] = (
+            bodies,
+            statuses,
+            succ,
+            lat,
+        )
+        return out
+
+
+def fetch_scheduled(scheduled: DataFrame, fetcher) -> DataFrame:
+    """Run the fetch UDF grouped by host (politeness co-location).
+
+    Group size is bounded by the round budget, so no host can skew the
+    stage; parallelism = number of distinct hosts in the round.
+    """
+    out_schema = T.StructType(scheduled.schema.fields + FETCH_RESULT_FIELDS)
+
+    def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fetcher.fetch_batch(pdf)
+
+    return scheduled.groupBy("host").applyInPandas(_fetch, out_schema)

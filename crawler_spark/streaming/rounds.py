@@ -1,0 +1,340 @@
+"""The crawl engine: deterministic driver-looped rounds (SURVEY §3.1).
+
+Each round is one BSP micro-batch over snapshot tables:
+
+  schedule (politeness top-k per host, priority-ordered)
+    → fetch (host-grouped pandas UDF, retry inside)
+    → extract (image+caption pairs — built-in regexp exprs)
+    → discover (depth-0 chapter links: cycle guard, derived-key dedup,
+      robots, bloom+exact URL-seen anti-join)
+    → commit (frontier upsert + crawl_log/extractions/metrics appends,
+      one snapshot per table per round — resume = re-read last snapshot)
+
+The reference's equivalent is the nested sequential loop
+``crawler.ts:293-510`` with lockfile-guarded full-file checkpoint
+rewrites; here every step is a DataFrame op and the per-round state
+delta is O(Δ), not O(frontier) — appends go to delta snapshots and the
+frontier upsert rewrites only AQE-coalesced partitions (with Iceberg,
+a MERGE INTO; see plans/store.py).
+
+Crawl-order determinism: the golden global order is (round asc, host
+asc, host_rank asc) — host_rank comes from the politeness window, so
+the order is invariant to executor scheduling. Tests compare this
+engine's log to the sequential oracle exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.canonical import canonical_url_col, host_col, url_key_col
+from crawler_spark.functions.text import md_images_col
+from crawler_spark.operators.dedup import ShardedBloom, anti_join_seen, first_wins
+from crawler_spark.operators.politeness import eligible, select_round
+from crawler_spark.operators.robots import robots_filter
+from crawler_spark.plans.store import SnapshotStore
+from crawler_spark.sources.fetch import fetch_scheduled
+
+# markdown links, image syntax excluded (negative lookbehind)
+MD_LINK_PAT = r"(?<!!)\[([^\]]*)\]\(([^)]*)\)"
+
+FRONTIER_COLS = [
+    "url_key",
+    "url",
+    "host",
+    "host_salt",
+    "site",
+    "doc_id",
+    "depth",
+    "requires_manual_check",
+    "document_number",
+    "has_chapters",
+    "discovered_round",
+    "completed",
+    "attempts",
+]
+
+N_SALTS = 16  # salt buckets for skew-breaking on heavy per-URL stages
+
+
+@dataclass
+class CrawlEngine:
+    spark: SparkSession
+    store: SnapshotStore
+    fetcher: Any
+    robots: DataFrame
+    politeness: DataFrame
+    default_budget: int = 2
+    use_bloom: bool = False
+    bloom_shards: int = 8
+    quarantined: int = 0
+    metrics: list[dict] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        self.bloom = (
+            ShardedBloom(self.spark, self.store, n_shards=self.bloom_shards)
+            if self.use_bloom
+            else None
+        )
+
+    # ------------------------------------------------------------------ init
+    def init_frontier(self, seeds: DataFrame) -> None:
+        """Seed scan → validate/quarantine → web filter → canonicalize →
+        robots → first-wins dedup → frontier v0.
+
+        Validity predicate mirrors the zod drop-and-log contract
+        (``crawlerUtils.ts:22-37``); invalid rows land in a quarantine
+        table instead of failing the job (SURVEY §1.4).
+        """
+        valid = (
+            F.col("genre_code").rlike(r"^[A-Z]$")
+            & (F.col("document_number") >= 0)
+            & F.col("source_type").isin("web", "pdf", "hardCopy")
+        )
+        tagged = seeds.withColumn("_valid", valid)
+        quarantine = tagged.filter(~F.col("_valid")).drop("_valid")
+        self.store.commit("quarantine", quarantine, lineage={"op": "seed_init"})
+        self.quarantined = quarantine.count()
+
+        web = (
+            tagged.filter(F.col("_valid"))
+            .filter(F.col("source_type") == "web")  # seed filter F1
+            .withColumn("url", canonical_url_col("source_url"))
+            .withColumn("host", host_col(F.col("url")))
+        )
+        allowed = robots_filter(web, self.robots)
+        deduped = first_wins(allowed, key="url", order_cols=[F.col("seq")])
+        frontier = deduped.select(
+            url_key_col(F.col("url")).alias("url_key"),
+            "url",
+            "host",
+            F.pmod(F.xxhash64("url"), F.lit(N_SALTS)).cast("int").alias("host_salt"),
+            F.col("source").alias("site"),
+            F.col("document_id").alias("doc_id"),
+            F.lit(0).alias("depth"),
+            "requires_manual_check",
+            "document_number",
+            "has_chapters",
+            F.lit(0).alias("discovered_round"),
+            F.lit(False).alias("completed"),
+            F.lit(0).alias("attempts"),
+        ).repartition(F.col("host"))
+        self.store.commit(
+            "frontier",
+            frontier,
+            lineage={"op": "seed_init", "round": 0},
+        )
+        if self.bloom:
+            self.bloom.update(frontier.select("url_key"))
+
+    # ----------------------------------------------------------------- round
+    def run_round(self, rnd: int) -> dict:
+        frontier = self.store.read("frontier")
+        scheduled = select_round(
+            frontier, self.politeness, default_budget=self.default_budget
+        ).select(*FRONTIER_COLS, "host_rank", "attempt")
+
+        fetched = fetch_scheduled(scheduled, self.fetcher).cache()
+        n_scheduled = fetched.count()  # materialize once
+        if n_scheduled == 0:
+            fetched.unpersist()
+            return {"round": rnd, "scheduled": 0}
+
+        # ---- crawl log (golden-order comparable) -------------------------
+        log = fetched.select(
+            F.lit(rnd).alias("round"),
+            "host",
+            "host_rank",
+            "url",
+            "depth",
+            "success",
+            F.col("attempt").cast("int").alias("attempt"),
+            "status",
+            "latency_ms",
+        )
+        self.store.commit("crawl_log", log, mode="append", lineage={"round": rnd})
+
+        ok = fetched.filter(F.col("success"))
+
+        # ---- extraction: image+caption pairs (C1-as-extract) -------------
+        imgs = (
+            ok.select(
+                F.col("url").alias("page_url"),
+                F.posexplode(md_images_col(F.col("body"))).alias("_pos", "_img"),
+            )
+            .select(
+                "page_url",
+                F.col("_img.caption").alias("caption"),
+                canonical_url_col(F.col("_img.link")).alias("img_url"),
+                (F.col("_pos") + 1).cast("int").alias("img_order"),
+            )
+            .withColumn("round", F.lit(rnd))
+        )
+        self.store.commit("extractions", imgs, mode="append", lineage={"round": rnd})
+
+        # ---- pages sink ---------------------------------------------------
+        pages = ok.select(
+            "url_key", "url", "host", "depth", F.lit(rnd).alias("fetch_round"), "status", "body"
+        )
+        self.store.commit("pages", pages, mode="append", lineage={"round": rnd})
+
+        # ---- discovery: lazy chapter expansion (depth 0 only) -------------
+        parents = ok.filter((F.col("depth") == 0) & F.col("has_chapters"))
+        links = (
+            parents.select(
+                F.col("url").alias("page_url"),
+                "host_rank",
+                F.col("host").alias("parent_host"),
+                "requires_manual_check",
+                "document_number",
+                "doc_id",
+                F.col("depth").alias("parent_depth"),
+                F.posexplode(
+                    F.regexp_extract_all(F.col("body"), F.lit(MD_LINK_PAT), F.lit(2))
+                ).alias("pos", "raw_link"),
+            )
+            .withColumn("url", canonical_url_col(F.col("raw_link")))
+            .filter(F.col("url") != F.col("page_url"))  # cycle guard D4
+            .withColumn(
+                "_parts", F.split(F.col("url"), "_")
+            )  # derived key D2: split('_').at(-2)
+            .withColumn(
+                "derived_key",
+                F.when(
+                    F.size("_parts") >= 2, F.element_at(F.col("_parts"), -2)
+                ).otherwise(F.lit(None).cast("string")),
+            )
+            .drop("_parts")
+        )
+        # first-wins per (page, derived_key) in document order (null keys
+        # group together, matching JS undefined-key semantics)
+        links = first_wins(
+            links.withColumn(
+                "_k", F.coalesce(F.col("derived_key"), F.lit("\x00undefined"))
+            ).withColumn("_pk", F.concat_ws("\x01", "page_url", "_k")),
+            key="_pk",
+            order_cols=[F.col("pos")],
+        ).drop("_k", "_pk")
+
+        links = links.withColumn("host", host_col(F.col("url")))
+        allowed = robots_filter(links, self.robots)
+        # cross-page first-wins in golden order, then the seen anti-join
+        allowed = first_wins(
+            allowed,
+            key="url",
+            order_cols=[F.col("parent_host"), F.col("host_rank"), F.col("pos")],
+        )
+        if self.bloom:
+            unseen = self.bloom.filter_unseen(
+                allowed.withColumn("url_key", url_key_col(F.col("url"))),
+                frontier,
+                key_col="url_key",
+                url_col="url",
+            ).drop("url_key")
+        else:
+            unseen = anti_join_seen(allowed, frontier, key="url")
+
+        new_entries = unseen.select(
+            url_key_col(F.col("url")).alias("url_key"),
+            "url",
+            "host",
+            F.pmod(F.xxhash64("url"), F.lit(N_SALTS)).cast("int").alias("host_salt"),
+            F.lit(None).cast("string").alias("site"),
+            "doc_id",
+            (F.col("parent_depth") + 1).alias("depth"),
+            "requires_manual_check",
+            "document_number",
+            F.lit(False).alias("has_chapters"),
+            F.lit(rnd).alias("discovered_round"),
+            F.lit(False).alias("completed"),
+            F.lit(0).alias("attempts"),
+        )
+
+        # ---- frontier commit (upsert marks + append discoveries) ----------
+        updates = fetched.select(
+            "url_key",
+            "url",
+            "host",
+            "host_salt",
+            "site",
+            "doc_id",
+            "depth",
+            "requires_manual_check",
+            "document_number",
+            "has_chapters",
+            "discovered_round",
+            F.col("success").alias("completed"),
+            F.col("attempt").cast("int").alias("attempts"),
+        )
+        untouched = frontier.join(updates.select("url_key"), "url_key", "left_anti")
+        new_frontier = (
+            untouched.select(*FRONTIER_COLS)
+            .unionByName(updates.select(*FRONTIER_COLS))
+            .unionByName(new_entries.select(*FRONTIER_COLS))
+            .repartition(F.col("host"))
+        )
+        n_ok = ok.count()
+        n_new = new_entries.count()
+        self.store.commit(
+            "frontier",
+            new_frontier,
+            lineage={"op": "round", "round": rnd, "scheduled": n_scheduled, "ok": n_ok, "new": n_new},
+        )
+        if self.bloom and n_new:
+            self.bloom.update(new_entries.select("url_key"))
+
+        m = {
+            "round": rnd,
+            "scheduled": n_scheduled,
+            "fetched_ok": n_ok,
+            "failed": n_scheduled - n_ok,
+            "discovered": n_new,
+        }
+        self.store.commit(
+            "metrics",
+            self.spark.createDataFrame(
+                [tuple(m.values())],
+                schema=T.StructType(
+                    [T.StructField(k, T.LongType() if k != "round" else T.IntegerType(), False) for k in m]
+                ),
+            ),
+            mode="append",
+            lineage={"round": rnd},
+        )
+        fetched.unpersist()
+        self.metrics.append(m)
+        return m
+
+    # ------------------------------------------------------------------- run
+    def run(self, max_rounds: int = 100) -> list[dict]:
+        rnd = self.last_round()
+        for _ in range(max_rounds):
+            rnd += 1
+            m = self.run_round(rnd)
+            if m.get("scheduled", 0) == 0:
+                break
+        return self.metrics
+
+    def last_round(self) -> int:
+        """Resume point: the highest committed round in frontier lineage."""
+        if not self.store.exists("frontier"):
+            return 0
+        rounds = [
+            s["lineage"].get("round", 0) for s in self.store.versions("frontier")
+        ]
+        return max(rounds) if rounds else 0
+
+    # ------------------------------------------------------------- accessors
+    def crawl_log(self) -> DataFrame:
+        return self.store.read("crawl_log")
+
+    def url_seen(self) -> DataFrame:
+        return self.store.read("frontier").select("url")
+
+    def extractions(self) -> DataFrame:
+        return self.store.read("extractions")

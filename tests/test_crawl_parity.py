@@ -1,0 +1,142 @@
+"""Golden-oracle parity: the Spark engine must reproduce the sequential
+oracle's crawl ordering, URL-seen set, and image+caption extractions
+exactly (BASELINE.json north_rule correctness gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.plans.store import SnapshotStore
+from crawler_spark.sources.fetch import FixtureFetcher
+from crawler_spark.sources.fixtures_io import read_table
+from crawler_spark.streaming.rounds import CrawlEngine
+
+
+def build_engine(spark, world, fixture_dir, tmp_path, use_bloom=False) -> CrawlEngine:
+    store = SnapshotStore(spark, str(tmp_path / ("store_bloom" if use_bloom else "store")))
+    fetcher = FixtureFetcher(
+        pages={u: (p.body, p.fail_rounds, p.latency_ms) for u, p in world.pages.items()}
+    )
+    engine = CrawlEngine(
+        spark=spark,
+        store=store,
+        fetcher=fetcher,
+        robots=read_table(spark, fixture_dir, "robots"),
+        politeness=read_table(spark, fixture_dir, "politeness"),
+        use_bloom=use_bloom,
+    )
+    engine.init_frontier(read_table(spark, fixture_dir, "seeds"))
+    engine.run(max_rounds=50)
+    return engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, world, fixture_dir, tmp_path_factory):
+    return build_engine(spark, world, fixture_dir, tmp_path_factory.mktemp("eng"))
+
+
+def _engine_order(engine):
+    rows = (
+        engine.crawl_log()
+        .orderBy("round", "host", "host_rank")
+        .select("round", "host", "host_rank", "url", "depth", "success", "attempt")
+        .collect()
+    )
+    return [tuple(r) for r in rows]
+
+
+def _oracle_order(oracle_result):
+    return [
+        (o["round"], o["host"], o["host_rank"], o["url"], o["depth"], o["success"], o["attempt"])
+        for o in sorted(oracle_result.crawl_order, key=lambda o: o["seq"])
+    ]
+
+
+def test_crawl_ordering_exact(engine, oracle_result):
+    assert _engine_order(engine) == _oracle_order(oracle_result)
+
+
+def test_url_seen_set_exact(engine, oracle_result):
+    got = {r["url"] for r in engine.url_seen().collect()}
+    assert got == oracle_result.url_seen
+
+
+def test_quarantine_count(engine, oracle_result):
+    assert engine.quarantined == oracle_result.quarantined
+
+
+def test_extractions_exact(engine, oracle_result):
+    got = {
+        (r["page_url"], r["caption"], r["img_url"], r["img_order"])
+        for r in engine.extractions().collect()
+    }
+    want = {
+        (e["page_url"], e["caption"], e["img_url"], e["img_order"])
+        for e in oracle_result.extractions
+    }
+    assert got == want
+
+
+def test_completion_flags_match(engine, oracle_result):
+    got = {
+        r["url"]: (r["completed"], r["attempts"])
+        for r in engine.store.read("frontier").collect()
+    }
+    want = {e.url: (e.completed, e.attempts) for e in oracle_result.frontier}
+    assert got == want
+
+
+def test_metrics_match(engine, oracle_result):
+    got = {
+        r["round"]: (r["scheduled"], r["fetched_ok"], r["failed"], r["discovered"])
+        for r in engine.store.read("metrics").collect()
+    }
+    want = {
+        m["round"]: (m["scheduled"], m["fetched_ok"], m["failed"], m["discovered"])
+        for m in oracle_result.metrics
+        if m["scheduled"]
+    }
+    assert got == want
+
+
+def test_bloom_tier_equivalent(spark, world, fixture_dir, tmp_path_factory, oracle_result):
+    """Two-tier bloom dedup must be byte-identical to exact-only dedup."""
+    eng = build_engine(
+        spark, world, fixture_dir, tmp_path_factory.mktemp("engb"), use_bloom=True
+    )
+    assert _engine_order(eng) == _oracle_order(oracle_result)
+    got = {r["url"] for r in eng.url_seen().collect()}
+    assert got == oracle_result.url_seen
+
+
+def test_resume_from_snapshot(spark, world, fixture_dir, tmp_path_factory, oracle_result):
+    """Kill mid-crawl → new engine over the same store resumes and
+    converges to the same final state (snapshot checkpoint resume)."""
+    tmp = tmp_path_factory.mktemp("engr")
+    store = SnapshotStore(spark, str(tmp / "store"))
+    fetcher = FixtureFetcher(
+        pages={u: (p.body, p.fail_rounds, p.latency_ms) for u, p in world.pages.items()}
+    )
+
+    def mk():
+        return CrawlEngine(
+            spark=spark,
+            store=store,
+            fetcher=fetcher,
+            robots=read_table(spark, fixture_dir, "robots"),
+            politeness=read_table(spark, fixture_dir, "politeness"),
+        )
+
+    e1 = mk()
+    e1.init_frontier(read_table(spark, fixture_dir, "seeds"))
+    for rnd in (1, 2, 3):
+        e1.run_round(rnd)
+    # "crash": discard e1; resume from the committed snapshots
+    e2 = mk()
+    assert e2.last_round() == 3
+    e2.run(max_rounds=50)
+    got = _engine_order(e2)
+    assert got == _oracle_order(oracle_result)
+    seen = {r["url"] for r in e2.url_seen().collect()}
+    assert seen == oracle_result.url_seen
