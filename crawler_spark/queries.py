@@ -1,0 +1,1164 @@
+"""Operator-coverage query library (driver harness `__spark_entry__.py`).
+
+One entry per operator family from SURVEY §2 plus the training-data
+pipeline ops (dedup / similarity / text analysis), each expressed twice:
+
+  * a PySpark DataFrame callable ``(spark, sf_dir) -> DataFrame``
+    (declarative — Catalyst does pushdown/pruning/broadcast);
+  * an ANSI-SQL oracle string DuckDB runs on the same parquet.
+
+Parity rules (the driver hash-compares values after sorting columns by
+name): every computed column is aliased identically on both sides;
+float aggregates are rounded (sums → 2dp, ratios → 6dp, similarities →
+4-6dp) because summation order differs between engines; counts are cast
+to bigint; timestamps are emitted as formatted strings (Spark session
+TZ is pinned UTC to match DuckDB's naive timestamps).
+
+Reference-semantics mapping (file:line into /root/reference):
+  q01  A3-A7 corpus totals/ratios        analyze.ts:87-154
+  q02  A8/O6 top-k per group             analyze.ts:202-204
+  q03  O1/O2 priority sort               sortUtils.ts:9-39
+  q04  D1 first-wins dedup               getMetadataList.ts:197
+  q05  Anti candidate−seen               checkpoint.ts:100-114
+  q06  J8 broadcast dim joins            schemaMapping.ts:12-21
+  q07  J4 semi-join lookup               getPageContent.ts:140-175
+  q08  U1/U3 unions                      getMetadataList.ts:83-192
+  q09  U4 flatMap/explode + A5 counts    crawler.ts:387-408, analyze.ts:62-74
+  q10  A4 rollup with shares             analyze.ts:102-142
+  q11  O7/O8 sequence numbering          getMetadataList.ts:80,187
+  q12  C18/C19 date ops                  treeUtils.ts:45-57
+  q13  J7 theta join                     process-proper-name.ts:46-67
+  q14  J1/K6 latest-state upsert         checkpoint.ts:203-288
+  q15  O9 stateful sessionization        getPageContentDaily.ts:62-91
+  q16  O9 running aggregates             getPageContentDaily.ts:62-91
+  q17  C1 image extract                  mdUtils.ts:5,23-44
+  q18  C1-C9 cleanup chain               mdUtils.ts:238-243
+  q19  ID grammar format/parse           getId.ts:30-107
+  q20  C20/C21 key/title rewrites        treeUtils.ts:175-183, fileUtils.ts:26
+  q21-q29 graft training-data ops (dedup/similarity/text analysis)
+  q30  streaming window agg (batch-equivalent)
+  q31  distinct cardinalities (frontier metrics analog)
+  q32  extraAttributes extraction        schema.ts:233-235
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.text import md_images_col
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q01 — flagship: pricing rollup (TPC-H Q1 shape; A3-A7 corpus-stat analog)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum("l_discount") / F.count(F.lit(1)), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(sum(l_quantity) / count(*), 4)                             AS avg_qty,
+       round(sum(l_discount) / count(*), 6)                             AS avg_disc,
+       count(*)::BIGINT                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# q02 — top-k per group (window rank ≤ 5)
+# ---------------------------------------------------------------------------
+
+
+def q02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+Q02_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rk
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey)::BIGINT AS rk
+      FROM part)
+WHERE rk <= 5
+"""
+
+# ---------------------------------------------------------------------------
+# q03 — frontier priority ordering (requiresManualCheck-style key + limit)
+# ---------------------------------------------------------------------------
+
+
+def q03_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_orderpriority"), F.col("o_orderdate"), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 100)
+        .select(
+            "rk",
+            "o_orderkey",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT rk, o_orderkey, o_orderpriority, order_date
+FROM (SELECT row_number() OVER (ORDER BY o_orderpriority, o_orderdate, o_orderkey)::BIGINT AS rk,
+             o_orderkey, o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date
+      FROM orders)
+WHERE rk <= 100
+"""
+
+# ---------------------------------------------------------------------------
+# q04 — first-wins dedup (uniqBy semantics, NOT dropDuplicates)
+# ---------------------------------------------------------------------------
+
+
+def q04_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            F.col("event_type").alias("first_event_type"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT user_id, event_id AS first_event_id, event_type AS first_event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# q05 — anti-join (candidate − seen)
+# ---------------------------------------------------------------------------
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+Q05_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+"""
+
+# ---------------------------------------------------------------------------
+# q06 — broadcast dimension joins (star join to region)
+# ---------------------------------------------------------------------------
+
+
+def q06_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+Q06_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+# ---------------------------------------------------------------------------
+# q07 — semi join (EXISTS lookup)
+# ---------------------------------------------------------------------------
+
+
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts_with_sales"))
+    )
+
+
+Q07_SQL = """
+SELECT p_brand, count(*)::BIGINT AS n_parts_with_sales
+FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# q08 — union of section scans + distinct
+# ---------------------------------------------------------------------------
+
+
+def q08_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    a = e.filter((F.col("event_type") == "view") & (F.col("value") > 90)).select(
+        "user_id", "event_type"
+    )
+    b = e.filter(F.col("event_type") == "purchase").select("user_id", "event_type")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+
+
+Q08_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_users FROM (
+  SELECT DISTINCT user_id, event_type FROM (
+    SELECT user_id, event_type FROM events WHERE event_type = 'view' AND value > 90
+    UNION ALL
+    SELECT user_id, event_type FROM events WHERE event_type = 'purchase')
+) GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# q09 — explode/flatten + counts (word frequency top-20)
+# ---------------------------------------------------------------------------
+
+
+def q09_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.length("word") > 0)
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = W.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "word", "cnt")
+    )
+
+
+Q09_SQL = """
+SELECT rk, word, cnt FROM (
+  SELECT word, cnt, row_number() OVER (ORDER BY cnt DESC, word)::BIGINT AS rk
+  FROM (SELECT word, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents)
+        WHERE length(word) > 0 GROUP BY word))
+WHERE rk <= 20
+"""
+
+# ---------------------------------------------------------------------------
+# q10 — rollup with grand total (per-genre stats + share analog)
+# ---------------------------------------------------------------------------
+
+
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+Q10_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus)
+"""
+
+# ---------------------------------------------------------------------------
+# q11 — deterministic sequence numbering (documentNumber assignment)
+# ---------------------------------------------------------------------------
+
+
+def q11_seq_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return d.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("seq_in_source")
+    )
+
+
+Q11_SQL = """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS seq_in_source
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q12 — date parse/format/arithmetic
+# ---------------------------------------------------------------------------
+
+
+def q12_date_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# q13 — theta join (equi + range residual)
+# ---------------------------------------------------------------------------
+
+
+def q13_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate.cast("date"), 60).cast("timestamp")),
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_late"),
+        F.round(F.sum("l_extendedprice"), 2).alias("late_value"),
+    )
+
+
+Q13_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n_late,
+       round(sum(l_extendedprice), 2) AS late_value
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+# ---------------------------------------------------------------------------
+# q14 — latest-state upsert view (MERGE INTO semantics, latest-wins)
+# ---------------------------------------------------------------------------
+
+
+def q14_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value"), 4).alias("last_value"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT user_id, event_type AS last_event_type, round(value, 4) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# q15 — sessionization (lag + gap cumsum)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_S), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_session").cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+Q15_SQL = f"""
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM (SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events WHERE user_id < 200))
+GROUP BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# q16 — running aggregates (stateful verse-order tracking analog)
+# ---------------------------------------------------------------------------
+
+
+def q16_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+Q16_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_value
+FROM events WHERE user_id < 50
+"""
+
+# ---------------------------------------------------------------------------
+# q17 — markdown image extraction (C1-as-extract; the graft payload op)
+# ---------------------------------------------------------------------------
+
+
+def q17_md_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    md = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("Xem hình ![" ),
+            F.col("p_name"),
+            F.lit("](http://img.test/"),
+            F.col("p_partkey"),
+            F.lit(".png) ở đây."),
+        ).alias("md"),
+    )
+    imgs = md.select(
+        "p_partkey", F.explode(md_images_col(F.col("md"))).alias("img")
+    )
+    return imgs.select(
+        "p_partkey",
+        F.col("img.caption").alias("caption"),
+        F.col("img.link").alias("link"),
+    )
+
+
+Q17_SQL = """
+SELECT p_partkey,
+       regexp_extract(md, '!\\[([^\\]]*)\\]\\(([^)]*)\\)', 1) AS caption,
+       regexp_extract(md, '!\\[([^\\]]*)\\]\\(([^)]*)\\)', 2) AS link
+FROM (SELECT p_partkey,
+             'Xem hình ![' || p_name || '](http://img.test/' || p_partkey || '.png) ở đây.' AS md
+      FROM part)
+"""
+
+# ---------------------------------------------------------------------------
+# q18 — markdown cleanup chain (images→links→quotes→spacing)
+# ---------------------------------------------------------------------------
+
+
+def q18_md_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    md = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("“Trích” ![hình](http://x/i.png) [liên kết](http://y) "),
+            F.substring(F.col("text"), 1, 80),
+        ).alias("md"),
+    )
+    cleaned = (
+        md.withColumn("c", F.regexp_replace(F.col("md"), r"!\[([^\]]*)\]\(([^)]*)\)", ""))
+        .withColumn("c", F.regexp_replace(F.col("c"), r"\[([^\]]*)\]\(([^)]*)\)", "$1"))
+        .withColumn("c", F.translate(F.col("c"), "“”‘’", "\"\"''"))
+        .withColumn("c", F.regexp_replace(F.col("c"), r" {2,}", " "))
+        .withColumn("c", F.trim(F.col("c")))
+    )
+    return cleaned.select("doc_id", F.col("c").alias("cleaned"))
+
+
+Q18_SQL = """
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(md, '!\\[([^\\]]*)\\]\\(([^)]*)\\)', '', 'g'),
+        '\\[([^\\]]*)\\]\\(([^)]*)\\)', '\\1', 'g'),
+      '“', '"'), '”', '"'), '‘', ''''), '’', ''''),
+    ' {2,}', ' ', 'g')) AS cleaned
+FROM (SELECT doc_id,
+             '“Trích” ![hình](http://x/i.png) [liên kết](http://y) ' || substr(text, 1, 80) AS md
+      FROM documents WHERE doc_id < 100)
+"""
+
+# ---------------------------------------------------------------------------
+# q19 — hierarchical ID grammar: format + parse roundtrip
+# ---------------------------------------------------------------------------
+
+
+def q19_id_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ids = d.select(
+        "doc_id",
+        F.format_string(
+            "DSG_%03d.%03d.%03d.%02d",
+            (F.col("doc_id") % 1000).cast("int"),
+            ((F.col("doc_id") * 7) % 1000).cast("int"),
+            ((F.col("doc_id") * 13) % 1000).cast("int"),
+            ((F.col("doc_id") * 3) % 100).cast("int"),
+        ).alias("dsg_id"),
+    )
+    pat = r"^[A-Z]+_(\d{3})\.(\d{3})\.(\d{3})\.(\d{2})$"
+    return ids.select(
+        "doc_id",
+        "dsg_id",
+        F.regexp_extract("dsg_id", pat, 1).cast("bigint").alias("p_doc"),
+        F.regexp_extract("dsg_id", pat, 2).cast("bigint").alias("p_chapter"),
+        F.regexp_extract("dsg_id", pat, 3).cast("bigint").alias("p_page"),
+        F.regexp_extract("dsg_id", pat, 4).cast("bigint").alias("p_sentence"),
+    )
+
+
+Q19_SQL = """
+SELECT doc_id, dsg_id,
+       regexp_extract(dsg_id, '^[A-Z]+_(\\d{3})\\.(\\d{3})\\.(\\d{3})\\.(\\d{2})$', 1)::BIGINT AS p_doc,
+       regexp_extract(dsg_id, '^[A-Z]+_(\\d{3})\\.(\\d{3})\\.(\\d{3})\\.(\\d{2})$', 2)::BIGINT AS p_chapter,
+       regexp_extract(dsg_id, '^[A-Z]+_(\\d{3})\\.(\\d{3})\\.(\\d{3})\\.(\\d{2})$', 3)::BIGINT AS p_page,
+       regexp_extract(dsg_id, '^[A-Z]+_(\\d{3})\\.(\\d{3})\\.(\\d{3})\\.(\\d{2})$', 4)::BIGINT AS p_sentence
+FROM (SELECT doc_id,
+             printf('DSG_%03d.%03d.%03d.%02d',
+                    doc_id % 1000, (doc_id * 7) % 1000,
+                    (doc_id * 13) % 1000, (doc_id * 3) % 100) AS dsg_id
+      FROM documents)
+"""
+
+# ---------------------------------------------------------------------------
+# q20 — camelCase→SNAKE_UPPER + title sanitization
+# ---------------------------------------------------------------------------
+
+
+def q20_key_rewrites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("event_type").distinct()
+    keyed = e.select(
+        "event_type",
+        F.concat(F.lit("extraAttr"), F.initcap("event_type"), F.lit("Value")).alias(
+            "camel"
+        ),
+    )
+    return keyed.select(
+        "event_type",
+        "camel",
+        F.upper(F.regexp_replace("camel", r"([a-z0-9])([A-Z])", r"$1_$2")).alias("snake"),
+        F.regexp_replace(
+            F.concat(F.lit("a/b:c|"), F.col("event_type"), F.lit("?x")),
+            r'[/\\?%*:|"<>]',
+            "_",
+        ).alias("sanitized"),
+    )
+
+
+Q20_SQL = """
+SELECT event_type, camel,
+       upper(regexp_replace(camel, '([a-z0-9])([A-Z])', '\\1_\\2', 'g')) AS snake,
+       regexp_replace('a/b:c|' || event_type || '?x', '[/\\\\?%*:|"<>]', '_', 'g') AS sanitized
+FROM (SELECT DISTINCT event_type,
+             'extraAttr' || upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2)) || 'Value' AS camel
+      FROM events)
+"""
+
+# ---------------------------------------------------------------------------
+# q21 — exact dedup (hash-groupBy; self-union creates known duplicates)
+# ---------------------------------------------------------------------------
+
+
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    dup = d.unionByName(d.filter(F.col("doc_id") % 5 == 0))  # deliberate dups
+    return dup.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct(F.md5(F.col("text"))).cast("bigint").alias("n_unique_texts"),
+    )
+
+
+Q21_SQL = """
+SELECT source, count(*)::BIGINT AS n_rows,
+       count(DISTINCT md5(text))::BIGINT AS n_unique_texts
+FROM (SELECT * FROM documents
+      UNION ALL SELECT * FROM documents WHERE doc_id % 5 = 0)
+GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# q22 — MinHash + LSH near-duplicate pairs
+#   shingle = word 3-gram; signature_j = min(md5(j||'|'||shingle));
+#   band size 1 ⇒ candidate pair iff any signature position collides
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 4
+
+
+def _shingles(d: DataFrame) -> DataFrame:
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return d.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+
+
+def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    sh = _shingles(d)
+    sigs = None
+    for j in range(_MINHASH_K):
+        s = sh.groupBy("doc_id").agg(
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias("sig")
+        ).withColumn("band", F.lit(j))
+        sigs = s if sigs is None else sigs.unionByName(s)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("sig").alias("s_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("sig").alias("s_b")
+    )
+    pairs = (
+        a.join(b, (F.col("s_a") == F.col("s_b")) & (F.col("band_a") == F.col("band_b")))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs
+
+
+Q22_SQL = f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM docs),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+sigs AS (
+  SELECT doc_id, j AS band, min(md5(j || '|' || shingle)) AS sig
+  FROM shingles, unnest(range(0, {_MINHASH_K})) AS u(j)
+  GROUP BY doc_id, j)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q23 — SimHash (16-bit) document fingerprints
+#   bit b of token-hash = (hex digit b of md5 ≥ '8'); majority vote
+# ---------------------------------------------------------------------------
+
+
+def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0).distinct()
+    hashed = toks.withColumn("h", F.md5("tok"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.col("h").substr(F.col("b") + 1, F.lit(1)) >= "8", F.lit(1)).otherwise(
+            F.lit(-1)
+        ),
+    )
+    agg = bits.groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    sim = agg.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") >= 0, F.expr("shiftleft(1, b)")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("simhash16")
+    )
+    return sim
+
+
+Q23_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents WHERE doc_id < 100)
+  WHERE length(tok) > 0),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN substr(md5(tok), b + 1, 1) >= '8' THEN 1 ELSE -1 END AS vote
+  FROM toks, unnest(range(0, 16)) AS u(b)),
+agg AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN v >= 0 THEN 1 << b ELSE 0 END)::BIGINT AS simhash16
+FROM agg GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q24 — n-gram Jaccard near-dup scores (bounded pair set)
+# ---------------------------------------------------------------------------
+
+
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.02)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.col("n_inter").cast("bigint").alias("n_inter"), "jaccard"
+    )
+
+
+Q24_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM docs),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_inter::BIGINT AS n_inter,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.02
+"""
+
+# ---------------------------------------------------------------------------
+# q25 — brute-force cosine top-k neighbor search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    sims = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("sim", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("q_id", "c_id", "sim", "rk")
+    )
+
+
+Q25_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+sims AS (
+  SELECT q_id, c_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> q_emb[i]::DOUBLE * c_emb[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> c_emb[i]::DOUBLE * c_emb[i]::DOUBLE)))),
+           6) AS sim
+  FROM q, c WHERE q_id != c_id)
+SELECT q_id, c_id, sim, rk FROM (
+  SELECT q_id, c_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)::BIGINT AS rk
+  FROM sims)
+WHERE rk <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# q26 — LSH-style sign-bucket partitioning of the embedding space
+# (the scale path for ANN: bucket once, search within bucket)
+# ---------------------------------------------------------------------------
+
+_BUCKET_DIMS = [1, 17, 33, 49]
+
+
+def q26_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = None
+    for k, j in enumerate(_BUCKET_DIMS):
+        bit = F.when(F.element_at("embedding", j) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        e.withColumn("bucket", bucket.cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+    )
+
+
+Q26_SQL = f"""
+SELECT bucket, count(*)::BIGINT AS n_vectors, count(DISTINCT label)::BIGINT AS n_labels
+FROM (SELECT label,
+             ({" + ".join(f"(CASE WHEN embedding[{j}] > 0 THEN {1 << k} ELSE 0 END)" for k, j in enumerate(_BUCKET_DIMS))})::BIGINT AS bucket
+      FROM embeddings)
+GROUP BY bucket
+"""
+
+# ---------------------------------------------------------------------------
+# q27 — language-ID heuristic (diacritic + ascii-ratio n-gram-lite)
+# ---------------------------------------------------------------------------
+
+_VI_CHARS = "àáảãạăằắẳẵặâầấẩẫậèéẻẽẹêềếểễệìíỉĩịòóỏõọôồốổỗộơờớởỡợùúủũụưừứửữựỳýỷỹỵđ"
+
+
+def q27_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_diac = F.length(low) - F.length(F.regexp_replace(low, f"[{_VI_CHARS}]", ""))
+    n_ascii = F.length(low) - F.length(F.regexp_replace(low, "[a-z ]", ""))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_diac.cast("bigint").alias("n_diacritics"),
+        F.round(n_ascii / F.greatest(F.length(low), F.lit(1)), 6).alias("ascii_ratio"),
+        F.when(n_diac > 0, F.lit("vi")).otherwise(F.lit("other")).alias("guess"),
+    )
+
+
+Q27_SQL = f"""
+SELECT doc_id, lang,
+       (length(lower(text)) - length(regexp_replace(lower(text), '[{_VI_CHARS}]', '', 'g')))::BIGINT AS n_diacritics,
+       round((length(lower(text)) - length(regexp_replace(lower(text), '[a-z ]', '', 'g')))
+             / greatest(length(lower(text)), 1), 6) AS ascii_ratio,
+       CASE WHEN length(lower(text)) - length(regexp_replace(lower(text), '[{_VI_CHARS}]', '', 'g')) > 0
+            THEN 'vi' ELSE 'other' END AS guess
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# q28 — quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def q28_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.lower(x).isin(*_STOPWORDS)))
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^\w\s]", "")
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(n_stop / F.greatest(n_words, F.lit(1)), 6).alias("stopword_ratio"),
+        n_punct.cast("bigint").alias("n_punct"),
+        F.round(F.col("n_chars") / F.greatest(n_words, F.lit(1)), 4).alias(
+            "chars_per_word"
+        ),
+    )
+
+
+Q28_SQL = f"""
+SELECT doc_id, n_chars::BIGINT AS n_chars, n_words::BIGINT AS n_words,
+       round(n_stop / greatest(n_words, 1), 6) AS stopword_ratio,
+       n_punct::BIGINT AS n_punct,
+       round(n_chars / greatest(n_words, 1), 4) AS chars_per_word
+FROM (SELECT doc_id, n_chars,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> length(x) > 0)) AS n_words,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> list_contains({list(_STOPWORDS)}, lower(x)))) AS n_stop,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+      FROM documents)
+"""
+
+# ---------------------------------------------------------------------------
+# q29 — document fingerprinting (min-k of 5-gram hashes, winnowing-lite)
+# ---------------------------------------------------------------------------
+
+
+def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(words, i + k) for k in range(5)],
+        ),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    hashed = g.select("doc_id", F.md5("gram").alias("h"))
+    w = W.partitionBy("doc_id").orderBy("h")
+    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 4)
+    return topk.groupBy("doc_id").agg(
+        F.array_join(F.sort_array(F.collect_list("h")), ",").alias("fingerprint")
+    )
+
+
+Q29_SQL = """
+WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
+  FROM words, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+hashed AS (SELECT doc_id, md5(gram) AS h FROM grams),
+topk AS (SELECT doc_id, h,
+                row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+         FROM hashed)
+SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
+FROM topk WHERE rn <= 4 GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# q30 — tumbling-window aggregation (streaming-equivalent batch form)
+# ---------------------------------------------------------------------------
+
+
+def q30_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00"))
+        .filter(F.col("ts") < F.lit("2024-01-04").cast("timestamp"))
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+Q30_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events WHERE ts < TIMESTAMP '2024-01-04'
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# q31 — distinct cardinalities (frontier-size metrics; exact twin of the
+# approx_count_distinct the engine uses for monitoring)
+# ---------------------------------------------------------------------------
+
+
+def q31_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+Q31_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# q32 — extraAttributes extraction (record<string,scalar> analog on props)
+# ---------------------------------------------------------------------------
+
+
+def q32_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum("k") / F.count(F.lit(1)), 4).alias("avg_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+    )
+
+
+Q32_SQL = """
+SELECT event_type,
+       round(sum(k) / count(*), 4) AS avg_k,
+       max(k)::BIGINT AS max_k
+FROM (SELECT event_type, regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT AS k FROM events)
+GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_rollup": q01_pricing_rollup,
+    "q02_topk_per_group": q02_topk_per_group,
+    "q03_priority_order": q03_priority_order,
+    "q04_first_wins_dedup": q04_first_wins_dedup,
+    "q05_anti_join": q05_anti_join,
+    "q06_broadcast_dim_join": q06_broadcast_dim_join,
+    "q07_semi_join": q07_semi_join,
+    "q08_union_distinct": q08_union_distinct,
+    "q09_wordcount_topk": q09_wordcount_topk,
+    "q10_rollup": q10_rollup,
+    "q11_seq_numbering": q11_seq_numbering,
+    "q12_date_ops": q12_date_ops,
+    "q13_theta_join": q13_theta_join,
+    "q14_latest_state": q14_latest_state,
+    "q15_sessionize": q15_sessionize,
+    "q16_running_sum": q16_running_sum,
+    "q17_md_image_extract": q17_md_image_extract,
+    "q18_md_cleanup": q18_md_cleanup,
+    "q19_id_grammar": q19_id_grammar,
+    "q20_key_rewrites": q20_key_rewrites,
+    "q21_dedup_exact": q21_dedup_exact,
+    "q22_minhash_lsh_pairs": q22_minhash_lsh_pairs,
+    "q23_simhash": q23_simhash,
+    "q24_ngram_jaccard": q24_ngram_jaccard,
+    "q25_cosine_topk": q25_cosine_topk,
+    "q26_embedding_buckets": q26_embedding_buckets,
+    "q27_lang_id": q27_lang_id,
+    "q28_quality_score": q28_quality_score,
+    "q29_fingerprint": q29_fingerprint,
+    "q30_hourly_windows": q30_hourly_windows,
+    "q31_distinct_users": q31_distinct_users,
+    "q32_props_extract": q32_props_extract,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "q01_pricing_rollup": Q01_SQL,
+    "q02_topk_per_group": Q02_SQL,
+    "q03_priority_order": Q03_SQL,
+    "q04_first_wins_dedup": Q04_SQL,
+    "q05_anti_join": Q05_SQL,
+    "q06_broadcast_dim_join": Q06_SQL,
+    "q07_semi_join": Q07_SQL,
+    "q08_union_distinct": Q08_SQL,
+    "q09_wordcount_topk": Q09_SQL,
+    "q10_rollup": Q10_SQL,
+    "q11_seq_numbering": Q11_SQL,
+    "q12_date_ops": Q12_SQL,
+    "q13_theta_join": Q13_SQL,
+    "q14_latest_state": Q14_SQL,
+    "q15_sessionize": Q15_SQL,
+    "q16_running_sum": Q16_SQL,
+    "q17_md_image_extract": Q17_SQL,
+    "q18_md_cleanup": Q18_SQL,
+    "q19_id_grammar": Q19_SQL,
+    "q20_key_rewrites": Q20_SQL,
+    "q21_dedup_exact": Q21_SQL,
+    "q22_minhash_lsh_pairs": Q22_SQL,
+    "q23_simhash": Q23_SQL,
+    "q24_ngram_jaccard": Q24_SQL,
+    "q25_cosine_topk": Q25_SQL,
+    "q26_embedding_buckets": Q26_SQL,
+    "q27_lang_id": Q27_SQL,
+    "q28_quality_score": Q28_SQL,
+    "q29_fingerprint": Q29_SQL,
+    "q30_hourly_windows": Q30_SQL,
+    "q31_distinct_users": Q31_SQL,
+    "q32_props_extract": Q32_SQL,
+}
