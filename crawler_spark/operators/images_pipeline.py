@@ -1,0 +1,181 @@
+"""Image payload pipeline (BASELINE.json ``input_hint`` shape).
+
+The crawl's extraction stage yields (page_url, caption, img_url,
+img_order) rows — the graft's replacement for the reference's
+``removeMdImgs`` drop (``src/lib/md/mdUtils.ts:23-44``: the named
+groups ``alt``/``link`` it discards are exactly our caption/img_url).
+This module turns those into the payload table
+
+    images(image_id, bytes, w, h, fmt, caption, phash)
+
+and validates every row with the vectorized decode kernel:
+
+  * ``build_images_table`` — caption dedup (first-wins per img_url in
+    crawl order), join to the byte store (the image-fetch stage; in
+    tests the fixture CDN table), then one ``mapInPandas`` pass that
+    decodes each Arrow batch and emits engine-computed (w, h, phash).
+    Nothing is trusted from the source: dimensions and phash come from
+    the decoded pixels.
+  * ``validate_images`` — per-row invariant check against golden pixel
+    buffers: PSNR (≥ 40 dB for lossy formats, exact/inf for lossless)
+    and phash equality, returned as a DataFrame so violations are a
+    filter away (quarantine pattern, SURVEY §1.4).
+
+At 100 TB the byte store join is the heavy stage: both sides are
+hash-partitioned on ``img_url`` (bytes never shuffle more than once)
+and the decode is CPU-bound per partition with no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawler_spark.functions.images import (
+    LOSSY_FMTS,
+    decode_stats_batch,
+    psnr_batch,
+)
+from crawler_spark.operators.dedup import first_wins
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("img_url", T.StringType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def build_images_table(extractions: DataFrame, byte_store: DataFrame) -> DataFrame:
+    """extractions(page_url, caption, img_url, img_order, round)
+    ⨝ byte_store(url, image_id, bytes, fmt) → input_hint images table.
+
+    Caption policy: first caption wins in crawl order (round, page_url,
+    img_order) — the same uniqBy semantics as seed dedup (D1).
+    """
+    caps = first_wins(
+        extractions,
+        key="img_url",
+        order_cols=[F.col("round"), F.col("page_url"), F.col("img_order")],
+    ).select("img_url", "caption")
+
+    src = byte_store.select(
+        F.col("url").alias("img_url"), "image_id", "bytes", "fmt"
+    )
+    joined = caps.join(src, "img_url", "inner").select(
+        "image_id", "bytes", "fmt", "caption", "img_url"
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = decode_stats_batch(pdf["bytes"], pdf["fmt"])
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "bytes": pdf["bytes"],
+                    "w": stats["dec_w"],
+                    "h": stats["dec_h"],
+                    "fmt": pdf["fmt"],
+                    "caption": pdf["caption"],
+                    "phash": stats["dec_phash"],
+                    "img_url": pdf["img_url"],
+                    "decode_ok": stats["ok"],
+                }
+            )
+
+    return joined.repartition(F.col("img_url")).mapInPandas(_decode, IMAGES_SCHEMA)
+
+
+_VALIDATE_FIELDS = [
+    T.StructField("image_id", T.StringType(), False),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("psnr_db", T.DoubleType(), False),
+    T.StructField("phash_match", T.BooleanType(), False),
+    T.StructField("dims_match", T.BooleanType(), False),
+    T.StructField("passes", T.BooleanType(), False),
+]
+VALIDATE_SCHEMA = T.StructType(_VALIDATE_FIELDS)
+
+PSNR_LOSSY_MIN_DB = 40.0
+
+
+def validate_images(images: DataFrame, golden: DataFrame) -> DataFrame:
+    """Per-row invariant: decoded pixels vs golden raw RGB buffers.
+
+    golden(image_id, pixels, w, h, phash) — e.g. the fixture table or a
+    prior snapshot. A row passes iff dims match, phash matches, and
+    PSNR is inf (lossless) or ≥ 40 dB (lossy).
+    """
+    g = golden.select(
+        "image_id",
+        F.col("pixels").alias("g_pixels"),
+        F.col("w").alias("g_w"),
+        F.col("h").alias("g_h"),
+        F.col("phash").alias("g_phash"),
+    )
+    j = images.join(g, "image_id", "inner").select(
+        "image_id", "bytes", "fmt", "w", "h", "phash",
+        "g_pixels", "g_w", "g_h", "g_phash",
+    )
+
+    def _val(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ps = psnr_batch(
+                pdf["bytes"], pdf["fmt"], pdf["g_pixels"], pdf["g_w"], pdf["g_h"]
+            )
+            phash_ok = pdf["phash"] == pdf["g_phash"]
+            dims_ok = (pdf["w"] == pdf["g_w"]) & (pdf["h"] == pdf["g_h"])
+            lossy = pdf["fmt"].isin(LOSSY_FMTS)
+            psnr_ok = ps.where(lossy, float("inf")) >= PSNR_LOSSY_MIN_DB
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "psnr_db": ps,
+                    "phash_match": phash_ok,
+                    "dims_match": dims_ok,
+                    "passes": phash_ok & dims_ok & psnr_ok,
+                }
+            )
+
+    return j.mapInPandas(_val, VALIDATE_SCHEMA)
+
+
+def near_duplicate_images(images: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """pHash near-dup pairs: band the 64-bit hash into 4×16-bit keys —
+    any pair within Hamming distance ≤ 3·(bands-1) shares at least one
+    band by pigeonhole when distance < bands, so banding is a recall-
+    safe pre-filter for small thresholds; the exact Hamming check runs
+    on candidates only (the LSH-then-verify shape, same as MinHash)."""
+    bands = [
+        F.shiftrightunsigned(F.col("phash"), k * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"b{k}")
+        for k in range(4)
+    ]
+    withb = images.select("image_id", "phash", *bands)
+    pairs = None
+    for k in range(4):
+        a = withb.select(
+            F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"), F.col(f"b{k}").alias("bk")
+        )
+        b = withb.select(
+            F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"), F.col(f"b{k}").alias("bk")
+        )
+        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

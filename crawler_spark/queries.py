@@ -1162,3 +1162,407 @@ ORACLE_SQL: dict[str, str] = {
     "q31_distinct_users": Q31_SQL,
     "q32_props_extract": Q32_SQL,
 }
+
+# ---------------------------------------------------------------------------
+# q33 — cube / grouping sets (A4 rollup generalized)
+# ---------------------------------------------------------------------------
+
+
+def q33_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+Q33_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+# ---------------------------------------------------------------------------
+# q34 — exact percentiles per group (continuous interpolation)
+# ---------------------------------------------------------------------------
+
+
+def q34_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+Q34_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.9), 4)  AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# q35 — conditional pivot (CASE aggregation into columns)
+# ---------------------------------------------------------------------------
+
+
+def q35_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    cohort = (F.col("user_id") % 10).cast("bigint")
+    return (
+        e.withColumn("cohort", cohort)
+        .groupBy("cohort")
+        .agg(
+            F.round(F.sum(F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)), 2).alias("view_value"),
+            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 2).alias("purchase_value"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("bigint").alias("n_clicks"),
+        )
+    )
+
+
+Q35_SQL = """
+SELECT (user_id % 10)::BIGINT AS cohort,
+       round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END), 2) AS view_value,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_clicks
+FROM events GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# q36 — correlated aggregate subquery, decorrelated (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+def q36_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 1000)
+    avg = li.groupBy("l_partkey").agg((F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"))
+    j = li.join(avg, "l_partkey").filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+    )
+
+
+Q36_SQL = """
+SELECT count(*)::BIGINT AS n_small, round(sum(l_extendedprice), 2) AS small_revenue
+FROM lineitem l
+WHERE l_partkey < 1000
+  AND l_quantity < 0.5 * (SELECT sum(l_quantity) / count(*) FROM lineitem
+                          WHERE l_partkey = l.l_partkey AND l_partkey < 1000)
+"""
+
+# ---------------------------------------------------------------------------
+# q37 — token counting (whitespace words + BPE-ish regex tokens)
+# ---------------------------------------------------------------------------
+
+_TOK_PAT = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def q37_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_tokens = F.size(F.regexp_extract_all(low, F.lit(_TOK_PAT), F.lit(0)))
+    n_words = F.size(F.filter(F.split(F.trim(low), r"\s+"), lambda x: F.length(x) > 0))
+    return (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("n_words", n_words)
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 4).alias("tokens_per_word"),
+        )
+    )
+
+
+Q37_SQL = f"""
+SELECT source,
+       sum(n_tokens)::BIGINT AS total_tokens,
+       sum(n_words)::BIGINT AS total_words,
+       round(sum(n_tokens) / sum(n_words), 4) AS tokens_per_word
+FROM (SELECT source,
+             len(regexp_extract_all(lower(text), '{_TOK_PAT}')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             x -> length(x) > 0)) AS n_words
+      FROM documents)
+GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# q38 — embedding-cosine near-duplicate pairs (threshold filter)
+# ---------------------------------------------------------------------------
+
+
+def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    dot = F.aggregate(
+        F.zip_with("e_a", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(dot / (nrm(F.col("e_a")) * nrm(F.col("e_b"))), 6))
+        .filter(F.col("sim") >= 0.35)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+Q38_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+         6) AS sim
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(
+        list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+           * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))),
+        6) >= 0.35
+"""
+
+# ---------------------------------------------------------------------------
+# q39 — IVF-style ANN: assign vectors to nearest of K centroids, then
+# report per-cell occupancy (the bucket-then-search scale path; q26 is
+# the LSH sibling)
+# ---------------------------------------------------------------------------
+
+
+def q39_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    vecs = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 600)).select(
+        "vec_id", "embedding"
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "c_emb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "sim", F.round(dot / (nrm(F.col("embedding")) * nrm(F.col("c_emb"))), 6)
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    assigned = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.round(F.sum("sim") / F.count(F.lit(1)), 6).alias("avg_sim"),
+    )
+
+
+Q39_SQL = """
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8 AND vec_id < 600),
+scored AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(
+           list_sum(list_transform(range(1, 65), i -> v.embedding[i]::DOUBLE * c.c_emb[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, 65), i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> c.c_emb[i]::DOUBLE * c.c_emb[i]::DOUBLE)))),
+           6) AS sim
+  FROM vecs v, cents c),
+assigned AS (
+  SELECT vec_id, centroid_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS rk
+  FROM scored)
+SELECT centroid_id, count(*)::BIGINT AS n_assigned,
+       round(sum(sim) / count(*), 6) AS avg_sim
+FROM assigned WHERE rk = 1 GROUP BY centroid_id
+"""
+
+# ---------------------------------------------------------------------------
+# q40 — as-of join (latest view at-or-before each purchase, per user)
+# via the union+sort+forward-fill operator (no range explosion)
+# ---------------------------------------------------------------------------
+
+
+def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_event_id"), "ts"
+    )
+    j = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        suffix="_v", tiebreak="view_event_id",
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("view_event_id_v").alias("view_event_id"),
+        F.date_format("ts_v", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+    )
+
+
+Q40_SQL = """
+WITH purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase' AND user_id < 100),
+views AS (
+  SELECT user_id, event_id AS view_event_id, ts FROM events WHERE event_type = 'view' AND user_id < 100),
+ranked AS (
+  SELECT p.user_id, p.event_id,
+         strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+         v.view_event_id,
+         strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+         row_number() OVER (PARTITION BY p.user_id, p.event_id
+                            ORDER BY v.ts DESC, v.view_event_id DESC) AS rn
+  FROM purchases p LEFT JOIN views v
+    ON p.user_id = v.user_id AND v.ts <= p.ts)
+SELECT user_id, event_id, purchase_ts, view_event_id, view_ts
+FROM ranked WHERE rn = 1 OR rn IS NULL
+"""
+
+# ---------------------------------------------------------------------------
+# q41 — range join via time-bucketing (equi-join + residual, not
+# nested-loop): purchases within 30 min after a view, same user
+# ---------------------------------------------------------------------------
+
+
+def q41_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.joins import range_join_bucketed
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts_a")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts_b")
+    )
+    pairs = range_join_bucketed(
+        views, purchases, on=["user_id"], left_ts="ts_a", right_ts="ts_b", width_s=1800
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_view_purchase_pairs")
+    )
+
+
+Q41_SQL = """
+SELECT v.user_id, count(*)::BIGINT AS n_view_purchase_pairs
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'view' AND user_id < 50) v
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase' AND user_id < 50) p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts
+ AND date_diff('second', v.ts, p.ts) <= 1800
+GROUP BY v.user_id
+"""
+
+# ---------------------------------------------------------------------------
+# q42 — sliding windows (1 h window, 30 min slide) — Spark's built-in
+# window() vs the explicit two-bucket expansion in SQL
+# ---------------------------------------------------------------------------
+
+
+def q42_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+Q42_SQL = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type, count(*)::BIGINT AS n
+FROM (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type
+  FROM events WHERE ts < TIMESTAMP '2024-01-03'
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type
+  FROM events WHERE ts < TIMESTAMP '2024-01-03')
+GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# q43 — approximate distinct (HLL) — frontier-size monitoring op.
+# No SQL oracle: HLL sketches differ between engines; the driver's
+# rows-only check applies (documented weaker tier).
+# ---------------------------------------------------------------------------
+
+
+def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).cast("bigint").alias("approx_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+QUERIES.update(
+    {
+        "q33_cube": q33_cube,
+        "q34_percentiles": q34_percentiles,
+        "q35_conditional_pivot": q35_conditional_pivot,
+        "q36_correlated_avg": q36_correlated_avg,
+        "q37_token_count": q37_token_count,
+        "q38_embedding_near_dup": q38_embedding_near_dup,
+        "q39_ivf_cells": q39_ivf_cells,
+        "q40_asof_join": q40_asof_join,
+        "q41_range_join": q41_range_join,
+        "q42_sliding_windows": q42_sliding_windows,
+        "q43_approx_distinct": q43_approx_distinct,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "q33_cube": Q33_SQL,
+        "q34_percentiles": Q34_SQL,
+        "q35_conditional_pivot": Q35_SQL,
+        "q36_correlated_avg": Q36_SQL,
+        "q37_token_count": Q37_SQL,
+        "q38_embedding_near_dup": Q38_SQL,
+        "q39_ivf_cells": Q39_SQL,
+        "q40_asof_join": Q40_SQL,
+        "q41_range_join": Q41_SQL,
+        "q42_sliding_windows": Q42_SQL,
+        # q43 intentionally has no oracle (approximate op)
+    }
+)

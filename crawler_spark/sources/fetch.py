@@ -68,6 +68,57 @@ class FixtureFetcher:
 
 
 @dataclass
+class SyntheticFetcher:
+    """Deterministic page generator for scale benchmarks (no network).
+
+    Bodies are derived from the URL with vectorized pandas/numpy ops —
+    each page gets a title, ``n_images`` markdown image+caption pairs,
+    and ``n_links`` outlinks, so the downstream extract/discover stages
+    see realistic shapes. Stands in for network+render cost with pure
+    CPU; keeps the fetch stage embarrassingly parallel, which is what a
+    real fetch stage is (each host's batch is independent I/O).
+    """
+
+    n_images: int = 2
+    n_links: int = 4
+    filler_words: int = 120
+
+    def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        import numpy as np
+
+        urls = pdf["url"].astype(str)
+        # deterministic per-url content hash (crc32 is a C call; stable
+        # across processes, unlike Python's salted hash())
+        h = np.array(
+            [zlib.crc32(u.encode()) for u in urls], dtype=np.int64
+        ).astype(str)
+        body = "# Trang " + urls + "\n\n"
+        for i in range(self.n_images):
+            body = (
+                body
+                + "![Hình "
+                + h
+                + f"-{i}]("
+                + urls
+                + "/img-"
+                + h
+                + f"-{i}.png)\n\n"
+            )
+        filler = " ".join(f"từ{k}" for k in range(self.filler_words))
+        body = body + filler + "\n\n"
+        for i in range(self.n_links):
+            body = body + "[chương " + h + f"-{i}](" + urls + "/ch" + f"{i})\n"
+        out = pdf.copy()
+        out["body"] = body
+        out["status"] = 200
+        out["success"] = True
+        out["latency_ms"] = 1
+        return out
+
+
+@dataclass
 class HttpFetcher:
     """Real-network fetcher (urllib), retry w/ backoff inside the UDF.
 
