@@ -25,6 +25,12 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+
+def ws_trim_col(c: Column) -> Column:
+    """Full-whitespace trim (Python ``str.strip`` twin). Spark's
+    ``trim`` strips only ASCII spaces — not newlines/tabs."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
 # ---------------------------------------------------------------------------
 # Image extraction / removal (C1 — reMdImg `mdUtils.ts:5`, removeMdImgs :23-44)
 # ---------------------------------------------------------------------------
@@ -342,7 +348,7 @@ def split_sentences_col(text: Column | str) -> Column:
         F.transform(
             segs,
             lambda s: F.split(
-                F.trim(s), r"(?<=[.!?…])\s+(?=[\"'(\[]?[A-ZĐÀ-Ỹ0-9])"
+                ws_trim_col(s), r"(?<=[.!?…])\s+(?=[\"'(\[]?[A-ZĐÀ-Ỹ0-9])"
             ),
         )
     )
@@ -405,4 +411,4 @@ def cleanup_md_col(text: Column | str) -> Column:
     c = normalize_number_bullet_col(c)
     c = remove_redundant_spaces_col(c)
     c = normalize_md_col(c)
-    return F.trim(c)
+    return ws_trim_col(c)

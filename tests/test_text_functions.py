@@ -1,0 +1,106 @@
+"""Column-expression ↔ Python-mirror parity for the text function
+library: both implementations of every C-family op must agree
+byte-for-byte on a corpus of adversarial markdown (the Python mirrors
+are what the sequential oracle runs, the Column versions are what the
+engine runs — SURVEY §7.3 'shared library with oracle')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions import text as tx
+
+CORPUS = [
+    "",
+    "plain text, no markdown at all",
+    "![cap](http://x/i.png) leading image",
+    "trailing image ![cap2](http://x/j.bmp)",
+    "two ![a](u1) images ![b](u2) inline",
+    "empty alt ![](u3) and empty link ![alt]()",
+    "link [text](http://y) and image ![i](http://z) mixed",
+    "not an image \\[escaped](x) and [link](http://q)",
+    "---\ntext between rules\n***\nmore\n___",
+    "“smart” ‘quotes’ „low‟ and ″primes‶ ‚etc‛",
+    "unicode spaces here​and⁠zero﻿widths",
+    "1.bullet and 12.   another\n3. ok already",
+    "( spaced ) [ brackets ] { braces } \" quoted \"",
+    "# Heading 1\n\nbody\n\n## Heading 2 \n\nmore body",
+    "Câu tiếng Việt. Thứ hai! Ở đây… Và cuối?",
+    "footnote[1] markers[note] here[2]",
+    "A.\\\nB. Hard break pre-split. New Sentence here.",
+    "   \n\n\nblank heavy\n\n\n\nparagraphs\n\n   ",
+    "Chương 1: Đức Mẹ “La Vang” — lịch sử (1798)",
+    "nested *em * text* and **strong** mix",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(CORPUS)], "i int, s string")
+
+
+PAIRS = [
+    ("remove_md_imgs", tx.remove_md_imgs, tx.remove_md_imgs_col, {}),
+    ("remove_md_imgs_keep_alt", lambda s: tx.remove_md_imgs(s, keep_alt=True),
+     lambda c: tx.remove_md_imgs_col(c, keep_alt=True), {}),
+    ("remove_md_links", tx.remove_md_links, tx.remove_md_links_col, {}),
+    ("remove_md_hr", tx.remove_md_hr, tx.remove_md_hr_col, {}),
+    ("normalize_quotes", tx.normalize_quotes, tx.normalize_quotes_col, {}),
+    ("normalize_whitespace", tx.normalize_whitespace, tx.normalize_whitespace_col, {}),
+    ("normalize_number_bullet", tx.normalize_number_bullet, tx.normalize_number_bullet_col, {}),
+    ("remove_redundant_spaces", tx.remove_redundant_spaces, tx.remove_redundant_spaces_col, {}),
+    ("normalize_md", tx.normalize_md, tx.normalize_md_col, {}),
+    ("remove_headings", tx.remove_headings, tx.remove_headings_col, {}),
+    ("remove_footnotes", tx.remove_footnotes, tx.remove_footnotes_col, {}),
+    ("camel_to_snake_upper", tx.camel_to_snake_upper, tx.camel_to_snake_upper_col, {}),
+    ("sanitize_title", tx.sanitize_title, tx.sanitize_title_col, {}),
+    ("cleanup_md", tx.cleanup_md, tx.cleanup_md_col, {}),
+]
+
+
+@pytest.mark.parametrize("name,pyfn,colfn,_kw", PAIRS, ids=[p[0] for p in PAIRS])
+def test_scalar_parity(corpus_df, name, pyfn, colfn, _kw):
+    rows = corpus_df.select("i", "s", colfn(F.col("s")).alias("got")).collect()
+    for r in rows:
+        want = pyfn(r["s"])
+        assert r["got"] == want, (name, r["i"], repr(r["got"]), repr(want))
+
+
+ARRAY_PAIRS = [
+    ("split_paragraphs", tx.split_paragraphs, tx.split_paragraphs_col),
+    ("split_sentences", tx.split_sentences, tx.split_sentences_col),
+]
+
+
+@pytest.mark.parametrize("name,pyfn,colfn", ARRAY_PAIRS, ids=[p[0] for p in ARRAY_PAIRS])
+def test_array_parity(corpus_df, name, pyfn, colfn):
+    rows = corpus_df.select("i", "s", colfn(F.col("s")).alias("got")).collect()
+    for r in rows:
+        want = pyfn(r["s"])
+        assert list(r["got"]) == want, (name, r["i"], r["got"], want)
+
+
+def test_image_extraction_parity(corpus_df):
+    rows = corpus_df.select("i", "s", tx.md_images_col(F.col("s")).alias("got")).collect()
+    for r in rows:
+        want = tx.extract_md_images(r["s"])
+        got = [(x["caption"], x["link"]) for x in r["got"]]
+        assert got == want, (r["i"], got, want)
+
+
+def test_heading_extraction_parity(corpus_df):
+    rows = corpus_df.select("i", "s", tx.headings_col(F.col("s")).alias("got")).collect()
+    for r in rows:
+        want = tx.extract_headings(r["s"])
+        got = [
+            {"level": x["level"], "text": x["text"], "order": x["order"]} for x in r["got"]
+        ]
+        assert got == want, (r["i"], got, want)
+
+
+def test_footnote_roundtrip():
+    s = "Văn bản[1] có chú thích[chú] và [2] nữa."
+    notes = tx.extract_footnotes(s)
+    stripped = tx.remove_footnotes(s)
+    assert tx.inject_footnotes(stripped, notes) == s
