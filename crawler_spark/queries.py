@@ -131,16 +131,18 @@ WHERE rk <= 5
 
 def q03_priority_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    # distributed top-k (TakeOrderedAndProject), NOT a global window —
+    # a partition-less window funnels the whole table into one task;
+    # rank only the k survivors
+    top = o.orderBy(
+        F.col("o_orderpriority"), F.col("o_orderdate"), F.col("o_orderkey")
+    ).limit(100)
     w = W.orderBy(F.col("o_orderpriority"), F.col("o_orderdate"), F.col("o_orderkey"))
-    return (
-        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 100)
-        .select(
-            "rk",
-            "o_orderkey",
-            "o_orderpriority",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        )
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
     )
 
 
@@ -290,12 +292,10 @@ def q09_wordcount_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
     ).filter(F.length("word") > 0)
     counts = words.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # distributed top-k, then rank the 20 survivors (see q03 note)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(20)
     w = W.orderBy(F.col("cnt").desc(), F.col("word"))
-    return (
-        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rk") <= 20)
-        .select("rk", "word", "cnt")
-    )
+    return top.select(F.row_number().over(w).cast("bigint").alias("rk"), "word", "cnt")
 
 
 Q09_SQL = """

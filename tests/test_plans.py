@@ -1,0 +1,93 @@
+"""Physical-plan quality gates: the plan shapes that must survive a
+100× scale-up. These parse `.explain` output — planning only, no
+execution — so regressions (lost pushdown, lost broadcast, global
+single-partition windows) fail fast."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_rollup")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    schema_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_comment" not in schema_line and "l_orderkey" not in schema_line
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q06_broadcasts_all_dims(spark):
+    plan = plan_of(spark, "q06_broadcast_dim_join")
+    assert plan.count("BroadcastHashJoin Inner BuildRight") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_distributed_topk(spark):
+    plan = plan_of(spark, "q03_priority_order")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q09_distributed_topk(spark):
+    plan = plan_of(spark, "q09_wordcount_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_partitionless_windows_on_big_tables(spark):
+    """A Window with an empty partition spec funnels everything into
+    one task. Only allowed after a limit (tiny survivor sets)."""
+    offenders = []
+    for name in QUERIES:
+        plan = plan_of(spark, name)
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window [" in line and "windowspecdefinition(" in line:
+                # empty partition spec → windowspecdefinition starts
+                # directly with the order column list and no partition
+                # columns; detect via ', windowspecdefinition(' right
+                # after '[' with no partitionBy marker
+                pass
+        # structural check instead: partition-less windows emit the
+        # WindowExec warning at runtime; statically, a partition-less
+        # window's plan shows 'Window' directly over an 'Exchange
+        # SinglePartition'
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line and not _allowed_single_partition(
+                name, plan
+            ):
+                offenders.append((name, line.strip()))
+                break
+    assert not offenders, offenders
+
+
+def _allowed_single_partition(name: str, plan: str) -> bool:
+    # global aggregates (single output row) and post-limit ranking are
+    # legitimately single-partition
+    return (
+        "TakeOrderedAndProject" in plan
+        or "GlobalLimit" in plan
+        or name
+        in {
+            "q36_correlated_avg",  # single-row global aggregate
+            "q10_rollup",  # grand-total row
+            "q33_cube",
+        }
+    )
+
+
+@pytest.mark.parametrize("name", ["q05_anti_join", "q07_semi_join"])
+def test_join_strategies_not_nested_loop(spark, name):
+    plan = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
