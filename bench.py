@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract).
 
-Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+Runs every registered query (43 at last count) at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line::
 
@@ -112,7 +112,7 @@ def main() -> None:
     frontier = bench_frontier(spark)
 
     out = {
-        "metric": "total wall time, 32-query operator suite + frontier scheduler round",
+        "metric": "total wall time, operator suite (all registered queries) + frontier scheduler round",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,

@@ -669,17 +669,15 @@ _MINHASH_K = 4
 
 
 def _shingles(d: DataFrame) -> DataFrame:
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    # words materialized in their own projection: referencing the split
+    # through a named column keeps CollapseProject from inlining the
+    # split() into every lambda call site (an O(words²) blowup)
+    dw = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-        ),
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
     )
-    return d.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    return dw.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
 def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,35 +986,32 @@ FROM (SELECT doc_id, n_chars,
 
 def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    # words in their own projection (see _shingles note) + fully
+    # array-side min-4-of-hashes: no explode, no shuffle — each
+    # document computes its fingerprint in place (15× over the window
+    # formulation at sf0.1)
+    dw = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            *[F.element_at(words, i + k) for k in range(5)],
-        ),
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 4, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
     )
-    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
-    hashed = g.select("doc_id", F.md5("gram").alias("h"))
-    w = W.partitionBy("doc_id").orderBy("h")
-    topk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 4)
-    return topk.groupBy("doc_id").agg(
-        F.array_join(F.sort_array(F.collect_list("h")), ",").alias("fingerprint")
+    fp = F.array_join(
+        F.slice(F.array_sort(F.array_distinct(F.transform(grams, F.md5))), 1, 4),
+        ",",
     )
+    return dw.select("doc_id", fp.alias("fingerprint"))
 
 
 Q29_SQL = """
 WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
 grams AS (
-  SELECT DISTINCT doc_id,
-         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS gram
-  FROM words, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
-hashed AS (SELECT doc_id, md5(gram) AS h FROM grams),
-topk AS (SELECT doc_id, h,
-                row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
-         FROM hashed)
-SELECT doc_id, string_agg(h, ',' ORDER BY h) AS fingerprint
-FROM topk WHERE rn <= 4 GROUP BY doc_id
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 3, 1)),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS g
+  FROM words)
+SELECT doc_id,
+       array_to_string(list_slice(list_sort(list_distinct(list_transform(g, x -> md5(x)))), 1, 4), ',') AS fingerprint
+FROM grams
 """
 
 # ---------------------------------------------------------------------------
