@@ -70,9 +70,9 @@ def canonicalize(url: str) -> str:
 def canonical_url_col(url: Column | str) -> Column:
     """Spark built-in-expression implementation of the canonicalization
     spec — no UDF, stays inside whole-stage codegen. Must agree with
-    :func:`canonicalize` byte-for-byte (tested by hypothesis parity)."""
+    :func:`canonicalize` byte-for-byte (tested on a seeded adversarial corpus)."""
     c = F.col(url) if isinstance(url, str) else url
-    u = F.trim(c)
+    u = F.trim(c)  # parity with canonicalize() tested in tests/test_canonical.py
     u = F.regexp_replace(u, r"(?s)#.*$", "")
     has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     u = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))

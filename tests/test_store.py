@@ -1,0 +1,79 @@
+"""SnapshotStore semantics: snapshot isolation, O(Δ) appends, time
+travel, MERGE-style upsert, rollback — the Iceberg contract the engine
+relies on for resume (SURVEY §7.5 Plan B)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.plans.store import SnapshotStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "store"))
+
+
+def df_of(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def test_commit_read_roundtrip(spark, store):
+    v = store.commit("t", df_of(spark, [(1, "a"), (2, "b")]), lineage={"op": "init"})
+    assert v == 0
+    got = {(r["k"], r["v"]) for r in store.read("t").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert store.versions("t")[0]["lineage"] == {"op": "init"}
+
+
+def test_append_is_delta(spark, store):
+    store.commit("t", df_of(spark, [(1, "a")]))
+    store.commit("t", df_of(spark, [(2, "b")]), mode="append")
+    store.commit("t", df_of(spark, [(3, "c")]), mode="append")
+    snaps = store.versions("t")
+    # each append snapshot references prior files + one new delta dir
+    assert [len(s["paths"]) for s in snaps] == [1, 2, 3]
+    got = {r["k"] for r in store.read("t").collect()}
+    assert got == {1, 2, 3}
+
+
+def test_time_travel_and_rollback(spark, store):
+    store.commit("t", df_of(spark, [(1, "a")]))
+    store.commit("t", df_of(spark, [(1, "a"), (2, "b")]))
+    store.commit("t", df_of(spark, [(9, "z")]))
+    assert {r["k"] for r in store.read("t", version=0).collect()} == {1}
+    assert {r["k"] for r in store.read("t", version=1).collect()} == {1, 2}
+    assert {r["k"] for r in store.read("t").collect()} == {9}
+    store.rollback("t", 1)
+    assert {r["k"] for r in store.read("t").collect()} == {1, 2}
+    # a new commit after rollback continues the version chain
+    v = store.commit("t", df_of(spark, [(7, "q")]))
+    assert v == 2
+    assert {r["k"] for r in store.read("t").collect()} == {7}
+
+
+def test_merge_upsert_latest_wins(spark, store):
+    store.commit("t", df_of(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    store.merge_upsert("t", df_of(spark, [(2, "B2"), (4, "d")]), key="k")
+    got = dict((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+
+
+def test_snapshot_isolation_on_failed_write(spark, store, monkeypatch):
+    """A crash between data write and manifest publish must leave the
+    old snapshot intact (readers never see partial state)."""
+    store.commit("t", df_of(spark, [(1, "a")]))
+
+    real_publish = store._publish
+
+    def boom(table, manifest):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(store, "_publish", boom)
+    with pytest.raises(RuntimeError):
+        store.commit("t", df_of(spark, [(2, "b")]))
+    monkeypatch.setattr(store, "_publish", real_publish)
+    assert {r["k"] for r in store.read("t").collect()} == {1}
+    # and the next commit succeeds with a fresh version
+    store.commit("t", df_of(spark, [(3, "c")]), mode="append")
+    assert {r["k"] for r in store.read("t").collect()} == {1, 3}
