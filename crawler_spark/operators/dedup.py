@@ -127,19 +127,24 @@ class ShardedBloom:
         return F.pmod(F.col(key_col), F.lit(self.n_shards)).cast("int")
 
     def update(self, keys: DataFrame, key_col: str = "url_key") -> None:
-        """Insert keys (int64) into their shards; one snapshot commit."""
+        """Insert keys (int64) into their shards; one snapshot commit.
+
+        Bitsets meet their keys via ``cogroup`` — each shard's bitset is
+        deserialized ONCE per task, never replicated onto key rows (a
+        row-wise join would ship |keys| bitset copies through the
+        shuffle: 10M keys × 400 KB ⇒ OOM — found by bench_bloom.py).
+        """
         self.ensure()
         blooms = self.store.read(self.TABLE)
         tagged = keys.select(F.col(key_col).alias("key")).withColumn(
             "shard_id", F.pmod(F.col("key"), F.lit(self.n_shards)).cast("int")
         )
-        joined = blooms.join(tagged, on="shard_id", how="left")
 
-        def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-            head = pdf.iloc[0]
+        def _merge(bloom_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+            head = bloom_pdf.iloc[0]
             bits = np.frombuffer(bytes(head["bitset"]), np.uint8).copy()
             n_bits, n_h = int(head["n_bits"]), int(head["n_hashes"])
-            ks = pdf["key"].dropna().to_numpy(np.int64)
+            ks = keys_pdf["key"].to_numpy(np.int64) if len(keys_pdf) else np.array([], np.int64)
             if len(ks):
                 pos = _positions(ks, n_bits, n_h).ravel()
                 np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
@@ -153,36 +158,42 @@ class ShardedBloom:
                 }
             )
 
-        merged = joined.groupBy("shard_id").applyInPandas(_merge, _BLOOM_SCHEMA)
+        merged = (
+            blooms.groupBy("shard_id")
+            .cogroup(tagged.groupBy("shard_id"))
+            .applyInPandas(_merge, _BLOOM_SCHEMA)
+        )
         self.store.commit(self.TABLE, merged, lineage={"op": "bloom_update"})
 
     def probe(self, candidates: DataFrame, key_col: str = "url_key") -> DataFrame:
-        """Adds ``maybe_seen: boolean``. False ⇒ definitely unseen."""
+        """Adds ``maybe_seen: boolean``. False ⇒ definitely unseen.
+        Same cogroup layout as :meth:`update` — one bitset per task."""
         self.ensure()
-        blooms = self.store.read(self.TABLE)
+        blooms = self.store.read(self.TABLE).withColumnRenamed("shard_id", "_shard_id")
         out_schema = T.StructType(
             candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
         )
         tagged = candidates.withColumn("_shard_id", self._shard_col(key_col))
-        joined = tagged.join(
-            blooms.withColumnRenamed("shard_id", "_shard_id"), on="_shard_id", how="left"
-        )
         cand_cols = candidates.columns
 
-        def _probe(pdf: pd.DataFrame) -> pd.DataFrame:
-            if pdf.empty:
-                return pd.DataFrame(columns=[*cand_cols, "maybe_seen"])
-            head = pdf.iloc[0]
+        def _probe(bloom_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
+            if cand_pdf.empty:
+                return pd.DataFrame({c: [] for c in [*cand_cols, "maybe_seen"]})
+            head = bloom_pdf.iloc[0]
             bits = np.frombuffer(bytes(head["bitset"]), np.uint8)
             n_bits, n_h = int(head["n_bits"]), int(head["n_hashes"])
-            ks = pdf[key_col].to_numpy(np.int64)
+            ks = cand_pdf[key_col].to_numpy(np.int64)
             pos = _positions(ks, n_bits, n_h)
             hit = ((bits[pos >> 3] >> (pos & 7)) & 1).all(axis=1)
-            out = pdf[cand_cols].copy()
+            out = cand_pdf[cand_cols].copy()
             out["maybe_seen"] = hit
             return out
 
-        return joined.groupBy("_shard_id").applyInPandas(_probe, out_schema)
+        return (
+            blooms.groupBy("_shard_id")
+            .cogroup(tagged.groupBy("_shard_id"))
+            .applyInPandas(_probe, out_schema)
+        )
 
     def filter_unseen(
         self, candidates: DataFrame, seen: DataFrame, key_col: str = "url_key", url_col: str = "url"
