@@ -160,15 +160,26 @@ class HttpFetcher:
         return out
 
 
-def fetch_scheduled(scheduled: DataFrame, fetcher) -> DataFrame:
+def fetch_scheduled(scheduled: DataFrame, fetcher, salted: bool = False) -> DataFrame:
     """Run the fetch UDF grouped by host (politeness co-location).
 
-    Group size is bounded by the round budget, so no host can skew the
-    stage; parallelism = number of distinct hosts in the round.
+    Default (``salted=False``): one task owns one host's (≤ budget)
+    URLs — single-flight per host, the reference's implicit politeness
+    (``crawler.ts:292-510``). Group size is bounded by the round
+    budget, so no host can skew the stage.
+
+    ``salted=True``: group by (host, host_salt) — a dominant host with
+    a large budget splits into N_SALTS parallel fetch streams (north
+    rule: dominant-domain skew broken by salting). Results are
+    identical either way — scheduling order (``host_rank``) is
+    assigned *before* the fetch — only task layout changes; use it
+    when the fetcher itself rate-limits per host (HTTP client token
+    bucket) rather than relying on single-flight placement.
     """
     out_schema = T.StructType(scheduled.schema.fields + FETCH_RESULT_FIELDS)
 
     def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         return fetcher.fetch_batch(pdf)
 
-    return scheduled.groupBy("host").applyInPandas(_fetch, out_schema)
+    keys = ["host", "host_salt"] if salted else ["host"]
+    return scheduled.groupBy(*keys).applyInPandas(_fetch, out_schema)

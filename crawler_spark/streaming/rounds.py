@@ -70,6 +70,7 @@ class CrawlEngine:
     robots: DataFrame
     politeness: DataFrame
     default_budget: int = 2
+    salted_fetch: bool = False
     use_bloom: bool = False
     bloom_shards: int = 8
     quarantined: int = 0
@@ -139,7 +140,7 @@ class CrawlEngine:
             frontier, self.politeness, default_budget=self.default_budget
         ).select(*FRONTIER_COLS, "host_rank", "attempt")
 
-        fetched = fetch_scheduled(scheduled, self.fetcher).cache()
+        fetched = fetch_scheduled(scheduled, self.fetcher, salted=self.salted_fetch).cache()
         n_scheduled = fetched.count()  # materialize once
         if n_scheduled == 0:
             fetched.unpersist()

@@ -140,3 +140,25 @@ def test_resume_from_snapshot(spark, world, fixture_dir, tmp_path_factory, oracl
     assert got == _oracle_order(oracle_result)
     seen = {r["url"] for r in e2.url_seen().collect()}
     assert seen == oracle_result.url_seen
+
+
+def test_salted_fetch_equivalent(spark, world, fixture_dir, tmp_path_factory, oracle_result):
+    """Salted fetch (per-host parallel streams for dominant hosts) must
+    not change any observable output — scheduling order is assigned
+    before the fetch, so only task layout differs."""
+    store = SnapshotStore(spark, str(tmp_path_factory.mktemp("engs") / "store"))
+    fetcher = FixtureFetcher(
+        pages={u: (p.body, p.fail_rounds, p.latency_ms) for u, p in world.pages.items()}
+    )
+    eng = CrawlEngine(
+        spark=spark,
+        store=store,
+        fetcher=fetcher,
+        robots=read_table(spark, fixture_dir, "robots"),
+        politeness=read_table(spark, fixture_dir, "politeness"),
+        salted_fetch=True,
+    )
+    eng.init_frontier(read_table(spark, fixture_dir, "seeds"))
+    eng.run(max_rounds=50)
+    assert _engine_order(eng) == _oracle_order(oracle_result)
+    assert {r["url"] for r in eng.url_seen().collect()} == oracle_result.url_seen
