@@ -412,3 +412,74 @@ def cleanup_md_col(text: Column | str) -> Column:
     c = remove_redundant_spaces_col(c)
     c = normalize_md_col(c)
     return ws_trim_col(c)
+
+
+# ---------------------------------------------------------------------------
+# C23 proper-name extraction from footnotes
+# (`ktcgkpv.org/process-proper-name.ts:22-44`) and the J7 positional
+# theta join (`:46-67`): a name is accepted only if the characters
+# [position-len, position) of the sentence equal it exactly
+# ---------------------------------------------------------------------------
+
+
+def extract_names_from_footnote(footnote_text: str) -> list[str]:
+    """Python mirror: split language sections on '|', take the part
+    after the first ':', cut at '--', strip digits and parenthesized
+    runs, trim; keep non-empty."""
+    names = []
+    for section in footnote_text.split("|"):
+        parts = section.split(":")
+        if len(parts) < 2:
+            continue
+        match = parts[1].strip()
+        if not match:
+            continue
+        name = match.split("--")[0]
+        name = re.sub(r"\d", "", name)
+        name = re.sub(r"\([^)]+\)", "", name).strip()
+        if name:
+            names.append(name)
+    return names
+
+
+def names_from_footnote_col(text: Column | str) -> Column:
+    """Column twin of :func:`extract_names_from_footnote`."""
+    c = F.col(text) if isinstance(text, str) else text
+    sections = F.split(c, r"\|")
+    names = F.transform(
+        sections,
+        # F.get (null-safe) rather than element_at: ANSI mode throws on
+        # out-of-bounds, and sections without a ':' have no index 1
+        lambda s: ws_trim_col(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.get(F.split(ws_trim_col(F.get(F.split(s, ":"), 1)), "--"), 0),
+                    r"\d",
+                    "",
+                ),
+                r"\([^)]+\)",
+                "",
+            )
+        ),
+    )
+    return F.filter(names, lambda n: n.isNotNull() & (F.length(n) > 0))
+
+
+def find_name_matches(sentences, footnotes):
+    """J7: sentences(sentence_id, text) ⨝ footnotes(sentence_id, text
+    fn_text, position) → verified name spans. The theta condition —
+    substring(text, start+1, len) == name — runs as a join residual on
+    the JVM; candidate fan-out is bounded by names-per-footnote."""
+    cand = footnotes.select(
+        "sentence_id",
+        F.col("position").cast("int").alias("end"),
+        F.explode(names_from_footnote_col(F.col("fn_text"))).alias("name"),
+    ).withColumn("start", F.col("end") - F.length("name"))
+    j = sentences.join(cand, "sentence_id")
+    verified = j.filter(
+        (F.col("start") >= 0)
+        & (F.substring(F.col("text"), F.col("start") + 1, F.length("name")) == F.col("name"))
+    )
+    return verified.select("sentence_id", "name", "start", "end").orderBy(
+        "sentence_id", "start"
+    )
