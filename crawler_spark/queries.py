@@ -1561,3 +1561,36 @@ ORACLE_SQL.update(
         # q43 intentionally has no oracle (approximate op)
     }
 )
+
+# ---------------------------------------------------------------------------
+# q44 — salted two-stage aggregation (skew-breaking pattern the frontier
+# uses for dominant hosts: partial agg on (key, salt), final on key —
+# the hot key's rows spread over 16 reducers instead of one)
+# ---------------------------------------------------------------------------
+
+_N_AGG_SALTS = 16
+
+
+def q44_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(_N_AGG_SALTS)).alias("salt")
+    partial = e.groupBy("event_type", salt).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("value").alias("vsum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.round(F.sum("vsum"), 2).alias("total_value"),
+        F.round(F.sum("vsum") / F.sum("cnt"), 6).alias("avg_value"),
+    )
+
+
+Q44_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+QUERIES["q44_salted_agg"] = q44_salted_agg
+ORACLE_SQL["q44_salted_agg"] = Q44_SQL

@@ -160,6 +160,21 @@ class CrawlEngine:
         )
         self.store.commit("crawl_log", log, mode="append", lineage={"round": rnd})
 
+        # per-partition (host) lineage + fetch metrics (north rule)
+        pm = (
+            fetched.groupBy("host")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("scheduled"),
+                F.sum(F.col("success").cast("long")).alias("fetched_ok"),
+                F.sum((~F.col("success")).cast("long")).alias("failed"),
+                F.sum("latency_ms").cast("long").alias("latency_ms_total"),
+            )
+            .withColumn("round", F.lit(rnd))
+        )
+        self.store.commit(
+            "partition_metrics", pm, mode="append", lineage={"round": rnd}
+        )
+
         ok = fetched.filter(F.col("success"))
 
         # ---- extraction: image+caption pairs (C1-as-extract) -------------

@@ -162,3 +162,22 @@ def test_salted_fetch_equivalent(spark, world, fixture_dir, tmp_path_factory, or
     eng.run(max_rounds=50)
     assert _engine_order(eng) == _oracle_order(oracle_result)
     assert {r["url"] for r in eng.url_seen().collect()} == oracle_result.url_seen
+
+
+def test_partition_metrics_consistent(engine):
+    """Per-host partition metrics must sum to the round totals."""
+    pm = engine.store.read("partition_metrics")
+    per_round = {
+        r["round"]: (r["s"], r["ok"])
+        for r in pm.groupBy("round")
+        .agg(
+            F.sum("scheduled").alias("s"),
+            F.sum("fetched_ok").alias("ok"),
+        )
+        .collect()
+    }
+    totals = {
+        r["round"]: (r["scheduled"], r["fetched_ok"])
+        for r in engine.store.read("metrics").collect()
+    }
+    assert per_round == totals
