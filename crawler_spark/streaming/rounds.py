@@ -72,16 +72,22 @@ class CrawlEngine:
     default_budget: int = 2
     salted_fetch: bool = False
     use_bloom: bool = False
+    use_cuckoo: bool = False
     bloom_shards: int = 8
     quarantined: int = 0
     metrics: list[dict] = field(default_factory=list)
 
     def __post_init__(self) -> None:
-        self.bloom = (
-            ShardedBloom(self.spark, self.store, n_shards=self.bloom_shards)
-            if self.use_bloom
-            else None
-        )
+        if self.use_bloom and self.use_cuckoo:
+            raise ValueError("pick one approximate tier: bloom or cuckoo")
+        if self.use_bloom:
+            self.bloom = ShardedBloom(self.spark, self.store, n_shards=self.bloom_shards)
+        elif self.use_cuckoo:
+            from crawler_spark.operators.cuckoo import ShardedCuckoo
+
+            self.bloom = ShardedCuckoo(self.spark, self.store, n_shards=self.bloom_shards)
+        else:
+            self.bloom = None
 
     # ------------------------------------------------------------------ init
     def init_frontier(self, seeds: DataFrame) -> None:
