@@ -2,8 +2,8 @@
 
 ``entry(spark)`` runs the flagship pricing-rollup query on sf0.001;
 ``queries()`` exposes one callable per implemented operator family from
-SURVEY.md §2 (plus the training-data dedup/similarity/text-analysis
-ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for each. The
+SURVEY.md §2 plus the training-data dedup/similarity/ANN/text-analysis
+ops (44 queries; all but q43 have DuckDB oracles). The
 full registry lives in ``crawler_spark/queries.py``.
 """
 
