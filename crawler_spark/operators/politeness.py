@@ -28,8 +28,17 @@ MAX_ATTEMPTS = 5  # mirrors the reference's retry budget (getPageContent.ts:45-5
 PRIORITY_COLS = ["requires_manual_check", "document_number", "depth", "url"]
 
 
-def priority_order():
-    """The total priority ordering (sortUtils.ts:9-21 + graft tiebreaks)."""
+def priority_order(descending: bool = False):
+    """The total priority ordering (sortUtils.ts:9-21; descending
+    variant :27-39 — manual-check stays false-first in BOTH directions,
+    only the document-number key flips) + graft tiebreaks for totality."""
+    if descending:
+        return [
+            F.col("requires_manual_check").cast("int").asc(),
+            F.col("document_number").desc(),
+            F.col("depth").asc(),
+            F.col("url").desc(),
+        ]
     return [
         F.col("requires_manual_check").cast("int").asc(),
         F.col("document_number").asc(),
@@ -50,15 +59,22 @@ def select_round(
     frontier: DataFrame,
     politeness: DataFrame,
     default_budget: int = 2,
+    extra_filter=None,
+    descending: bool = False,
 ) -> DataFrame:
     """Per-host top-k politeness selection for one crawl round.
 
+    ``extra_filter``: optional Column — a SiteAdapter's frontier
+    predicate (filterCheckpoint hook, crawler.ts:60-69).
+    ``descending``: the O2 priority variant (sortUtils.ts:27-39).
     Returns the scheduled rows with ``host_rank`` (1-based priority rank
     within host) and ``attempt`` (this round's attempt number).
     """
     elig = eligible(frontier)
+    if extra_filter is not None:
+        elig = elig.filter(extra_filter)
     pol = F.broadcast(politeness.select("host", "budget_per_round"))
-    w = Window.partitionBy("host").orderBy(*priority_order())
+    w = Window.partitionBy("host").orderBy(*priority_order(descending))
     return (
         elig.join(pol, on="host", how="left")
         .withColumn(

@@ -70,6 +70,8 @@ class CrawlEngine:
     robots: DataFrame
     politeness: DataFrame
     default_budget: int = 2
+    site_filter: Any = None  # SiteAdapter frontier predicate (Column)
+    priority_desc: bool = False  # O2 descending variant
     salted_fetch: bool = False
     use_bloom: bool = False
     use_cuckoo: bool = False
@@ -143,7 +145,11 @@ class CrawlEngine:
     def run_round(self, rnd: int) -> dict:
         frontier = self.store.read("frontier")
         scheduled = select_round(
-            frontier, self.politeness, default_budget=self.default_budget
+            frontier,
+            self.politeness,
+            default_budget=self.default_budget,
+            extra_filter=self.site_filter,
+            descending=self.priority_desc,
         ).select(*FRONTIER_COLS, "host_rank", "attempt")
 
         fetched = fetch_scheduled(scheduled, self.fetcher, salted=self.salted_fetch).cache()
