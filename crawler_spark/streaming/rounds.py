@@ -357,6 +357,37 @@ class CrawlEngine:
         ]
         return max(rounds) if rounds else 0
 
+    # -------------------------------------------------------- post-crawl
+    def build_documents(self) -> dict:
+        """Post-crawl tree generation: content pages → normalized
+        sentence/footnote/heading tables committed to the store.
+
+        Content pages are chapter pages (depth 1) plus the landing
+        pages of chapterless docs — chaptered docs' landing pages are
+        TOCs, not content (``crawler.ts:240-247`` default-single-chapter
+        semantics).
+        """
+        from crawler_spark.operators.treegen import build_sentence_tables
+
+        pages = self.store.read("pages")
+        meta = self.store.read("frontier").select(
+            "url_key", "doc_id", "document_number", "has_chapters"
+        )
+        content = (
+            pages.join(meta, "url_key")
+            .filter((F.col("depth") == 1) | (~F.col("has_chapters")))
+            .select("url", "doc_id", "document_number", "depth", "body")
+        )
+        sentences, footnotes, headings = build_sentence_tables(content)
+        self.store.commit("sentences", sentences, lineage={"op": "treegen"})
+        self.store.commit("footnotes", footnotes, lineage={"op": "treegen"})
+        self.store.commit("headings", headings, lineage={"op": "treegen"})
+        return {
+            "sentences": self.store.read("sentences").count(),
+            "footnotes": self.store.read("footnotes").count(),
+            "headings": self.store.read("headings").count(),
+        }
+
     # ------------------------------------------------------------- accessors
     def crawl_log(self) -> DataFrame:
         return self.store.read("crawl_log")

@@ -27,6 +27,7 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--max-rounds", type=int, default=50)
     ap.add_argument("--bloom", action="store_true", help="enable the bloom dedup tier")
+    ap.add_argument("--trees", action="store_true", help="emit sentence/footnote/heading tables post-crawl")
     args = ap.parse_args()
 
     # spark-submit provides the session config; fall back to local dev
@@ -57,8 +58,11 @@ def main() -> None:
     metrics = engine.run(max_rounds=args.max_rounds)
     for m in metrics:
         print(json.dumps(m))
-    print(json.dumps({"urls_seen": engine.url_seen().count(),
-                      "extractions": engine.extractions().count()}))
+    summary = {"urls_seen": engine.url_seen().count(),
+               "extractions": engine.extractions().count()}
+    if args.trees:
+        summary.update(engine.build_documents())
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
