@@ -44,6 +44,11 @@ def main() -> int:
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        if name not in ORACLE_SQL:
+            # driver records a rows-only check for oracle-less queries
+            n = fn(spark, SF_DIR).count()
+            print(f"ROWS {name}: {n} rows (no oracle by design)")
+            continue
         try:
             got = norm(fn(spark, SF_DIR).toPandas())
             want = norm(con.sql(ORACLE_SQL[name]).df())
