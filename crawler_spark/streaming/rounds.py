@@ -153,7 +153,11 @@ class CrawlEngine:
         ).select(*FRONTIER_COLS, "host_rank", "attempt")
 
         fetched = fetch_scheduled(scheduled, self.fetcher, salted=self.salted_fetch).cache()
-        n_scheduled = fetched.count()  # materialize once
+        # one action materializes the cache AND yields both counts
+        _c = fetched.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.col("success").cast("long")).alias("ok")
+        ).first()
+        n_scheduled, n_ok = int(_c["n"]), int(_c["ok"] or 0)
         if n_scheduled == 0:
             fetched.unpersist()
             return {"round": rnd, "scheduled": 0}
@@ -306,7 +310,6 @@ class CrawlEngine:
             .unionByName(new_entries.select(*FRONTIER_COLS))
             .repartition(F.col("host"))
         )
-        n_ok = ok.count()
         n_new = new_entries.count()
         self.store.commit(
             "frontier",
