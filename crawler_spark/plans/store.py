@@ -89,7 +89,28 @@ class SnapshotStore:
         snap = snaps[-1] if version is None else next(
             s for s in snaps if s["version"] == version
         )
-        return self.spark.read.parquet(*[os.path.join(self._tdir(table), p) for p in snap["paths"]])
+        paths = [os.path.join(self._tdir(table), p) for p in snap["paths"]]
+        if snap.get("mode") != "delta":
+            return self.spark.read.parquet(*paths)
+        # merge-on-read: later delta files win per key (Iceberg MoR
+        # analog). Chain length is bounded by compact() cadence.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        key = snap["key"]
+        parts = [
+            self.spark.read.parquet(p).withColumn("_dr", F.lit(i))
+            for i, p in enumerate(paths)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy(key).orderBy(F.col("_dr").desc())
+        return (
+            u.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_dr", "_rn")
+        )
 
     def commit(
         self,
@@ -125,6 +146,51 @@ class SnapshotStore:
         manifest["snapshots"] = manifest["snapshots"] + [snap]
         self._publish(table, manifest)
         return new_version
+
+    def commit_upsert(
+        self,
+        table: str,
+        updates: DataFrame,
+        key: str,
+        lineage: dict | None = None,
+    ) -> int:
+        """O(Δ) upsert: write ONLY the update rows as a delta file;
+        reads resolve latest-wins per key (merge-on-read). This is the
+        scalable frontier-update path — a 10^10-row frontier writes
+        |Δ| rows per round, not the table. Call :meth:`compact`
+        periodically to bound the read-side merge chain."""
+        prev = self._read_manifest(table)
+        if prev is None:
+            return self.commit(table, updates, lineage=lineage)
+        last = prev["snapshots"][-1]
+        new_version = last["version"] + 1
+        rel = f"v{new_version}"
+        updates.write.mode("overwrite").parquet(os.path.join(self._tdir(table), rel))
+        snap = {
+            "version": new_version,
+            "paths": last["paths"] + [rel],
+            "mode": "delta",
+            "key": key,
+            "committed_at": time.time(),
+            "lineage": lineage or {},
+        }
+        prev["snapshots"] = prev["snapshots"] + [snap]
+        self._publish(table, prev)
+        return new_version
+
+    def compact(self, table: str, lineage: dict | None = None) -> int:
+        """Materialize the merge-on-read state into a fresh base
+        snapshot (bounds the delta chain; Iceberg rewrite_data_files
+        analog). No-op if the head is already a base."""
+        m = self._read_manifest(table)
+        if not m or m["snapshots"][-1].get("mode") != "delta":
+            return self.current_version(table)
+        # commit writes into a NEW version dir, so reading the current
+        # head while writing is safe (no self-overwrite)
+        merged = self.read(table)
+        return self.commit(
+            table, merged, mode="overwrite", lineage={**(lineage or {}), "op": "compact"}
+        )
 
     def merge_upsert(
         self,

@@ -70,6 +70,7 @@ class CrawlEngine:
     robots: DataFrame
     politeness: DataFrame
     default_budget: int = 2
+    compact_every: int = 8  # frontier delta-chain bound (MoR upserts)
     site_filter: Any = None  # SiteAdapter frontier predicate (Column)
     priority_desc: bool = False  # O2 descending variant
     salted_fetch: bool = False
@@ -303,19 +304,22 @@ class CrawlEngine:
             F.col("success").alias("completed"),
             F.col("attempt").cast("int").alias("attempts"),
         )
-        untouched = frontier.join(updates.select("url_key"), "url_key", "left_anti")
-        new_frontier = (
-            untouched.select(*FRONTIER_COLS)
-            .unionByName(updates.select(*FRONTIER_COLS))
-            .unionByName(new_entries.select(*FRONTIER_COLS))
-            .repartition(F.col("host"))
-        )
+        # O(Δ) frontier update: write only this round's completion marks
+        # + discoveries as a merge-on-read delta (reference rewrote the
+        # whole checkpoint file per update — checkpoint.ts:113,154; at
+        # 10^10 rows the delta write is what survives)
         n_new = new_entries.count()
-        self.store.commit(
+        delta = updates.select(*FRONTIER_COLS).unionByName(
+            new_entries.select(*FRONTIER_COLS)
+        )
+        self.store.commit_upsert(
             "frontier",
-            new_frontier,
+            delta,
+            key="url_key",
             lineage={"op": "round", "round": rnd, "scheduled": n_scheduled, "ok": n_ok, "new": n_new},
         )
+        if rnd % self.compact_every == 0:
+            self.store.compact("frontier", lineage={"round": rnd})
         if self.bloom and n_new:
             self.bloom.update(new_entries.select("url_key"))
 

@@ -77,3 +77,30 @@ def test_snapshot_isolation_on_failed_write(spark, store, monkeypatch):
     # and the next commit succeeds with a fresh version
     store.commit("t", df_of(spark, [(3, "c")]), mode="append")
     assert {r["k"] for r in store.read("t").collect()} == {1, 3}
+
+
+def test_commit_upsert_merge_on_read(spark, store):
+    store.commit("t", df_of(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    store.commit_upsert("t", df_of(spark, [(2, "B2"), (4, "d")]), key="k")
+    store.commit_upsert("t", df_of(spark, [(2, "B3"), (5, "e")]), key="k")
+    got = dict((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == {1: "a", 2: "B3", 3: "c", 4: "d", 5: "e"}
+    # time travel still works across the delta chain
+    got1 = dict((r["k"], r["v"]) for r in store.read("t", version=1).collect())
+    assert got1 == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # compaction materializes a base without changing the view
+    v = store.compact("t")
+    assert store.versions("t")[-1]["lineage"]["op"] == "compact"
+    got_c = dict((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got_c == got
+    # further upserts stack on the new base
+    store.commit_upsert("t", df_of(spark, [(1, "A9")]), key="k")
+    got2 = dict((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got2 == {**got, 1: "A9"}
+    assert v == store.versions("t")[-2]["version"]
+
+
+def test_compact_noop_on_base(spark, store):
+    store.commit("t", df_of(spark, [(1, "a")]))
+    v = store.current_version("t")
+    assert store.compact("t") == v
