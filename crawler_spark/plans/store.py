@@ -17,6 +17,9 @@ parquet + an atomically-replaced JSON manifest:
     readers never see partial writes (snapshot isolation);
   * ``append`` mode publishes base + delta file lists — appends are
     O(Δ), not O(table);
+  * ``commit_upsert`` writes only update rows as merge-on-read deltas
+    (latest-wins per key at read time) with ``compact()`` bounding the
+    chain — the frontier's completion marks are O(Δ) per round too;
   * time travel: every manifest version is retained; ``read(version=)``
     resumes from any snapshot (kill-mid-round → re-run → same state);
   * per-commit lineage: the manifest records round number, row counts,
