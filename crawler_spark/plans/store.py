@@ -129,6 +129,16 @@ class SnapshotStore:
         Returns the new snapshot version.
         """
         prev = self._read_manifest(table)
+        if (
+            mode == "append"
+            and prev
+            and prev["snapshots"][-1].get("mode") == "delta"
+        ):
+            raise ValueError(
+                f"table {table}: append onto a merge-on-read head would "
+                "resurface superseded rows; compact() first or use "
+                "commit_upsert"
+            )
         new_version = (prev["snapshots"][-1]["version"] + 1) if prev else 0
         rel = f"v{new_version}"
         out = os.path.join(self._tdir(table), rel)

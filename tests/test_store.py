@@ -104,3 +104,15 @@ def test_compact_noop_on_base(spark, store):
     store.commit("t", df_of(spark, [(1, "a")]))
     v = store.current_version("t")
     assert store.compact("t") == v
+
+
+def test_append_onto_delta_head_rejected(spark, store):
+    store.commit("t", df_of(spark, [(1, "a")]))
+    store.commit_upsert("t", df_of(spark, [(1, "a2")]), key="k")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        store.commit("t", df_of(spark, [(9, "z")]), mode="append")
+    # compacting clears the restriction
+    store.compact("t")
+    store.commit("t", df_of(spark, [(9, "z")]), mode="append")
+    got = dict((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == {1: "a2", 9: "z"}
