@@ -32,3 +32,12 @@ def fixture_dir(spark, world, tmp_path_factory):
     d = tmp_path_factory.mktemp("world")
     write_world(spark, world, str(d))
     return str(d)
+
+
+@pytest.fixture(scope="session")
+def engine(spark, world, fixture_dir, tmp_path_factory):
+    """The default-config engine, crawled once per session (several
+    test modules assert against the same golden state)."""
+    from tests.test_crawl_parity import build_engine
+
+    return build_engine(spark, world, fixture_dir, tmp_path_factory.mktemp("eng"))

@@ -31,11 +31,6 @@ def build_engine(spark, world, fixture_dir, tmp_path, use_bloom=False) -> CrawlE
     return engine
 
 
-@pytest.fixture(scope="module")
-def engine(spark, world, fixture_dir, tmp_path_factory):
-    return build_engine(spark, world, fixture_dir, tmp_path_factory.mktemp("eng"))
-
-
 def _engine_order(engine):
     rows = (
         engine.crawl_log()

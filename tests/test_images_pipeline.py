@@ -58,19 +58,12 @@ def test_phash_stability_and_sensitivity():
 
 
 @pytest.fixture(scope="module")
-def images_built(spark, fixture_dir, engine_result):
+def images_built(spark, fixture_dir, engine):
     byte_store = read_table(spark, fixture_dir, "images")
-    return build_images_table(engine_result.extractions(), byte_store).cache()
+    return build_images_table(engine.extractions(), byte_store).cache()
 
 
-@pytest.fixture(scope="module")
-def engine_result(spark, world, fixture_dir, tmp_path_factory):
-    from tests.test_crawl_parity import build_engine
-
-    return build_engine(spark, world, fixture_dir, tmp_path_factory.mktemp("img_eng"))
-
-
-def test_caption_equality_vs_reference(images_built, world, engine_result):
+def test_caption_equality_vs_reference(images_built, world):
     """North rule: exact caption equality against reference extraction —
     the oracle's caption for each crawled image URL must equal the
     engine images-table caption byte-for-byte."""
