@@ -152,30 +152,63 @@ def validate_images(images: DataFrame, golden: DataFrame) -> DataFrame:
     return j.mapInPandas(_val, VALIDATE_SCHEMA)
 
 
-def near_duplicate_images(images: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """pHash near-dup pairs: band the 64-bit hash into 4×16-bit keys —
-    any pair within Hamming distance ≤ 3·(bands-1) shares at least one
-    band by pigeonhole when distance < bands, so banding is a recall-
-    safe pre-filter for small thresholds; the exact Hamming check runs
-    on candidates only (the LSH-then-verify shape, same as MinHash)."""
-    bands = [
-        F.shiftrightunsigned(F.col("phash"), k * 16).bitwiseAND(F.lit(0xFFFF)).alias(f"b{k}")
-        for k in range(4)
-    ]
-    withb = images.select("image_id", "phash", *bands)
-    pairs = None
-    for k in range(4):
-        a = withb.select(
-            F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"), F.col(f"b{k}").alias("bk")
+def near_duplicate_images(
+    images: DataFrame, max_hamming: int = 7, n_bands: int | None = None
+) -> DataFrame:
+    """pHash near-dup pairs with a *guaranteed-recall* banding
+    pre-filter: the 64-bit hash is split into ``n_bands`` equal bands;
+    by pigeonhole a pair within Hamming distance d < n_bands shares at
+    least one identical band, so candidate generation (a single
+    equi-join on (band_idx, band_value)) misses nothing at the
+    threshold. The exact Hamming check runs on candidates only — the
+    LSH-then-verify shape, same as MinHash.
+
+    ``n_bands`` defaults to the narrowest power-of-two banding that
+    still guarantees recall (n_bands > max_hamming). Narrower bands →
+    more collisions → more candidates, so keep ``max_hamming`` as tight
+    as the use case allows: ≤3 runs on 16-bit bands, ≤7 on 8-bit
+    bands. ``max_hamming >= n_bands`` is rejected rather than silently
+    under-reporting (the r1 recall bug).
+    """
+    if n_bands is None:
+        n_bands = next(p for p in (4, 8, 16, 32, 64) if p > max_hamming)
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming < n_bands "
+            f"(pigeonhole); got max_hamming={max_hamming}, n_bands={n_bands}"
         )
-        b = withb.select(
-            F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"), F.col(f"b{k}").alias("bk")
-        )
-        p = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b")).drop("bk")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), k * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for k in range(n_bands)
+        ]
+    )
+    exploded = images.select(
+        "image_id", "phash", F.explode(band_arr).alias("b")
+    ).select("image_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    a = exploded.select(
+        F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "val"
+    )
+    b = exploded.select(
+        F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "val"
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "ph_a", "id_b", "ph_b")
+        .distinct()
+    )
     return (
-        pairs.distinct()
-        .withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        pairs.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

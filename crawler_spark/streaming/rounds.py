@@ -307,7 +307,11 @@ class CrawlEngine:
         # O(Δ) frontier update: write only this round's completion marks
         # + discoveries as a merge-on-read delta (reference rewrote the
         # whole checkpoint file per update — checkpoint.ts:113,154; at
-        # 10^10 rows the delta write is what survives)
+        # 10^10 rows the delta write is what survives). new_entries is
+        # cached so the explode→dedup→robots→anti-join discovery chain
+        # evaluates ONCE for the count + the delta write (+ the bloom
+        # update), not once per action.
+        new_entries = new_entries.cache()
         n_new = new_entries.count()
         delta = updates.select(*FRONTIER_COLS).unionByName(
             new_entries.select(*FRONTIER_COLS)
@@ -322,6 +326,7 @@ class CrawlEngine:
             self.store.compact("frontier", lineage={"round": rnd})
         if self.bloom and n_new:
             self.bloom.update(new_entries.select("url_key"))
+        new_entries.unpersist()
 
         m = {
             "round": rnd,

@@ -135,3 +135,28 @@ def test_near_duplicate_phash_banding(spark, world):
     for s in specs:
         a, b = sorted([s.image_id, s.image_id + "_copy"])
         assert (a, b) in pairs, f"missing near-dup pair for {s.image_id}"
+
+
+def test_near_duplicate_recall_at_threshold(spark):
+    """Adversarial recall case the r1 4×16-bit banding missed: a pair
+    at Hamming distance 7 whose differing bits are spread so that EVERY
+    16-bit band differs (bits 0,8,16,24,32,40,48 → 2+2+2+1 diffs per
+    old band). With guaranteed banding (n_bands > max_hamming) the pair
+    must surface."""
+    ph_a = 0
+    ph_b = sum(1 << p for p in (0, 8, 16, 24, 32, 40, 48))  # hamming 7
+    df = spark.createDataFrame(
+        [("a", ph_a), ("b", ph_b), ("far", -1)], "image_id string, phash long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in near_duplicate_images(df, max_hamming=7).collect()
+    }
+    assert ("a", "b", 7) in got
+    assert all(p[:2] == ("a", "b") for p in got)
+
+
+def test_near_duplicate_rejects_unsafe_banding(spark):
+    df = spark.createDataFrame([("a", 0)], "image_id string, phash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        near_duplicate_images(df, max_hamming=4, n_bands=4)

@@ -106,6 +106,66 @@ def test_compact_noop_on_base(spark, store):
     assert store.compact("t") == v
 
 
+def _frontier_like(spark, n=1000):
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url_key"),
+        F.concat(F.lit("h"), (F.col("id") % 7)).alias("host"),
+        F.lit(False).alias("completed"),
+        F.lit(0).cast("int").alias("attempts"),
+    )
+
+
+def test_mor_read_is_delta_touched_only(spark, store):
+    """Scale gate (VERDICT r1 #1): reading a MoR head must NOT shuffle
+    the base — deltas resolve among themselves (O(Δ) window) and base
+    rows pass through a broadcast anti-join, with read-side predicates
+    pushed into the base parquet scan. At 10^10 frontier rows this is
+    the difference between O(Δ) and O(frontier) per round."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import eligible
+
+    base = _frontier_like(spark)
+    store.commit("frontier", base)
+    delta = base.limit(5).withColumn("completed", F.lit(True))
+    store.commit_upsert("frontier", delta, key="url_key")
+
+    df = eligible(store.read("frontier"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # base joins via broadcast anti-join — never a sort-merge shuffle
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # the eligible predicate reaches the BASE parquet scan
+    base_scan = next(
+        b
+        for b in plan.split("\n\n")
+        if "Scan parquet" in b and "/frontier/v0" in b
+    )
+    assert "Not(EqualTo(completed,true))" in base_scan
+    assert "LessThan(attempts,5)" in base_scan
+    # the only hash-partition shuffles are over delta files (v1), not v0:
+    # every Exchange's subtree scan must be a delta path
+    assert plan.count("Exchange hashpartitioning") <= 2  # delta window (+reuse)
+    # and the merged view is still correct
+    got = df.count()
+    assert got == 1000 - 5
+
+
+def test_upsert_onto_append_head_rejected(spark, store):
+    store.commit("t", df_of(spark, [(1, "a")]))
+    store.commit("t", df_of(spark, [(1, "dup"), (2, "b")]), mode="append")
+    with pytest.raises(ValueError, match="append-mode head"):
+        store.commit_upsert("t", df_of(spark, [(2, "B2")]), key="k")
+    # merge_upsert (full MERGE) remains the legal path
+    store.merge_upsert("t", df_of(spark, [(2, "B2")]), key="k")
+    got = sorted((r["k"], r["v"]) for r in store.read("t").collect())
+    assert got == [(1, "a"), (1, "dup"), (2, "B2")]
+
+
 def test_append_onto_delta_head_rejected(spark, store):
     store.commit("t", df_of(spark, [(1, "a")]))
     store.commit_upsert("t", df_of(spark, [(1, "a2")]), key="k")
