@@ -204,6 +204,99 @@ def remove_redundant_spaces_col(text: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# C5 normalizeAsterisk (`mdUtils.ts:93-110`): fix spacing inside */**/***
+# (and _/__/___) emphasis, most-nested first. The replacement moves
+# trailing `*`+spaces captured inside the text group OUTSIDE the closing
+# marker as right-padding — callback logic no regexp_replace can
+# express, so the Column twin is a vectorized (Arrow-batched) UDF over
+# the same Python mirror; goldens in tests were generated by executing
+# the reference algorithm under node (byte-exact behavior capture).
+# ---------------------------------------------------------------------------
+
+# reference regexes mdUtils.ts:15-21 (reAsterisk{Three,Two,One}Pair)
+_ASTERISK_RES = [
+    re.compile(r"([*_]{3}) *([^*_\n][^\n]*?[^*_\n]?) *\1"),
+    re.compile(r"([*_]{2}) *([^*_\n][^\n]*?[^*_\n]?) *\1"),
+    re.compile(r"([*_]{1}) *([^*_\n][^\n]*?[^*_\n]?) *\1"),
+]
+
+
+def normalize_asterisk(text: str) -> str:
+    """Python mirror of ``normalizeAsterisk`` (mdUtils.ts:93-110):
+    *** → ** → * in order; per match, trailing ``*`` then trailing
+    whitespace are trimmed from the inner text and re-emitted as spaces
+    AFTER the closing marker (preserves outer spacing)."""
+
+    def _fix(m: re.Match) -> str:
+        marker, inner = m.group(1), m.group(2)
+        trimmed = re.sub(r"\*$", "", inner).rstrip()
+        pad = " " * (len(inner) - len(trimmed))
+        return f"{marker}{trimmed}{marker}{pad}"
+
+    for rx in _ASTERISK_RES:
+        text = rx.sub(_fix, text)
+    return text
+
+
+def normalize_asterisk_col(text: Column | str) -> Column:
+    """Arrow-batched UDF twin (exact parity; SURVEY C5 notes the
+    trailing-pad logic is not expressible as regexp_replace)."""
+    import pandas as pd  # noqa: F401  (pandas_udf requires it at runtime)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _na(s):
+        return s.map(lambda t: normalize_asterisk(t) if t is not None else None)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _na(c)
+
+
+# ---------------------------------------------------------------------------
+# C11 stripSymbols (`mdUtils.ts:222-236`): strip-markdown render +
+# unescape + symbol removal. The remark/strip-markdown renderer is not
+# runnable here (no JS deps), so the graft defines a DETERMINISTIC
+# SUBSET shared byte-for-byte by oracle and engine: markdown structure
+# (images→alt, links→alt, heading/blockquote/list markers, hr) is
+# stripped by explicit rules, then the reference's own post-chain runs
+# verbatim (`^\\?[*-] */gm` list-escape removal, \[ \] \` unescapes,
+# and the final ["'*_~\] symbol sweep). Divergence from the reference:
+# inline code spans keep their backticks (the reference also keeps
+# escaped backticks; our fixtures contain no code spans).
+# ---------------------------------------------------------------------------
+
+# one pattern table shared by both engines (every pattern below parses
+# identically in python re and java.util.regex); replacements use \1,
+# converted to $1 for the JVM side
+_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"!\[([^\]]*)\]\(([^)]*)\)", r"\1"),  # images → alt
+    (r"\[([^\]]*)\]\(([^)]*)\)", r"\1"),  # links → alt (images gone)
+    (r"(?m)^#{1,6}[ \t]+", ""),  # heading markers
+    (r"(?m)^(?:> ?)+", ""),  # blockquote markers
+    (_MD_HR_PAT, ""),  # horizontal rules
+    (r"(?m)^\\?[*-] *", ""),  # reference list-marker regex (mdUtils.ts:228)
+    (r"\\\[", "["),  # unescapes (mdUtils.ts:230-232)
+    (r"\\\]", "]"),
+    (r"\\`", "`"),
+    (r"[\"'*_~\\]", ""),  # final symbol sweep (mdUtils.ts:234)
+]
+
+
+def strip_symbols(text: str) -> str:
+    for pat, repl in _STRIP_STEPS:
+        text = re.sub(pat, repl, text)
+    return text
+
+
+def strip_symbols_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in _STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl.replace("\\1", "$1"))
+    return c
+
+
+# ---------------------------------------------------------------------------
 # C12 heading extract (`src/lib/md/headingUtils.ts:3-25`)
 # ---------------------------------------------------------------------------
 
@@ -389,15 +482,22 @@ def sanitize_title_col(col: Column | str) -> Column:
 
 
 def cleanup_md(text: str) -> str:
-    """Standard ordered cleanup, images *removed* (post-extraction)."""
+    """Standard ordered cleanup, images *removed* (post-extraction).
+
+    Order follows the reference's standard chain
+    (``thanhlinh.net/getPageContent.ts:64-78``): imgs → links → hr →
+    whitespace (must precede asterisk, per the reference's own NOTE) →
+    asterisk → quotes → numberBullet → md → redundantSpaces; the graft
+    appends a final trim (the reference trims at paragraph split)."""
     t = remove_md_imgs(text)
     t = remove_md_links(t)
     t = remove_md_hr(t)
-    t = normalize_quotes(t)
     t = normalize_whitespace(t)
+    t = normalize_asterisk(t)
+    t = normalize_quotes(t)
     t = normalize_number_bullet(t)
-    t = remove_redundant_spaces(t)
     t = normalize_md(t)
+    t = remove_redundant_spaces(t)
     return t.strip()
 
 
@@ -406,11 +506,12 @@ def cleanup_md_col(text: Column | str) -> Column:
     c = remove_md_imgs_col(c)
     c = remove_md_links_col(c)
     c = remove_md_hr_col(c)
-    c = normalize_quotes_col(c)
     c = normalize_whitespace_col(c)
+    c = normalize_asterisk_col(c)
+    c = normalize_quotes_col(c)
     c = normalize_number_bullet_col(c)
-    c = remove_redundant_spaces_col(c)
     c = normalize_md_col(c)
+    c = remove_redundant_spaces_col(c)
     return ws_trim_col(c)
 
 

@@ -1594,3 +1594,95 @@ FROM events GROUP BY event_type
 
 QUERIES["q44_salted_agg"] = q44_salted_agg
 ORACLE_SQL["q44_salted_agg"] = Q44_SQL
+
+# ---------------------------------------------------------------------------
+# q45 — FULL reference cleanup chain incl. C5 normalizeAsterisk
+# (mdUtils.ts:93-110) and C11 stripSymbols (mdUtils.ts:222-236), in the
+# standard order of thanhlinh.net/getPageContent.ts:64-78 plus the
+# post-split symbol strip (augustino.net/getPageContent.ts:192).
+# The engine side runs cleanup_md_col (JVM regexp chain + the Arrow-
+# batched normalizeAsterisk twin) and strip_symbols_col; the oracle
+# replicates every step in RE2. The constructed markdown keeps emphasis
+# words ≥2 chars so normalizeAsterisk stays on its SQL-expressible path
+# (the trailing-*/space right-pad callback path is regexp-inexpressible;
+# its parity is pinned by node-generated goldens in
+# tests/test_text_functions.py).
+# ---------------------------------------------------------------------------
+
+
+def q45_full_cleanup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.functions.text import cleanup_md_col, strip_symbols_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    w = F.split(F.col("text"), " ")
+    md = F.concat(
+        F.lit("# Đề mục\n"),
+        F.lit("“Trích” ![hình](http://x/i.png) xem [chú thích](http://y) rồi ** "),
+        w[1],
+        F.lit("q **\nvà *** "),
+        w[2],
+        F.lit("q *** hết\n1."),
+        w[3],
+        F.lit("\n- mục * "),
+        w[4],
+        F.lit("q *\n> \"trích\" cuối"),
+    )
+    out = d.select("doc_id", cleanup_md_col(md).alias("cleaned"))
+    return out.select("doc_id", "cleaned", strip_symbols_col(F.col("cleaned")).alias("stripped"))
+
+
+Q45_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+         '# Đề mục' || chr(10) ||
+         '“Trích” ![hình](http://x/i.png) xem [chú thích](http://y) rồi ** ' || split_part(text,' ',2) || 'q **' || chr(10) ||
+         'và *** ' || split_part(text,' ',3) || 'q *** hết' || chr(10) ||
+         '1.' || split_part(text,' ',4) || chr(10) ||
+         '- mục * ' || split_part(text,' ',5) || 'q *' || chr(10) ||
+         '> "trích" cuối' AS md
+  FROM documents WHERE doc_id < 100
+), s1 AS (  -- removeMdImgs, removeMdLinks, removeMdHr
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(md,
+    '!\[([^\]]*)\]\(([^)]*)\)', '', 'g'),
+    '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+    '(?m)^[ \t]*(-{3,}|\*{3,}|_{3,})[ \t]*$', '', 'g') AS t
+  FROM src
+), s2 AS (  -- normalizeAsterisk: *** then ** then * (homogeneous form)
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+    '(\*\*\*) *([^*_\n][^\n]*?[^*_\n]?) *\*\*\*', '***\2***', 'g'),
+    '(\*\*) *([^*_\n][^\n]*?[^*_\n]?) *\*\*', '**\2**', 'g'),
+    '(\*) *([^*_\n][^\n]*?[^*_\n]?) *\*', '*\2*', 'g') AS t
+  FROM s1
+), s3 AS (  -- quotes, numberBullet, normalizeMd, redundantSpaces, trim
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        replace(replace(replace(replace(t, '“','"'), '”','"'), '‘',''''), '’',''''),
+        '(?m)^(\d+)\.[ \t]*', '\1. ', 'g'),
+      '(?m)^[ \t]+', '', 'g'),
+      '(?m)^#+[ \t]*$', '', 'g'),
+      '\\' || chr(10), chr(10) || chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+    '"\s+([^"]*?)\s+"', '"\1"', 'g'),
+    '\(\s+([^)]*?)\s+\)', '(\1)', 'g'),
+    '\[\s+([^\]]*?)\s+\]', '[\1]', 'g'),
+    '^\s+|\s+$', '', 'g') AS cleaned
+  FROM s2
+)
+SELECT doc_id, cleaned,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(cleaned,
+    '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+    '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+    '(?m)^#{1,6}[ \t]+', '', 'g'),
+    '(?m)^(?:> ?)+', '', 'g'),
+    '(?m)^[ \t]*(-{3,}|\*{3,}|_{3,})[ \t]*$', '', 'g'),
+    '(?m)^\\?[*-] *', '', 'g'),
+    '\\\[', '[', 'g'),
+    '\\\]', ']', 'g'),
+    '\\`', '`', 'g'),
+    '["''*_~\\]', '', 'g') AS stripped
+FROM s3
+"""
+
+QUERIES["q45_full_cleanup_chain"] = q45_full_cleanup_chain
+ORACLE_SQL["q45_full_cleanup_chain"] = Q45_SQL

@@ -55,6 +55,8 @@ PAIRS = [
     ("remove_footnotes", tx.remove_footnotes, tx.remove_footnotes_col, {}),
     ("camel_to_snake_upper", tx.camel_to_snake_upper, tx.camel_to_snake_upper_col, {}),
     ("sanitize_title", tx.sanitize_title, tx.sanitize_title_col, {}),
+    ("normalize_asterisk", tx.normalize_asterisk, tx.normalize_asterisk_col, {}),
+    ("strip_symbols", tx.strip_symbols, tx.strip_symbols_col, {}),
     ("cleanup_md", tx.cleanup_md, tx.cleanup_md_col, {}),
 ]
 
@@ -97,6 +99,77 @@ def test_heading_extraction_parity(corpus_df):
             {"level": x["level"], "text": x["text"], "order": x["order"]} for x in r["got"]
         ]
         assert got == want, (r["i"], got, want)
+
+
+# Golden outputs for normalizeAsterisk (C5, mdUtils.ts:93-110) captured
+# by EXECUTING the reference algorithm under node v20 — byte-exact
+# behavior, including the quirky cross-emphasis re-pairings (`*a *b*` →
+# `*a* b*`) and the trailing-*/space right-pad path (`_ab *_` → `_ab_  `).
+NORMALIZE_ASTERISK_GOLDENS = [
+    ("plain text no emphasis", "plain text no emphasis"),
+    ("** bold **", "**bold**"),
+    (
+        "*** all three *** and * one * and ** two **",
+        "***all three***and* one *and**two**",
+    ),
+    ("_ab*_", "_ab_ "),
+    ("_ab *_", "_ab_  "),
+    ("*a *b*", "*a* b*"),
+    ("**a***", "**a***"),
+    ("***a****", "***a****"),
+    ("* spaced * more", "*spaced* more"),
+    ("a *b* c _d_ e __f__ g ___h___", "a *b* c _d_ e __f__g_ __h___"),
+    ("*a_b*", "*a_b*"),
+    ("_x y z _", "_x y z_"),
+    ("** a ** ** b **", "**a*** *b** "),
+    ("*a\nb*", "*a\nb*"),
+    ("mix *_ab_* nest", "mix *_ab_* nest"),
+    ("**_m_** q", "**_m_** q"),
+    ("* *", "** "),
+    ("****", "****"),
+    ("*x *", "*x* "),
+    (
+        "Lời Chúa *trong* sách **thánh** đây ***rồi***",
+        "Lời Chúa *trong* sách **thánh**đây***rồi***",
+    ),
+    ("_ab* _", "_ab*_ "),
+    ("*ab** c*", "*ab**c*"),
+]
+
+
+@pytest.mark.parametrize(
+    "src,want", NORMALIZE_ASTERISK_GOLDENS, ids=range(len(NORMALIZE_ASTERISK_GOLDENS))
+)
+def test_normalize_asterisk_reference_goldens(src, want):
+    assert tx.normalize_asterisk(src) == want
+
+
+def test_strip_symbols_subset_semantics():
+    """The documented deterministic subset of stripSymbols
+    (mdUtils.ts:222-236): md structure stripped, reference post-chain
+    (list-escape removal, \\[ \\] \\` unescape, ["'*_~\\] sweep)."""
+    cases = [
+        ("# Tiêu đề\n\n*nhấn* và **mạnh**", "Tiêu đề\n\nnhấn và mạnh"),
+        ("- item một\n* item hai\n\\- escaped", "item một\nitem hai\nescaped"),
+        ("> trích dẫn\n>> sâu hơn", "trích dẫn\nsâu hơn"),
+        ('"kép" \'đơn\' ~ngã~ g_ạch_', "kép đơn ngã gạch"),
+        ("\\[giữ ngoặc\\] và \\`giữ backtick\\`", "[giữ ngoặc] và `giữ backtick`"),
+        ("[liên kết](http://x) và ![ảnh](http://y)", "liên kết và ảnh"),
+        ("---\ngiữa\n***", "\ngiữa\n"),
+    ]
+    for src, want in cases:
+        assert tx.strip_symbols(src) == want, repr(src)
+
+
+def test_cleanup_md_reference_chain_order():
+    """cleanup_md must run the thanhlinh standard order
+    (getPageContent.ts:64-78): whitespace-normalize BEFORE asterisk (the
+    reference's own NOTE: the asterisk regex must see plain spaces), and
+    redundant-space trim last."""
+    # NBSP (\u00a0) inside emphasis only normalizes because whitespace runs first
+    assert tx.cleanup_md("** bold **") == "**bold**"
+    # smart quotes normalize AFTER asterisk; redundantSpaces runs last
+    assert tx.cleanup_md('“ x ”') == '"x"'
 
 
 def test_footnote_roundtrip():
