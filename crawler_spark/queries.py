@@ -1686,3 +1686,100 @@ FROM s3
 
 QUERIES["q45_full_cleanup_chain"] = q45_full_cleanup_chain
 ORACLE_SQL["q45_full_cleanup_chain"] = Q45_SQL
+
+# ---------------------------------------------------------------------------
+# q46 — C22 verse-number tokens + O9 exact running verse-order track
+# (augustino.net/getPageContentDaily.ts:26-110). The engine side is the
+# chapter-sequential pandas UDF (functions/verses.py, node-golden-
+# pinned); the oracle replicates the whole pipeline in RE2 SQL: verse
+# split via a sentinel-prefix (RE2 has no lookahead), the running
+# inherited number via last_value IGNORE NULLS, and the reset-on-change
+# sub-index via gaps-and-islands (the initial island keeps the quirky
+# +1 because the track starts at number=0 and equality increments).
+# ---------------------------------------------------------------------------
+
+
+def q46_verse_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.functions.verses import verses_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    w = F.split(F.col("text"), " ")
+    k = (F.col("doc_id") % 5 + 3).cast("string")
+    md = F.concat(
+        F.lit("$1$ "), w[1], F.lit(" $2$ "), w[2], F.lit(" $2a$ "), w[3],
+        F.lit(" $ $ "), w[4], F.lit(".\nHai $"), k, F.lit("-9$ "), w[5],
+        F.lit(" [note] xong $"), k, F.lit("b$ cuối"),
+    )
+    rows = d.select("doc_id", F.inline(verses_col(md)))
+    return rows.select(
+        "doc_id", "paragraph_number", "paragraph_index",
+        "number", "sub_verse_index", "label", "text",
+    )
+
+
+Q46_SQL = r"""
+WITH src AS (
+  SELECT doc_id,
+    '$1$ ' || split_part(text,' ',2) || ' $2$ ' || split_part(text,' ',3) ||
+    ' $2a$ ' || split_part(text,' ',4) || ' $ $ ' || split_part(text,' ',5) || '.' || chr(10) ||
+    'Hai $' || (doc_id % 5 + 3) || '-9$ ' || split_part(text,' ',6) ||
+    ' [note] xong $' || (doc_id % 5 + 3) || 'b$ cuối' AS md
+  FROM documents WHERE doc_id < 60
+), paras AS (
+  SELECT doc_id,
+         unnest(string_split(md, chr(10))) AS para,
+         unnest(generate_series(1, len(string_split(md, chr(10))))) AS p1
+  FROM src
+), plist AS (
+  SELECT doc_id, para, p1 - 1 AS p_idx FROM paras
+  WHERE regexp_replace(para, '^\s+|\s+$', '', 'g') <> ''
+), vsplit AS (
+  SELECT doc_id, p_idx,
+    CASE WHEN vl[1] = '' THEN vl[2:] ELSE vl END AS vl
+  FROM (
+    SELECT doc_id, p_idx,
+      string_split(
+        regexp_replace(para, '(\$(?:\d+\p{L}*| )(?:-\d+\p{L}*)?\$)', chr(1) || '\1', 'g'),
+        chr(1)) AS vl
+    FROM plist)
+), verses AS (
+  SELECT doc_id, p_idx,
+         unnest(vl) AS verse,
+         unnest(generate_series(1, len(vl))) - 1 AS v_idx
+  FROM vsplit
+), tok AS (
+  SELECT doc_id, p_idx, v_idx, verse,
+    regexp_extract(verse, '\$((?:\d+\p{L}*| )(?:-\d+\p{L}*)?)\$', 1) AS label_or_empty,
+    regexp_extract(verse, '\$(\d+)', 1) AS n_str
+  FROM verses
+), resolved AS (
+  SELECT *, coalesce(last_value(CASE WHEN n_str = '' THEN NULL ELSE n_str::INT END IGNORE NULLS)
+            OVER (PARTITION BY doc_id ORDER BY p_idx, v_idx ROWS UNBOUNDED PRECEDING), 0) AS number
+  FROM tok
+), chg AS (
+  SELECT *, CASE WHEN number <> coalesce(lag(number) OVER (PARTITION BY doc_id ORDER BY p_idx, v_idx), 0)
+            THEN 1 ELSE 0 END AS changed
+  FROM resolved
+), grp AS (
+  SELECT *, sum(changed) OVER (PARTITION BY doc_id ORDER BY p_idx, v_idx ROWS UNBOUNDED PRECEDING) AS g
+  FROM chg
+)
+SELECT doc_id,
+       p_idx::INT AS paragraph_number,
+       v_idx::INT AS paragraph_index,
+       number::INT AS number,
+       (row_number() OVER (PARTITION BY doc_id, g ORDER BY p_idx, v_idx)
+        - CASE WHEN g = 0 THEN 0 ELSE 1 END)::INT AS sub_verse_index,
+       label_or_empty AS label,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(verse, '\$(?:\d+\p{L}*| )(?:-\d+\p{L}*)?\$', '', 'g'),
+             '^\s+|\s+$', '', 'g'),
+           '\\?\\?\[[a-zA-Z0-9@]+\]', '', 'g'),
+         '^\s+|\s+$', '', 'g') AS text
+FROM grp
+"""
+
+QUERIES["q46_verse_tracking"] = q46_verse_tracking
+ORACLE_SQL["q46_verse_tracking"] = Q46_SQL
