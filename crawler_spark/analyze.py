@@ -96,9 +96,22 @@ def export_json(sentences: DataFrame, footnotes: DataFrame) -> DataFrame:
     )
 
 
+def _xml_text(v) -> str:
+    return (
+        str(v).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+def _xml_attr(v) -> str:
+    return _xml_text(v).replace('"', "&quot;")
+
+
 def export_xml(sentences: DataFrame, footnotes: DataFrame) -> DataFrame:
     """K2: XML per chapter — FILE→SECT→PAGE→STC with SNAKE_UPPER attrs
-    (`treeUtils.ts:92-290` shape; attribute casing :175-183)."""
+    (`treeUtils.ts:92-290` shape; attribute casing :175-183). Every
+    text node AND attribute value is escaped — footnote labels and ids
+    included, so a label containing ``&``/``<``/``"`` still yields
+    well-formed XML."""
     import pandas as pd
 
     nest = _chapter_nest(sentences, footnotes)
@@ -106,21 +119,20 @@ def export_xml(sentences: DataFrame, footnotes: DataFrame) -> DataFrame:
     def _xml(pdf: pd.DataFrame) -> pd.DataFrame:
         docs = []
         for _, r in pdf.iterrows():
-            parts = [f'<FILE ID="{r["doc_id"]}"><SECT NUMBER="{r["chapter_num"]}">']
+            parts = [
+                f'<FILE ID="{_xml_attr(r["doc_id"])}">'
+                f'<SECT NUMBER="{_xml_attr(r["chapter_num"])}">'
+            ]
             for page in r["pages"]:
-                parts.append(f'<PAGE NUMBER="{page["page_num"]}">')
+                parts.append(f'<PAGE NUMBER="{_xml_attr(page["page_num"])}">')
                 for s in page["sentences"]:
-                    esc = (
-                        str(s["text"])
-                        .replace("&", "&amp;")
-                        .replace("<", "&lt;")
-                        .replace(">", "&gt;")
-                    )
-                    parts.append(f'<STC ID="{s["sentence_id"]}">{esc}</STC>')
+                    sid = _xml_attr(s["sentence_id"])
+                    parts.append(f'<STC ID="{sid}">{_xml_text(s["text"])}</STC>')
                     for fn in s["footnotes"]:
                         parts.append(
-                            f'<FOOTNOTE STC_ID="{s["sentence_id"]}" '
-                            f'POSITION="{fn["position"]}">{fn["label"]}</FOOTNOTE>'
+                            f'<FOOTNOTE STC_ID="{sid}" '
+                            f'POSITION="{_xml_attr(fn["position"])}">'
+                            f'{_xml_text(fn["label"])}</FOOTNOTE>'
                         )
                 parts.append("</PAGE>")
             parts.append("</SECT></FILE>")
@@ -132,4 +144,47 @@ def export_xml(sentences: DataFrame, footnotes: DataFrame) -> DataFrame:
     return nest.mapInPandas(
         lambda it: (_xml(pdf) for pdf in it),
         "doc_id string, chapter_num int, xml string",
+    )
+
+
+def export_csv(sentences: DataFrame) -> DataFrame:
+    """K4: per-chapter CSV (`treeUtils.ts:447-482` generateCsvTree):
+    header ``"sentence_id","language_code","text"``; one row per
+    sentence as ``"id","lang", "text"`` — including the reference's
+    literal space before the text field — with quote-doubling applied
+    to the text only, and a final trim. Pure JVM expressions: the line
+    builds with concat/regexp_replace, chapters assemble with one
+    sorted collect_list per chapter (same single shuffle as the other
+    tree sinks).
+
+    ``sentences`` needs (doc_id, chapter_num, page_num, sentence_num,
+    sentence_id, text[, language_code])."""
+    lang = (
+        F.col("language_code")
+        if "language_code" in sentences.columns
+        else F.lit("")
+    )
+    line = F.concat(
+        F.lit('"'), F.col("sentence_id"),
+        F.lit('","'), lang,
+        F.lit('", "'), F.regexp_replace(F.col("text"), '"', '""'),
+        F.lit('"'),
+    )
+    rows = sentences.select(
+        "doc_id", "chapter_num",
+        F.struct("page_num", "sentence_num", line.alias("line")).alias("r"),
+    )
+    header = '"sentence_id","language_code","text"'
+    return (
+        rows.groupBy("doc_id", "chapter_num")
+        .agg(F.array_sort(F.collect_list("r")).alias("rs"))
+        .select(
+            "doc_id",
+            "chapter_num",
+            F.concat_ws(
+                "\n",
+                F.lit(header),
+                F.concat_ws("\n", F.transform(F.col("rs"), lambda s: s["line"])),
+            ).alias("csv"),
+        )
     )

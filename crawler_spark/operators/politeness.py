@@ -61,18 +61,31 @@ def select_round(
     default_budget: int = 2,
     extra_filter=None,
     descending: bool = False,
+    force_all: bool = False,
+    force_ids=None,
 ) -> DataFrame:
     """Per-host top-k politeness selection for one crawl round.
 
     ``extra_filter``: optional Column — a SiteAdapter's frontier
     predicate (filterCheckpoint hook, crawler.ts:60-69).
     ``descending``: the O2 priority variant (sortUtils.ts:27-39).
+    ``force_all`` / ``force_ids`` — the F4 re-crawl escape hatches
+    (checkpoint.ts:24-27,159-171): ``force_all`` selects EVERY frontier
+    row regardless of completion/attempts; a non-empty ``force_ids``
+    selects exactly those doc_ids. Like the reference's else-if chain,
+    a force override also bypasses ``extra_filter`` (filterCheckpoint
+    only applies when no force is given).
     Returns the scheduled rows with ``host_rank`` (1-based priority rank
     within host) and ``attempt`` (this round's attempt number).
     """
-    elig = eligible(frontier)
-    if extra_filter is not None:
-        elig = elig.filter(extra_filter)
+    if force_all:
+        elig = frontier
+    elif force_ids:
+        elig = frontier.filter(F.col("doc_id").isin(list(force_ids)))
+    else:
+        elig = eligible(frontier)
+        if extra_filter is not None:
+            elig = elig.filter(extra_filter)
     pol = F.broadcast(politeness.select("host", "budget_per_round"))
     w = Window.partitionBy("host").orderBy(*priority_order(descending))
     return (

@@ -143,7 +143,11 @@ class CrawlEngine:
             self.bloom.update(frontier.select("url_key"))
 
     # ----------------------------------------------------------------- round
-    def run_round(self, rnd: int) -> dict:
+    def run_round(self, rnd: int, force_all: bool = False, force_ids=None) -> dict:
+        """One crawl round. ``force_all``/``force_ids`` are the F4
+        re-crawl overrides (checkpoint.ts:24-27): completed rows are
+        selected again; their completion marks recommit after the
+        fetch, exactly like the reference's forced runs."""
         frontier = self.store.read("frontier")
         scheduled = select_round(
             frontier,
@@ -151,6 +155,8 @@ class CrawlEngine:
             default_budget=self.default_budget,
             extra_filter=self.site_filter,
             descending=self.priority_desc,
+            force_all=force_all,
+            force_ids=force_ids,
         ).select(*FRONTIER_COLS, "host_rank", "attempt")
 
         fetched = fetch_scheduled(scheduled, self.fetcher, salted=self.salted_fetch).cache()

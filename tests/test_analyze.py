@@ -92,3 +92,52 @@ def test_export_xml_wellformed(spark, world):
         n_fn += len(sect.findall(".//FOOTNOTE"))
     assert n_stc == s_df.count()
     assert n_fn == f_df.count()
+
+
+def test_export_csv_reference_format(spark):
+    """K4 generateCsvTree parity (`treeUtils.ts:447-482`): quoted
+    header, the literal space before the text field, quote-doubling in
+    text only, rows in (page, sentence) order."""
+    from crawler_spark.analyze import export_csv
+
+    sentences = spark.createDataFrame(
+        [
+            ("DSG_001", 1, 1, 2, "DSG_001.001.001.02", 'nói "được" rồi', "V"),
+            ("DSG_001", 1, 1, 1, "DSG_001.001.001.01", "Câu đầu.", "V"),
+            ("DSG_001", 1, 2, 1, "DSG_001.001.002.01", "Trang hai.", ""),
+        ],
+        "doc_id string, chapter_num int, page_num int, sentence_num int, "
+        "sentence_id string, text string, language_code string",
+    )
+    out = {r["chapter_num"]: r["csv"] for r in export_csv(sentences).collect()}
+    assert out[1] == (
+        '"sentence_id","language_code","text"\n'
+        '"DSG_001.001.001.01","V", "Câu đầu."\n'
+        '"DSG_001.001.001.02","V", "nói ""được"" rồi"\n'
+        '"DSG_001.001.002.01","", "Trang hai."'
+    )
+
+
+def test_export_xml_escapes_labels_and_attrs(spark):
+    """ADVICE r1: footnote labels and attribute values containing
+    &, <, or quotes must be escaped (well-formed XML)."""
+    import xml.etree.ElementTree as ET
+
+    sentences = spark.createDataFrame(
+        [("d&1", 1, 1, 1, 's"1', "a < b & c")],
+        "doc_id string, chapter_num int, page_num int, sentence_num int, "
+        "sentence_id string, text string",
+    )
+    footnotes = spark.createDataFrame(
+        [('s"1', 3, 'lab<&"el')],
+        "sentence_id string, position int, label string",
+    )
+    row = export_xml(sentences, footnotes).collect()[0]
+    root = ET.fromstring(row["xml"])  # raises on malformed XML
+    assert root.attrib["ID"] == "d&1"
+    stc = root.find(".//STC")
+    assert stc.attrib["ID"] == 's"1'
+    assert stc.text == "a < b & c"
+    fn = root.find(".//FOOTNOTE")
+    assert fn.text == 'lab<&"el'
+    assert fn.attrib["STC_ID"] == 's"1'

@@ -176,3 +176,29 @@ def test_partition_metrics_consistent(engine):
         for r in engine.store.read("metrics").collect()
     }
     assert per_round == totals
+
+
+def test_force_recrawl_overrides(spark, world, fixture_dir, tmp_path_factory, oracle_result):
+    """F4 (checkpoint.ts:24-27,159-171): force_ids re-selects completed
+    checkpoints by id; force_all re-selects everything; neither
+    duplicates frontier rows or rediscovers seen URLs."""
+    eng = build_engine(spark, world, fixture_dir, tmp_path_factory.mktemp("engf"))
+    assert eng.run_round(900).get("scheduled", 0) == 0  # drained
+
+    frontier = eng.store.read("frontier")
+    n_frontier = frontier.count()
+    doc = frontier.filter(F.col("depth") == 0).select("doc_id").first()["doc_id"]
+    n_doc_urls = frontier.filter(F.col("doc_id") == doc).count()
+
+    m = eng.run_round(901, force_ids=[doc])
+    assert 1 <= m["scheduled"] <= n_doc_urls
+    assert m["discovered"] == 0  # all links already seen
+    # every re-fetched URL belongs to the forced doc
+    log = eng.crawl_log().filter(F.col("round") == 901).select("url")
+    owners = log.join(frontier.select("url", "doc_id"), "url").select("doc_id").collect()
+    assert {r["doc_id"] for r in owners} == {doc}
+
+    m2 = eng.run_round(902, force_all=True)
+    assert m2["scheduled"] > 0
+    assert m2["discovered"] == 0
+    assert eng.store.read("frontier").count() == n_frontier
