@@ -55,6 +55,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+BRUTE_FORCE_MAX_ROWS = 10_000
+
+
+def _guard_brute_force(
+    df: DataFrame, what: str, max_rows: int = BRUTE_FORCE_MAX_ROWS
+) -> DataFrame:
+    """Size gate for the brute-force (all-pairs / crossJoin) verify
+    tier: candidate count grows quadratically, so these shapes are
+    refused beyond ``max_rows`` input rows instead of silently melting
+    a cluster — the bucketed siblings (q22 MinHash-LSH, q26
+    sign-buckets, q39 IVF) are the 100 TB path. The count() is a
+    parquet-metadata count-star (no data scan)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what}: input has {n} rows > brute-force bound {max_rows}; "
+            "use the LSH/IVF tier (q22/q26/q39 shapes) or raise max_rows "
+            "explicitly for a verify run"
+        )
+    return df
+
+
 # ---------------------------------------------------------------------------
 # q01 — flagship: pricing rollup (TPC-H Q1 shape; A3-A7 corpus-stat analog)
 # ---------------------------------------------------------------------------
@@ -683,12 +705,21 @@ def _shingles(d: DataFrame) -> DataFrame:
 def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     sh = _shingles(d)
-    sigs = None
-    for j in range(_MINHASH_K):
-        s = sh.groupBy("doc_id").agg(
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias("sig")
-        ).withColumn("band", F.lit(j))
-        sigs = s if sigs is None else sigs.unionByName(s)
+    # single-pass signatures: ONE groupBy computes all K mins (one
+    # shuffle over the shingles instead of K), then posexplode fans the
+    # signature row out to (band, sig) pairs for the bucket join
+    sigrow = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"s{j}")
+            for j in range(_MINHASH_K)
+        ]
+    )
+    sigs = sigrow.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"s{j}") for j in range(_MINHASH_K)])).alias(
+            "band", "sig"
+        ),
+    )
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("band").alias("band_a"), F.col("sig").alias("s_a")
     )
@@ -771,8 +802,14 @@ FROM agg GROUP BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+def q24_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_rows: int = BRUTE_FORCE_MAX_ROWS
+) -> DataFrame:
+    d = _guard_brute_force(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40),
+        "q24_ngram_jaccard (all-pairs shingle join)",
+        max_rows,
+    )
     sh = _shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -827,8 +864,14 @@ WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.02
 # ---------------------------------------------------------------------------
 
 
-def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings")
+def q25_cosine_topk(
+    spark: SparkSession, sf_dir: str, max_rows: int = BRUTE_FORCE_MAX_ROWS
+) -> DataFrame:
+    e = _guard_brute_force(
+        _t(spark, sf_dir, "embeddings"),
+        "q25_cosine_topk (brute-force crossJoin; q26/q39 are the scale tier)",
+        max_rows,
+    )
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -1302,8 +1345,14 @@ GROUP BY source
 # ---------------------------------------------------------------------------
 
 
-def q38_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+def q38_embedding_near_dup(
+    spark: SparkSession, sf_dir: str, max_rows: int = BRUTE_FORCE_MAX_ROWS
+) -> DataFrame:
+    e = _guard_brute_force(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150),
+        "q38_embedding_near_dup (brute-force crossJoin; q26/q39 are the scale tier)",
+        max_rows,
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     dot = F.aggregate(

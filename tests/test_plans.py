@@ -91,3 +91,26 @@ def test_join_strategies_not_nested_loop(spark, name):
     plan = plan_of(spark, name)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q22_single_pass_signatures(spark):
+    """MinHash signatures must build in ONE groupBy over the shingles
+    (K min-aggregates + posexplode), not K unioned groupBys — one
+    shuffle instead of four at 100 TB."""
+    plan = plan_of(spark, "q22_minhash_lsh_pairs")
+    assert "Union" not in plan
+
+
+def test_brute_force_guard_trips(spark):
+    """The brute-force verify tier must refuse oversized inputs rather
+    than melt a cluster (VERDICT r1: q24/q25/q38 guards)."""
+    from crawler_spark.queries import (
+        q24_ngram_jaccard,
+        q25_cosine_topk,
+        q38_embedding_near_dup,
+    )
+
+    # a tiny bound makes the real sf0.001 tables oversized
+    for fn in (q24_ngram_jaccard, q25_cosine_topk, q38_embedding_near_dup):
+        with pytest.raises(ValueError, match="brute-force bound"):
+            fn(spark, SF_DIR, max_rows=3)
