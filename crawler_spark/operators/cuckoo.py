@@ -18,7 +18,16 @@ Design (standard partial-key cuckoo hashing):
   * insert: try both buckets vectorized; leftovers go through the
     classic eviction loop (max 500 kicks); a full table raises —
     size shards for ≤ 95 % load;
-  * false-positive rate ≈ 2·4/2^16 ≈ 0.012 %; no false negatives.
+  * false-positive rate ≈ 2·4/2^16 ≈ 0.012 %; no false negatives for
+    inserted keys PROVIDED the standard cuckoo precondition holds:
+    :meth:`ShardedCuckoo.delete` may only be called with keys that were
+    previously inserted (and at most as many times as inserted).
+    Deleting a never-inserted key whose fingerprint/bucket collides
+    with a resident key clears that other key's slot — a false
+    negative that breaks the filter_unseen contract. The engine
+    guarantees this by deleting only keys read back from the frontier
+    (always a subset of inserts); callers outside that path should
+    gate deletes behind an exact-tier membership check.
 
 Same public surface as :class:`~crawler_spark.operators.dedup.ShardedBloom`
 (update / probe / filter_unseen) plus :meth:`delete`.
@@ -163,8 +172,14 @@ class ShardedCuckoo:
             self.store.commit(self.TABLE, self._empty(), lineage={"op": "init"})
 
     def _tagged(self, keys: DataFrame, key_col: str) -> DataFrame:
-        return keys.select(F.col(key_col).alias("key")).withColumn(
-            "shard_id", F.pmod(F.col("key"), F.lit(self.n_shards)).cast("int")
+        # null keys would form a null-shard group with no filter-side
+        # frame (executor IndexError) and cannot be member-tested
+        return (
+            keys.select(F.col(key_col).alias("key"))
+            .filter(F.col("key").isNotNull())
+            .withColumn(
+                "shard_id", F.pmod(F.col("key"), F.lit(self.n_shards)).cast("int")
+            )
         )
 
     def _apply(self, keys: DataFrame, key_col: str, op: str) -> None:
@@ -172,6 +187,8 @@ class ShardedCuckoo:
         filt = self.store.read(self.TABLE)
 
         def _upd(f_pdf: pd.DataFrame, k_pdf: pd.DataFrame) -> pd.DataFrame:
+            if f_pdf.empty:  # no shard state for this group — no-op
+                return pd.DataFrame({f.name: [] for f in _CUCKOO_SCHEMA.fields})
             head = f_pdf.iloc[0]
             nb = int(head["n_buckets"])
             table = (
@@ -207,6 +224,12 @@ class ShardedCuckoo:
         self._apply(keys, key_col, "insert")
 
     def delete(self, keys: DataFrame, key_col: str = "url_key") -> None:
+        """Remove keys. PRECONDITION (standard cuckoo contract): every
+        key must have been inserted before, at most as many times as it
+        was inserted — deleting a never-inserted key can clear a
+        colliding resident fingerprint and create a false negative.
+        Gate unverified deletes behind an exact-tier membership check
+        (module docstring)."""
         self._apply(keys, key_col, "delete")
 
     def probe(self, candidates: DataFrame, key_col: str = "url_key") -> DataFrame:
@@ -224,6 +247,12 @@ class ShardedCuckoo:
         def _probe(f_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
             if c_pdf.empty:
                 return pd.DataFrame({c: [] for c in [*cand_cols, "maybe_seen"]})
+            if f_pdf.empty:
+                # no shard state (e.g. a null key's null-shard group):
+                # conservatively maybe_seen — the exact tier resolves it
+                out = c_pdf[cand_cols].copy()
+                out["maybe_seen"] = True
+                return out
             head = f_pdf.iloc[0]
             nb = int(head["n_buckets"])
             table = np.frombuffer(bytes(head["buckets"]), np.uint16).reshape(nb, _SLOTS)

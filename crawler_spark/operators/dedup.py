@@ -136,11 +136,19 @@ class ShardedBloom:
         """
         self.ensure()
         blooms = self.store.read(self.TABLE)
-        tagged = keys.select(F.col(key_col).alias("key")).withColumn(
-            "shard_id", F.pmod(F.col("key"), F.lit(self.n_shards)).cast("int")
+        # null keys would land in a null-shard group with no filter-side
+        # frame (executor IndexError); they cannot be member-tested
+        tagged = (
+            keys.select(F.col(key_col).alias("key"))
+            .filter(F.col("key").isNotNull())
+            .withColumn(
+                "shard_id", F.pmod(F.col("key"), F.lit(self.n_shards)).cast("int")
+            )
         )
 
         def _merge(bloom_pdf: pd.DataFrame, keys_pdf: pd.DataFrame) -> pd.DataFrame:
+            if bloom_pdf.empty:  # no shard state for this group — no-op
+                return pd.DataFrame({f.name: [] for f in _BLOOM_SCHEMA.fields})
             head = bloom_pdf.iloc[0]
             bits = np.frombuffer(bytes(head["bitset"]), np.uint8).copy()
             n_bits, n_h = int(head["n_bits"]), int(head["n_hashes"])
@@ -179,6 +187,12 @@ class ShardedBloom:
         def _probe(bloom_pdf: pd.DataFrame, cand_pdf: pd.DataFrame) -> pd.DataFrame:
             if cand_pdf.empty:
                 return pd.DataFrame({c: [] for c in [*cand_cols, "maybe_seen"]})
+            if bloom_pdf.empty:
+                # no shard state (e.g. a null key's null-shard group):
+                # conservatively maybe_seen — the exact tier resolves it
+                out = cand_pdf[cand_cols].copy()
+                out["maybe_seen"] = True
+                return out
             head = bloom_pdf.iloc[0]
             bits = np.frombuffer(bytes(head["bitset"]), np.uint8)
             n_bits, n_h = int(head["n_bits"]), int(head["n_hashes"])

@@ -104,3 +104,31 @@ def test_cuckoo_tier_golden_equivalence(
     eng.run(max_rounds=50)
     assert _engine_order(eng) == _oracle_order(oracle_result)
     assert {r["url"] for r in eng.url_seen().collect()} == oracle_result.url_seen
+
+
+def test_null_keys_do_not_crash_cogroup(spark, tmp_path):
+    """ADVICE r1: a NULL key used to form a null-shard cogroup with no
+    filter-side frame and raise IndexError inside the executor. Null
+    keys are dropped at tagging (update/delete) and null-key candidates
+    resolve conservatively through the exact tier (probe)."""
+    store = SnapshotStore(spark, str(tmp_path / "cknull"))
+    ck = ShardedCuckoo(spark, store, n_shards=4, buckets_per_shard=1 << 12)
+    keys = spark.createDataFrame(
+        [(1,), (2,), (None,)], "url_key long"
+    )
+    ck.update(keys)  # must not raise
+    probed = ck.probe(keys)
+    rows = {r["url_key"]: r["maybe_seen"] for r in probed.collect()}
+    assert rows[1] and rows[2]
+    ck.delete(spark.createDataFrame([(None,), (1,)], "url_key long"))
+    assert ck.probe(spark.createDataFrame([(2,)], "url_key long")).first()["maybe_seen"]
+
+
+def test_bloom_null_keys_do_not_crash(spark, tmp_path):
+    from crawler_spark.operators.dedup import ShardedBloom
+
+    store = SnapshotStore(spark, str(tmp_path / "blnull"))
+    bl = ShardedBloom(spark, store, n_shards=4)
+    keys = spark.createDataFrame([(7,), (None,)], "url_key long")
+    bl.update(keys)  # must not raise
+    assert bl.probe(spark.createDataFrame([(7,)], "url_key long")).first()["maybe_seen"]
