@@ -84,6 +84,19 @@ class SnapshotStore:
         m = self._read_manifest(table)
         return m["snapshots"][-1]["version"] if m else -1
 
+    def _reader(self, snap: dict):
+        """Parquet reader with the snapshot's recorded schema (Iceberg
+        analog: schema lives in table metadata). The explicit schema
+        keeps partition-directory columns correctly TYPED (Spark's
+        path-value inference would read a boolean partition column as
+        string) and keeps column order stable across layouts."""
+        r = self.spark.read
+        if snap.get("schema"):
+            from pyspark.sql import types as T
+
+            r = r.schema(T.StructType.fromJson(json.loads(snap["schema"])))
+        return r
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
         m = self._read_manifest(table)
         if m is None:
@@ -94,7 +107,7 @@ class SnapshotStore:
         )
         paths = [os.path.join(self._tdir(table), p) for p in snap["paths"]]
         if snap.get("mode") != "delta":
-            return self.spark.read.parquet(*paths)
+            return self._reader(snap).parquet(*paths)
         # merge-on-read, O(Δ)-touched: deltas resolve latest-wins among
         # THEMSELVES (a window over |Δ| rows only), then base rows whose
         # key has no delta pass through untouched via a broadcast
@@ -119,7 +132,7 @@ class SnapshotStore:
         delta_paths = [os.path.join(self._tdir(table), p) for p in delta_rel]
 
         parts = [
-            self.spark.read.parquet(p).withColumn("_dr", F.lit(i))
+            self._reader(snap).parquet(p).withColumn("_dr", F.lit(i))
             for i, p in enumerate(delta_paths)
         ]
         u = parts[0]
@@ -135,7 +148,7 @@ class SnapshotStore:
         )
         if not base_paths:
             return deltas
-        base = self.spark.read.parquet(*base_paths)
+        base = self._reader(snap).parquet(*base_paths)
         untouched = base.join(
             F.broadcast(deltas.select(key)), on=key, how="left_anti"
         )
@@ -179,6 +192,7 @@ class SnapshotStore:
             "version": new_version,
             "mode": mode,
             "paths": paths,
+            "schema": json.dumps(df.schema.jsonValue()),
             "committed_at": time.time(),
             "lineage": lineage or {},
         }
@@ -235,6 +249,7 @@ class SnapshotStore:
             "delta_paths": delta_paths,
             "mode": "delta",
             "key": key,
+            "schema": json.dumps(updates.schema.jsonValue()),
             "committed_at": time.time(),
             "lineage": lineage or {},
         }
@@ -242,18 +257,39 @@ class SnapshotStore:
         self._publish(table, prev)
         return new_version
 
-    def compact(self, table: str, lineage: dict | None = None) -> int:
+    def compact(
+        self,
+        table: str,
+        lineage: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Materialize the merge-on-read state into a fresh base
         snapshot (bounds the delta chain; Iceberg rewrite_data_files
-        analog). No-op if the head is already a base."""
+        analog). No-op if the head is already a base AND no
+        ``partition_by`` re-layout is requested.
+
+        ``partition_by`` writes the compacted base hive-partitioned —
+        e.g. the frontier compacts on ``completed`` so every later
+        round's eligibility scan PRUNES the completed partition
+        entirely (PartitionFilters, not just row-group min/max): at
+        10^10 frontier rows with most of the crawl done, the scan cost
+        tracks the open frontier, not history. The recorded snapshot
+        schema keeps the partition column typed (see :meth:`_reader`).
+        """
         m = self._read_manifest(table)
-        if not m or m["snapshots"][-1].get("mode") != "delta":
+        if not m or (
+            m["snapshots"][-1].get("mode") != "delta" and not partition_by
+        ):
             return self.current_version(table)
         # commit writes into a NEW version dir, so reading the current
         # head while writing is safe (no self-overwrite)
         merged = self.read(table)
         return self.commit(
-            table, merged, mode="overwrite", lineage={**(lineage or {}), "op": "compact"}
+            table,
+            merged,
+            mode="overwrite",
+            lineage={**(lineage or {}), "op": "compact"},
+            partition_by=partition_by,
         )
 
     def merge_upsert(

@@ -329,7 +329,12 @@ class CrawlEngine:
             lineage={"op": "round", "round": rnd, "scheduled": n_scheduled, "ok": n_ok, "new": n_new},
         )
         if rnd % self.compact_every == 0:
-            self.store.compact("frontier", lineage={"round": rnd})
+            # partition the compacted base on `completed` so the next
+            # rounds' eligibility scans PRUNE finished work at the
+            # directory level (scan cost tracks the open frontier)
+            self.store.compact(
+                "frontier", lineage={"round": rnd}, partition_by=["completed"]
+            )
         if self.bloom and n_new:
             self.bloom.update(new_entries.select("url_key"))
         new_entries.unpersist()

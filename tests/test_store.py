@@ -155,6 +155,41 @@ def test_mor_read_is_delta_touched_only(spark, store):
     assert got == 1000 - 5
 
 
+def test_compact_partition_pruning(spark, store):
+    """compact(partition_by=['completed']) must (a) keep the column
+    typed boolean (snapshot schema beats Spark's string path-value
+    inference) and (b) let the eligible filter prune the completed
+    partition at the directory level (PartitionFilters in the scan)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import eligible
+
+    base = _frontier_like(spark)
+    store.commit("frontier", base)
+    store.commit_upsert(
+        "frontier", base.limit(5).withColumn("completed", F.lit(True)), key="url_key"
+    )
+    store.compact("frontier", partition_by=["completed"])
+    # stack one more delta so the MoR + pruned-base paths compose
+    store.commit_upsert(
+        "frontier",
+        base.limit(9).withColumn("completed", F.lit(True)),
+        key="url_key",
+    )
+    df = eligible(store.read("frontier"))
+    assert dict(df.dtypes)["completed"] == "boolean"
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    base_scan = next(
+        b for b in plan.split("\n\n") if "Scan parquet" in b and "/frontier/v2" in b
+    )
+    assert "PartitionFilters" in base_scan and "completed" in base_scan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    assert df.count() == 1000 - 9
+
+
 def test_upsert_onto_append_head_rejected(spark, store):
     store.commit("t", df_of(spark, [(1, "a")]))
     store.commit("t", df_of(spark, [(1, "dup"), (2, "b")]), mode="append")
