@@ -3,7 +3,8 @@
 ``entry(spark)`` runs the flagship pricing-rollup query on sf0.001;
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 plus the training-data dedup/similarity/ANN/text-analysis
-ops (44 queries; all but q43 have DuckDB oracles). The
+ops (46 queries; all but q43 have DuckDB oracles — q45/q46 cover the
+full reference cleanup chain and verse-order tracking). The
 full registry lives in ``crawler_spark/queries.py``.
 """
 
