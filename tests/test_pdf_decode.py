@@ -1,0 +1,106 @@
+"""S8 decode half: PDF bytes → items → assembled text (full path).
+
+The decoder is a documented stdlib subset (Flate/literal/hex-UTF16
+strings, Tm/Td/TD/TL/T*/Tj/'/TJ positioning) — not a stub: fixture
+PDFs built by make_pdf (and any generator using that layout) decode
+for real, compressed or not, Vietnamese included, and the decoded
+items feed the reference's assembly/cleanup pipeline unchanged."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.pdf import assemble_pdf_text_py
+from crawler_spark.operators.pdf_decode import (
+    extract_pdf_items,
+    make_pdf,
+    pdf_text,
+)
+
+PAGE1 = [
+    (700.0, "Dòng đầu tiên của trang."),
+    (688.0, "Dòng thứ hai ( có ngoặc ) và dấu ."),
+    (650.0, "Đoạn mới sau khoảng trống lớn."),
+]
+PAGE2 = [(700.0, "Trang hai, một dòng.")]
+
+
+def test_decode_uncompressed_and_flate_identical():
+    plain = make_pdf([PAGE1, PAGE2], compress=False)
+    flate = make_pdf([PAGE1, PAGE2], compress=True)
+    assert b"FlateDecode" in flate and b"FlateDecode" not in plain
+    a, b = extract_pdf_items(plain), extract_pdf_items(flate)
+    assert a == b
+    assert [(i["page"], i["y"], i["str"]) for i in a] == [
+        (1, 700.0, "Dòng đầu tiên của trang."),
+        (1, 688.0, "Dòng thứ hai ( có ngoặc ) và dấu ."),
+        (1, 650.0, "Đoạn mới sau khoảng trống lớn."),
+        (2, 700.0, "Trang hai, một dòng."),
+    ]
+
+
+def test_positioning_operators():
+    """Td/TD/T*/' relative positioning and TJ array shows."""
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (a) Tj "
+        b"0 -14 Td (b) Tj "  # y=686
+        b"0 -40 TD (c) Tj "  # y=646, leading=40
+        b"T* (d) Tj "  # y=606
+        b"(e) ' "  # y=566
+        b"[(f)-250(g)] TJ ET"  # y=566, one merged item
+    )
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+    )
+    got = [(i["y"], i["str"]) for i in extract_pdf_items(pdf)]
+    assert got == [
+        (700.0, "a"),
+        (686.0, "b"),
+        (646.0, "c"),
+        (606.0, "d"),
+        (566.0, "e"),
+        (566.0, "fg"),
+    ]
+
+
+def test_escapes_and_hex_strings():
+    content = (
+        rb"BT 1 0 0 1 72 700 Tm (par\(en\) back\\slash \101\102) Tj "
+        b"<FEFF1EA11EAD> Tj ET"
+    )
+    pdf = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+    )
+    got = [i["str"] for i in extract_pdf_items(pdf)]
+    assert got == ["par(en) back\\slash AB", "ạậ"]
+
+
+def test_full_s8_path_spark(spark):
+    """bytes → decode → assemble: the paragraph-gap rule (y-gap > 18)
+    applies over REAL decoded coordinates, matching the sequential
+    python mirror byte-for-byte."""
+    pdf = make_pdf([PAGE1, PAGE2], compress=True)
+    df = spark.createDataFrame([("DSG_001", bytearray(pdf))], "doc_id string, data binary")
+    rows = {
+        (r["doc_id"], r["page"]): r["text"]
+        for r in pdf_text(df, "data", "doc_id").collect()
+    }
+    items = extract_pdf_items(pdf)
+    want1 = assemble_pdf_text_py([i for i in items if i["page"] == 1])
+    want2 = assemble_pdf_text_py([i for i in items if i["page"] == 2])
+    assert rows[("DSG_001", 1)] == want1
+    assert rows[("DSG_001", 2)] == want2
+    # gap rule: 700→688 (12 ≤ 18) same paragraph; 688→650 (38 > 18) break
+    assert "\n\n" in want1 and want1.count("\n\n") == 1
+    assert "(có ngoặc)" in want1  # C26 cleanup applied
+
+
+def test_corrupt_flate_skipped():
+    pdf = make_pdf([PAGE1], compress=True)
+    broken = bytearray(pdf)
+    # corrupt the deflate payload: decoder must skip, not raise
+    start = bytes(broken).find(b"stream\n") + len("stream\n")
+    broken[start : start + 4] = b"\x00\x00\x00\x00"
+    assert extract_pdf_items(bytes(broken)) == []
