@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship pricing-rollup query on sf0.001;
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 plus the training-data dedup/similarity/ANN/text-analysis
-ops (46 queries; all but q43 have DuckDB oracles — q45/q46 cover the
-full reference cleanup chain and verse-order tracking). The
+ops (47 queries; all but q43 have DuckDB oracles — q45/q46 cover the
+full reference cleanup chain and verse-order tracking, q47 proves the
+banded pHash recall guarantee against a brute-force oracle). The
 full registry lives in ``crawler_spark/queries.py``.
 """
 

@@ -1832,3 +1832,62 @@ FROM grp
 
 QUERIES["q46_verse_tracking"] = q46_verse_tracking
 ORACLE_SQL["q46_verse_tracking"] = Q46_SQL
+
+# ---------------------------------------------------------------------------
+# q47 — pHash near-duplicate pairs: the banded-LSH operator vs a
+# BRUTE-FORCE oracle. The Spark side runs near_duplicate_images
+# (guaranteed-recall banding, n_bands > max_hamming); the DuckDB side
+# enumerates ALL pairs with bit_count(xor) <= 7. Value equality is a
+# per-round PROOF of the pigeonhole recall guarantee on live data (the
+# r1 banding bug would fail this row). Input phashes are deterministic
+# arithmetic over doc_id (same expression both engines): a base hash
+# per doc plus a copy perturbed in <= 3 bit positions.
+# ---------------------------------------------------------------------------
+
+
+def q47_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.images_pipeline import near_duplicate_images
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    iid = F.concat(F.lit("img"), F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+    base_hash = (F.col("doc_id") * F.lit(25214903917) + F.lit(11)).cast("bigint")
+    # python F.shiftleft needs a literal bit count; the SQL form takes
+    # column operands
+    mask = F.expr(
+        "shiftleft(1L, cast(doc_id % 61 as int)) "
+        "| shiftleft(1L, cast((doc_id * 7) % 59 + 1 as int)) "
+        "| shiftleft(1L, cast((doc_id * 13) % 53 + 2 as int))"
+    )
+    orig = d.select(iid.alias("image_id"), base_hash.alias("phash"))
+    pert = d.select(
+        F.concat(iid, F.lit("_v2")).alias("image_id"),
+        base_hash.bitwiseXOR(mask).alias("phash"),
+    )
+    imgs = orig.unionByName(pert)
+    pairs = near_duplicate_images(imgs, max_hamming=7)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+Q47_SQL = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+imgs AS (
+  SELECT 'img' || lpad(doc_id::VARCHAR, 4, '0') AS image_id,
+         (doc_id * 25214903917 + 11)::BIGINT AS phash
+  FROM docs
+  UNION ALL
+  SELECT 'img' || lpad(doc_id::VARCHAR, 4, '0') || '_v2' AS image_id,
+         xor((doc_id * 25214903917 + 11)::BIGINT,
+             (1::BIGINT << (doc_id % 61)::INT)
+             | (1::BIGINT << ((doc_id * 7) % 59 + 1)::INT)
+             | (1::BIGINT << ((doc_id * 13) % 53 + 2)::INT)) AS phash
+  FROM docs)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::INT AS hamming
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 7
+"""
+
+QUERIES["q47_phash_near_dup"] = q47_phash_near_dup
+ORACLE_SQL["q47_phash_near_dup"] = Q47_SQL
