@@ -1,19 +1,30 @@
 """Robots filter (north rule; absent in the reference — verified, no
 robots/delay/throttle logic anywhere in ``src/``, SURVEY §2.10).
 
-Rules table: (host, path_prefix, allow). Decision = longest matching
-prefix wins; no match ⇒ allow. Implemented as a broadcast join +
-startswith theta condition + max-prefix-length window — all built-ins.
-At 10^10-URL scale the rules table stays small (rules per host, not per
-URL), so broadcast is the right physical plan.
+Rules table: (host, path_prefix, allow). Decision per RFC 9309:
+most-specific rule wins (longest rule string); among equally specific
+matches, allow wins; no match ⇒ allow. ``wildcard=True`` additionally
+honors the RFC's ``*`` (any chars) and trailing ``$`` (end anchor),
+with rule specificity still measured by rule-string length.
+
+Physical shape (r2 — replaces the r1 window-over-all-columns, which
+shuffled every candidate row): rules are grouped per host into an
+ARRAY and broadcast; each candidate row evaluates its matches inside
+higher-order functions (filter/exists over the rules array). The
+candidate side never shuffles and never sorts — the only exchanges in
+the plan belong to the tiny rules-table groupBy and the broadcast. At
+10^10 URLs that is the difference between a map-only stage and a
+full-frontier shuffle per round. Plan-gated in tests/test_ids_robots.py.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.canonical import host_col
+
+_END = "\x0eEND\x0e"  # private marker for a trailing $ during conversion
 
 
 def with_path(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -29,36 +40,62 @@ def with_path(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def _wildcard_pattern(prefix: Column) -> Column:
+    """RFC 9309 rule → anchored regex: escape regex specials, ``*`` →
+    ``.*``, a TRAILING ``$`` anchors the end (non-trailing ``$`` is
+    literal). Runs once per rule on the tiny rules table."""
+    esc = F.regexp_replace(prefix, r"([.\^+?(){}\[\]|\\])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\$", r"\\\$")  # all $ → literal
+    esc = F.regexp_replace(esc, r"\\\$$", _END)  # trailing $ → marker
+    body = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), F.replace(body, F.lit(_END), F.lit("$")))
+
+
 def robots_filter(
     candidates: DataFrame,
     robots: DataFrame,
     url_col: str = "url",
     host_column: str | None = "host",
+    wildcard: bool = False,
 ) -> DataFrame:
-    """Keep only robots-allowed rows. Adds nothing; drops `_path`."""
+    """Keep only robots-allowed rows. Adds nothing; drops helpers."""
     df = with_path(candidates, url_col)
+    drop_host = False
     if host_column is None:
         df = df.withColumn("_host", host_col(F.col(url_col)))
         host_column = "_host"
-    r = F.broadcast(
-        robots.select(
-            F.col("host").alias("_r_host"),
-            F.col("path_prefix").alias("_r_prefix"),
-            F.col("allow").alias("_r_allow"),
+        drop_host = True
+
+    spec = robots.select(
+        F.col("host").alias("_r_host"),
+        F.col("path_prefix").alias("_spec"),
+        F.col("allow").alias("_allow"),
+        F.length("path_prefix").alias("_spec_len"),
+    )
+    if wildcard:
+        spec = spec.withColumn("_pat", _wildcard_pattern(F.col("_spec")))
+    grouped = F.broadcast(
+        spec.groupBy("_r_host").agg(
+            F.collect_list(
+                F.struct(
+                    *(["_pat"] if wildcard else ["_spec"]), "_allow", "_spec_len"
+                )
+            ).alias("_rules")
         )
     )
-    joined = df.join(
-        r,
-        (F.col(host_column) == F.col("_r_host"))
-        & F.col("_path").startswith(F.col("_r_prefix")),
-        "left",
+
+    j = df.join(grouped, F.col(host_column) == F.col("_r_host"), "left")
+    path = F.col("_path")
+    if wildcard:
+        match = lambda r: F.rlike(path, r["_pat"])  # noqa: E731
+    else:
+        match = lambda r: path.startswith(r["_spec"])  # noqa: E731
+    matched = F.filter(F.coalesce(F.col("_rules"), F.array()), match)
+    best = F.array_max(F.transform(matched, lambda r: r["_spec_len"]))
+    allowed = F.when(F.size(matched) == 0, F.lit(True)).otherwise(
+        F.exists(matched, lambda r: (r["_spec_len"] == best) & r["_allow"])
     )
-    w = Window.partitionBy(*df.columns).orderBy(
-        F.length(F.col("_r_prefix")).desc_nulls_last()
-    )
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .filter(F.coalesce(F.col("_r_allow"), F.lit(True)))
-        .drop("_r_host", "_r_prefix", "_r_allow", "_rn", "_path", "_host")
-    )
+    out = j.filter(allowed).drop("_r_host", "_rules", "_path")
+    if drop_host:
+        out = out.drop("_host")
+    return out

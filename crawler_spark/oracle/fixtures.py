@@ -228,10 +228,18 @@ def build_world(
 
 def robots_allowed(world: World, host: str, path: str) -> bool:
     """Longest-prefix-match robots decision (our spec; reference has no
-    robots handling — verified SURVEY §2.10)."""
-    best_len, allow = -1, True
-    for r in world.robots:
-        if r["host"] == host and path.startswith(r["path_prefix"]):
-            if len(r["path_prefix"]) > best_len:
-                best_len, allow = len(r["path_prefix"]), r["allow"]
-    return allow
+    robots handling — verified SURVEY §2.10). RFC 9309 tie-break:
+    among equally long matches, allow wins — mirrors
+    ``operators/robots.py`` exactly (fixture rule sets have no ties,
+    but the spec is total either way)."""
+    matches = [
+        r
+        for r in world.robots
+        if r["host"] == host and path.startswith(r["path_prefix"])
+    ]
+    if not matches:
+        return True
+    best_len = max(len(r["path_prefix"]) for r in matches)
+    return any(
+        r["allow"] for r in matches if len(r["path_prefix"]) == best_len
+    )

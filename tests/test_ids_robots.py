@@ -81,3 +81,67 @@ def test_robots_longest_prefix_wins(spark):
         "http://a.test/",
         "http://c.test/no/rules",
     }
+
+
+def test_robots_tie_break_allow_wins(spark):
+    """RFC 9309: among equally specific matches, allow wins."""
+    robots = spark.createDataFrame(
+        [("t.test", "/dir", False), ("t.test", "/dir", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+    cands = spark.createDataFrame(
+        [("t.test", "http://t.test/dir/x")], "host string, url string"
+    )
+    assert robots_filter(cands, robots).count() == 1
+
+
+def test_robots_wildcard_rules(spark):
+    """RFC 9309 wildcard mode: * spans any chars, trailing $ anchors,
+    non-trailing $ is literal, specificity = rule-string length."""
+    robots = spark.createDataFrame(
+        [
+            ("w.test", "/private*", False),
+            ("w.test", "/private/pub$", True),   # longer → beats /private*
+            ("w.test", "/a*.html$", False),
+            ("w.test", "/li$eral", False),        # literal $ mid-rule
+        ],
+        "host string, path_prefix string, allow boolean",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("w.test", "http://w.test/private/x"),     # deny
+            ("w.test", "http://w.test/private/pub"),   # allow ($-rule wins)
+            ("w.test", "http://w.test/private/pub2"),  # deny (no $ match)
+            ("w.test", "http://w.test/ab.html"),       # deny (a*.html$)
+            ("w.test", "http://w.test/ab.htmlx"),      # allow ($ anchored)
+            ("w.test", "http://w.test/li$eral/x"),     # deny (literal $)
+            ("w.test", "http://w.test/ok"),            # allow
+        ],
+        "host string, url string",
+    )
+    got = {r["url"] for r in robots_filter(cands, robots, wildcard=True).collect()}
+    assert got == {
+        "http://w.test/private/pub",
+        "http://w.test/ab.htmlx",
+        "http://w.test/ok",
+    }
+
+
+def test_robots_filter_no_candidate_shuffle(spark):
+    """Scale gate: the r1 implementation windowed over every candidate
+    column (full shuffle of the frontier per round). The r2 shape is a
+    broadcast rules-array + higher-order match — no Window, no sort-
+    merge join, no candidate-side exchange."""
+    robots = spark.createDataFrame(
+        [("a.test", "/x", False)], "host string, path_prefix string, allow boolean"
+    )
+    cands = spark.createDataFrame(
+        [("a.test", "http://a.test/y")], "host string, url string"
+    )
+    out = robots_filter(cands, robots)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
