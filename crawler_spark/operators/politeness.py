@@ -87,13 +87,24 @@ def select_round(
         if extra_filter is not None:
             elig = elig.filter(extra_filter)
     pol = F.broadcast(politeness.select("host", "budget_per_round"))
+    # constant rank cap = max budget across hosts. Ranking against a
+    # CONSTANT lets Catalyst insert a partial WindowGroupLimit BEFORE
+    # the host exchange, so each map task ships at most `cap` rows per
+    # host instead of the host's whole eligible set — at 10^10 frontier
+    # rows with budgets of a few URLs/host/round, the politeness
+    # shuffle carries O(hosts × cap), not O(open frontier). The exact
+    # per-host budget filter still applies after (cap ≥ every budget,
+    # so results are identical). Plan-gated in tests/test_plans.py.
+    max_row = politeness.agg(F.max("budget_per_round").alias("m")).first()
+    cap = max(int(max_row["m"] or 0), default_budget)
     w = Window.partitionBy("host").orderBy(*priority_order(descending))
     return (
-        elig.join(pol, on="host", how="left")
+        elig.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.lit(cap))
+        .join(pol, on="host", how="left")
         .withColumn(
             "budget", F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
         )
-        .withColumn("host_rank", F.row_number().over(w))
         .filter(F.col("host_rank") <= F.col("budget"))
         .withColumn("attempt", F.col("attempts") + F.lit(1))
         .drop("budget_per_round", "budget")

@@ -114,3 +114,32 @@ def test_brute_force_guard_trips(spark):
     for fn in (q24_ngram_jaccard, q25_cosine_topk, q38_embedding_near_dup):
         with pytest.raises(ValueError, match="brute-force bound"):
             fn(spark, SF_DIR, max_rows=3)
+
+
+def test_politeness_partial_topk_before_shuffle(spark):
+    """select_round must rank against a CONSTANT cap so Catalyst plants
+    a partial WindowGroupLimit before the host exchange — the shuffle
+    carries O(hosts x cap) rows, not the whole open frontier."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.politeness import select_round
+
+    frontier = spark.range(1000).select(
+        F.concat(F.lit("h"), (F.col("id") % 7)).alias("host"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.lit(False).alias("requires_manual_check"),
+        F.col("id").cast("int").alias("document_number"),
+        F.lit(0).alias("depth"),
+        F.lit(False).alias("completed"),
+        F.lit(0).cast("int").alias("attempts"),
+        F.lit("d").alias("doc_id"),
+    )
+    pol = spark.createDataFrame([("h0", 4)], "host string, budget_per_round int")
+    out = select_round(frontier, pol, default_budget=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    partials = [
+        b for b in plan.split("\n\n") if "WindowGroupLimit" in b and "Partial" in b
+    ]
+    assert partials, "no partial WindowGroupLimit before the politeness shuffle"
