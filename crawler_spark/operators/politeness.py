@@ -55,6 +55,15 @@ def eligible(frontier: DataFrame) -> DataFrame:
     )
 
 
+def budget_cap(politeness: DataFrame, default_budget: int = 2) -> int:
+    """max budget across hosts — the constant rank cap for
+    :func:`select_round`. The politeness table is static across rounds,
+    so callers (CrawlEngine) compute this ONCE at init instead of
+    paying a driver-blocking aggregate job per round."""
+    row = politeness.agg(F.max("budget_per_round").alias("m")).first()
+    return max(int(row["m"] or 0), default_budget)
+
+
 def select_round(
     frontier: DataFrame,
     politeness: DataFrame,
@@ -63,6 +72,7 @@ def select_round(
     descending: bool = False,
     force_all: bool = False,
     force_ids=None,
+    cap: int | None = None,
 ) -> DataFrame:
     """Per-host top-k politeness selection for one crawl round.
 
@@ -75,6 +85,9 @@ def select_round(
     selects exactly those doc_ids. Like the reference's else-if chain,
     a force override also bypasses ``extra_filter`` (filterCheckpoint
     only applies when no force is given).
+    ``cap``: precomputed :func:`budget_cap` — pass it when calling per
+    round so the constant-rank cap does not re-run an eager aggregate
+    job every call (CrawlEngine computes it once at init).
     Returns the scheduled rows with ``host_rank`` (1-based priority rank
     within host) and ``attempt`` (this round's attempt number).
     """
@@ -86,7 +99,12 @@ def select_round(
         elig = eligible(frontier)
         if extra_filter is not None:
             elig = elig.filter(extra_filter)
-    pol = F.broadcast(politeness.select("host", "budget_per_round"))
+    # hosts must be unique in the politeness dim: a duplicate host row
+    # would duplicate every scheduled row through the join (degenerate
+    # either way — r2 ranked after the join, corrupting ranks instead)
+    pol = F.broadcast(
+        politeness.select("host", "budget_per_round").dropDuplicates(["host"])
+    )
     # constant rank cap = max budget across hosts. Ranking against a
     # CONSTANT lets Catalyst insert a partial WindowGroupLimit BEFORE
     # the host exchange, so each map task ships at most `cap` rows per
@@ -95,8 +113,8 @@ def select_round(
     # shuffle carries O(hosts × cap), not O(open frontier). The exact
     # per-host budget filter still applies after (cap ≥ every budget,
     # so results are identical). Plan-gated in tests/test_plans.py.
-    max_row = politeness.agg(F.max("budget_per_round").alias("m")).first()
-    cap = max(int(max_row["m"] or 0), default_budget)
+    if cap is None:
+        cap = budget_cap(politeness, default_budget)
     w = Window.partitionBy("host").orderBy(*priority_order(descending))
     return (
         elig.withColumn("host_rank", F.row_number().over(w))

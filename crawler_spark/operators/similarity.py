@@ -43,10 +43,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.col(id_col).alias("doc_id"),
         F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+").alias("w"),
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("w", i, n)),
-    )
+    # documents shorter than n words yield NO shingles. The guard is
+    # load-bearing: sequence(1, 0) is DESCENDING in Spark ([1, 0]), and
+    # slice(w, 0, n) throws INVALID_PARAMETER_VALUE.START — without the
+    # when(), one short/empty doc aborts the whole sweep.
+    grams = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return dw.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
@@ -145,15 +152,25 @@ def exact_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # left joins keep EVERY input pair in the output: a candidate pair
+    # with an empty shingle intersection (or an empty/short document on
+    # either side) scores jaccard 0.0 instead of silently vanishing —
+    # callers reconcile the verify tier against the candidate set 1:1.
+    union_sz = F.coalesce("sz_a", F.lit(0)) + F.coalesce("sz_b", F.lit(0)) - F.col(
+        "n_inter"
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a", "left")
+        .join(sb, "doc_b", "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            F.when(union_sz > 0, F.round(F.col("n_inter") / union_sz, 6))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
         )
     )

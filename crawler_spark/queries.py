@@ -65,8 +65,9 @@ def _guard_brute_force(
     tier: candidate count grows quadratically, so these shapes are
     refused beyond ``max_rows`` input rows instead of silently melting
     a cluster — the bucketed siblings (q22 MinHash-LSH, q26
-    sign-buckets, q39 IVF) are the 100 TB path. The count() is a
-    parquet-metadata count-star (no data scan)."""
+    sign-buckets, q39 IVF) are the 100 TB path. Callers pass filtered
+    frames, so the count() scans the (pruned) input once — a linear
+    pre-pass that is negligible next to the quadratic stage it gates."""
     n = df.count()
     if n > max_rows:
         raise ValueError(
@@ -695,10 +696,15 @@ def _shingles(d: DataFrame) -> DataFrame:
     # through a named column keeps CollapseProject from inlining the
     # split() into every lambda call site (an O(words²) blowup)
     dw = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
-    )
+    # when() guard: sequence(1, 0) is descending and slice start 0
+    # throws — a <3-word doc must yield an empty shingle set, not abort
+    grams = F.when(
+        F.size("w") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 2),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return dw.select("doc_id", F.explode(grams).alias("shingle")).distinct()
 
 
@@ -1034,10 +1040,13 @@ def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document computes its fingerprint in place (15× over the window
     # formulation at sf0.1)
     dw = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("w") - 4, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
-    )
+    grams = F.when(
+        F.size("w") >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 4),
+            lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     fp = F.array_join(
         F.slice(F.array_sort(F.array_distinct(F.transform(grams, F.md5))), 1, 4),
         ",",

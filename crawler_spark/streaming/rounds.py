@@ -35,7 +35,7 @@ from pyspark.sql import types as T
 from crawler_spark.canonical import canonical_url_col, host_col, url_key_col
 from crawler_spark.functions.text import md_images_col
 from crawler_spark.operators.dedup import ShardedBloom, anti_join_seen, first_wins
-from crawler_spark.operators.politeness import eligible, select_round
+from crawler_spark.operators.politeness import budget_cap, eligible, select_round
 from crawler_spark.operators.robots import robots_filter
 from crawler_spark.plans.store import SnapshotStore
 from crawler_spark.sources.fetch import fetch_scheduled
@@ -91,6 +91,9 @@ class CrawlEngine:
             self.bloom = ShardedCuckoo(self.spark, self.store, n_shards=self.bloom_shards)
         else:
             self.bloom = None
+        # politeness is static across rounds: compute the constant rank
+        # cap ONCE instead of a driver-blocking aggregate per round
+        self._budget_cap = budget_cap(self.politeness, self.default_budget)
 
     # ------------------------------------------------------------------ init
     def init_frontier(self, seeds: DataFrame) -> None:
@@ -157,6 +160,7 @@ class CrawlEngine:
             descending=self.priority_desc,
             force_all=force_all,
             force_ids=force_ids,
+            cap=self._budget_cap,
         ).select(*FRONTIER_COLS, "host_rank", "attempt")
 
         fetched = fetch_scheduled(scheduled, self.fetcher, salted=self.salted_fetch).cache()
@@ -229,6 +233,7 @@ class CrawlEngine:
                 F.col("url").alias("page_url"),
                 "host_rank",
                 F.col("host").alias("parent_host"),
+                "site",
                 "requires_manual_check",
                 "document_number",
                 "doc_id",
@@ -283,7 +288,10 @@ class CrawlEngine:
             "url",
             "host",
             F.pmod(F.xxhash64("url"), F.lit(N_SALTS)).cast("int").alias("host_salt"),
-            F.lit(None).cast("string").alias("site"),
+            # discovered rows INHERIT the parent's site: a SiteAdapter
+            # whose extra_filter predicates on `site` must keep crawling
+            # its own depth-1 chapters (null here silently skipped them)
+            "site",
             "doc_id",
             (F.col("parent_depth") + 1).alias("depth"),
             "requires_manual_check",

@@ -142,10 +142,15 @@ def streaming_sessionize(
             state.remove()
             return
         last_ts, seq = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("ts")
+        # materialize the whole group and sort ONCE: the iterator yields
+        # ~10k-row Arrow chunks in arrival order, so sorting per chunk
+        # would assign wrong session ids (and move last_ts backwards)
+        # whenever one user's batch spans chunks with interleaved
+        # timestamps. A single user's per-micro-batch volume is bounded,
+        # so the concat is safe.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             out_sess = []
             for ts in pdf["ts"]:
                 ts = int(ts)

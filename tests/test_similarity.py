@@ -77,3 +77,63 @@ def test_bands_must_divide_k(spark):
     df = _corpus(spark)
     with pytest.raises(ValueError, match="must divide"):
         minhash_pairs(df, "doc_id", "text", k=100, bands=32)
+
+
+def test_short_and_empty_docs_do_not_abort(spark):
+    """ADVICE r2 (high): sequence(1, 0) is descending in Spark, so a
+    doc with fewer words than the shingle width used to throw
+    INVALID_PARAMETER_VALUE.START and abort the whole sweep. Short and
+    empty docs must instead contribute zero shingles."""
+    rows = [
+        ("empty", ""),
+        ("one", "hello"),
+        ("two", "hello world"),
+        ("ws", "   "),
+        ("long", " ".join(f"w{i}" for i in range(50))),
+        ("long_near", " ".join(("xx" if i == 10 else f"w{i}") for i in range(50))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", k=8)
+    # docs without shingles produce no signature row (nothing to hash)
+    assert sorted(r["doc_id"] for r in sigs.collect()) == ["long", "long_near"]
+    pairs = minhash_pairs(df, "doc_id", "text", k=8, bands=4, min_est_jaccard=0.5)
+    got = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert got == [("long", "long_near")]
+
+
+def test_queries_shingles_short_docs(spark):
+    """Same latent crash in queries.py _shingles / q29 grams."""
+    from crawler_spark.queries import _shingles
+
+    rows = [("a", ""), ("b", "one two"), ("c", "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = sorted(
+        (r["doc_id"], r["shingle"]) for r in _shingles(df).collect()
+    )
+    assert got == [("c", "one two three"), ("c", "two three four")]
+
+
+def test_exact_jaccard_keeps_empty_intersection_pairs(spark):
+    """ADVICE r2: the verify tier must return a row for EVERY candidate
+    pair — empty intersections score 0.0 instead of disappearing."""
+    rows = [
+        ("x", "a b c d e"),
+        ("y", "a b c d e f"),
+        ("z", "p q r s t"),
+        ("w", ""),  # no shingles at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("x", "y"), ("x", "z"), ("x", "w"), ("w", "z")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df, "doc_id", "text", pairs).collect()
+    }
+    assert set(got) == {("x", "y"), ("x", "z"), ("x", "w"), ("w", "z")}
+    # x: {abc,bcd,cde}, y: {abc,bcd,cde,def} → 3 shared of 4 union
+    assert got[("x", "y")] == pytest.approx(3 / 4)
+    assert got[("x", "z")] == 0.0
+    assert got[("x", "w")] == 0.0
+    assert got[("w", "z")] == 0.0

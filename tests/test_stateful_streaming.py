@@ -93,3 +93,38 @@ def test_first_seen_parity_with_batch_dedup(spark, tmp_path):
     for k, u in rows:
         first.setdefault(k, u)
     assert sorted(end) == sorted((k, u) for k, u in first.items())
+
+
+def test_sessionize_sorts_across_arrow_chunks(spark, tmp_path):
+    """ADVICE r2: the group iterator yields Arrow chunks in arrival
+    order; sorting per chunk assigned wrong session ids when one user's
+    batch spanned chunks with interleaved timestamps. Force 2-row
+    chunks and feed out-of-order events — the operator must sort the
+    WHOLE group once."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "2")
+    try:
+        schema = "user_id string, ts long"
+        b1 = [("a", 5000), ("a", 1000), ("a", 5100), ("a", 1100), ("a", 9000)]
+        b2 = [("a", 9100)]
+        _, end = _run_two_batches(
+            spark,
+            tmp_path,
+            "sesschunk",
+            schema,
+            b1,
+            b2,
+            lambda s: streaming_sessionize(s, gap_s=1800),
+        )
+    finally:
+        spark.conf.set(key, old)
+    got = sorted(end)
+    assert got == [
+        ("a", 1000, "a#1"),
+        ("a", 1100, "a#1"),
+        ("a", 5000, "a#2"),
+        ("a", 5100, "a#2"),
+        ("a", 9000, "a#3"),
+        ("a", 9100, "a#3"),
+    ]

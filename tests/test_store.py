@@ -211,3 +211,51 @@ def test_append_onto_delta_head_rejected(spark, store):
     store.commit("t", df_of(spark, [(9, "z")]), mode="append")
     got = dict((r["k"], r["v"]) for r in store.read("t").collect())
     assert got == {1: "a2", 9: "z"}
+
+
+def test_mor_large_delta_read_drops_broadcast(spark, store):
+    """Scale gate (VERDICT r2 #1): deltas accumulate discoveries for up
+    to compact_every rounds, so the delta key set is NOT always
+    driver-sized. Past broadcast_delta_max_rows (footer-counted, no
+    extra job) the read must plan a plain anti-join, not force the key
+    set through the driver."""
+    from pyspark.sql import functions as F
+
+    base = _frontier_like(spark)
+    store.commit("frontier", base)
+    delta = base.limit(50).withColumn("completed", F.lit(True))
+    store.commit_upsert("frontier", delta, key="url_key")
+
+    def _plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # make the static planner honest: tiny test files would be
+    # auto-broadcast by size estimation regardless of the hint
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        store.broadcast_delta_max_rows = 10  # delta has 50 rows → over
+        assert "BroadcastHashJoin" not in _plan(store.read("frontier"))
+        store.broadcast_delta_max_rows = 4_000_000  # under → hint kept
+        assert "BroadcastHashJoin LeftAnti" in _plan(store.read("frontier"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        store.broadcast_delta_max_rows = 4_000_000
+
+    # both plans resolve the same table state
+    store.broadcast_delta_max_rows = 10
+    rows = store.read("frontier").collect()
+    assert len(rows) == 1000
+    assert sum(r["completed"] for r in rows) == 50
+
+
+def test_parquet_footer_row_counts(spark, store, tmp_path):
+    df = spark.range(123).selectExpr("id", "id * 2 AS v")
+    p = str(tmp_path / "footers")
+    df.repartition(4).write.parquet(p)
+    assert store._parquet_rows([p]) == 123
+    assert store._parquet_rows([str(tmp_path / "missing")]) == 0
