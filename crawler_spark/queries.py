@@ -1900,3 +1900,75 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 7
 
 QUERIES["q47_phash_near_dup"] = q47_phash_near_dup
 ORACLE_SQL["q47_phash_near_dup"] = Q47_SQL
+
+# ---------------------------------------------------------------------------
+# q48 — the PRODUCTION MinHash operator (operators/similarity.py, k=128,
+# b=32, r=4) vs a brute-force DuckDB oracle (VERDICT r2 #3: only the toy
+# k=4 shape had a correctness row). Near-dup docs are planted
+# deterministically with SQL expressible both engines: each doc gets a
+# twin with 5 appended words, so planted-pair Jaccard is m/(m+7) ≈ 0.93
+# on 3-gram shingles. At (k=128, b=32, r=4) the S-curve miss
+# probability at s=0.93 is (1 - 0.93^4)^32 ≈ 2e-22 and the hashes are
+# deterministic, so the LSH tier MUST surface every pair the oracle's
+# all-pairs scan finds at the 0.7 exact-Jaccard cut; the exact-verify
+# tier then reproduces the oracle's scores bit-for-bit. A value match
+# here is a per-round recall + precision proof of the operator a
+# 100 TB sweep would run.
+# ---------------------------------------------------------------------------
+
+
+def q48_minhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.similarity import (
+        exact_jaccard_pairs,
+        minhash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    ids = F.concat(F.lit("d"), F.lpad(F.col("doc_id").cast("string"), 4, "0"))
+    orig = d.select(ids.alias("doc_id"), "text")
+    near = d.select(
+        F.concat(ids, F.lit("_n")).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz1 zz2 zz3 zz4 zz5")).alias("text"),
+    )
+    docs = orig.unionByName(near)
+    cand = minhash_pairs(
+        docs, "doc_id", "text", k=128, bands=32, min_est_jaccard=0.5
+    )
+    verified = exact_jaccard_pairs(
+        docs, "doc_id", "text", cand.select("doc_a", "doc_b")
+    )
+    return verified.filter(F.col("jaccard") >= 0.7).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+Q48_SQL = r"""
+WITH docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+docs AS (
+  SELECT 'd' || lpad(doc_id::VARCHAR, 4, '0') AS doc_id, text FROM docs0
+  UNION ALL
+  SELECT 'd' || lpad(doc_id::VARCHAR, 4, '0') || '_n' AS doc_id,
+         text || ' zz1 zz2 zz3 zz4 zz5' AS text
+  FROM docs0),
+words AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+  FROM docs),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.7
+"""
+
+QUERIES["q48_minhash_production"] = q48_minhash_production
+ORACLE_SQL["q48_minhash_production"] = Q48_SQL
