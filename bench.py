@@ -100,14 +100,25 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
     spark = get_spark("bench")
     spark.range(1_000_000).select(F.sum("id")).collect()  # JVM/codegen warmup
 
+    # best-of-N per query: this box shows 2-5x trial-to-trial hypervisor
+    # noise (BENCH.md §0), so a single trial cannot distinguish a real
+    # regression from steal — r2's per-query "regressions" were exactly
+    # that. min is the steal-free estimate; the spread is reported so
+    # the round-over-round diff is trustworthy.
     times: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.perf_counter() - t0, 3)
+        ts = []
+        for _ in range(n_trials):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            ts.append(round(time.perf_counter() - t0, 3))
+        trials[name] = ts
+        times[name] = min(ts)
 
     frontier = bench_frontier(spark)
 
@@ -116,6 +127,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "trials": trials,
         "sf": sf,
         "frontier": frontier,
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
