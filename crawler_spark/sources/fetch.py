@@ -16,7 +16,9 @@ Fetchers are pluggable:
     once ``attempt > fail_rounds`` — deterministic, matching the
     oracle byte-for-byte.
   * :class:`HttpFetcher` — stdlib urllib with retry + timeout for a
-    real deployment; never used in tests (no network in the sandbox).
+    real deployment; tested against an in-process loopback
+    ``http.server`` (tests/test_http_fetch.py) — no external network
+    needed for 200/404/503-retry/timeout/redirect coverage.
 """
 
 from __future__ import annotations
@@ -130,22 +132,36 @@ class HttpFetcher:
     retries: int = 5
     backoff_s: float = 0.5
 
-    def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+    def _fetch_one(self, url: str) -> tuple[str | None, int]:
+        """One URL through the retry budget. Mirrors the reference's
+        async-retry loop (getPageContent.ts:45-52 — 5 attempts,
+        exponential backoff): transient failures (5xx, timeouts,
+        connection errors) retry; 4xx is permanent and returns
+        immediately; redirects are followed by urllib. Exercised
+        against a loopback http.server in tests/test_http_fetch.py."""
+        import urllib.error
         import urllib.request
 
+        status = 0
+        for k in range(self.retries):
+            if k:
+                time.sleep(self.backoff_s * (2 ** (k - 1)))
+            try:
+                with urllib.request.urlopen(url, timeout=self.timeout_s) as r:
+                    return r.read().decode("utf-8", "replace"), int(r.status)
+            except urllib.error.HTTPError as e:
+                status = int(e.code)
+                if 400 <= status < 500:
+                    return None, status  # permanent — don't burn retries
+            except Exception:
+                status = 599  # timeout / connection error
+        return None, status
+
+    def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
         bodies, statuses, succ, lat = [], [], [], []
         for url in pdf["url"]:
-            body, status = None, 0
             t0 = time.monotonic()
-            for k in range(self.retries):
-                try:
-                    with urllib.request.urlopen(url, timeout=self.timeout_s) as r:
-                        status = r.status
-                        body = r.read().decode("utf-8", "replace")
-                        break
-                except Exception:
-                    status = 599
-                    time.sleep(self.backoff_s * (2**k))
+            body, status = self._fetch_one(str(url))
             bodies.append(body)
             statuses.append(status)
             succ.append(body is not None)
