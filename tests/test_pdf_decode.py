@@ -104,3 +104,71 @@ def test_corrupt_flate_skipped():
     start = bytes(broken).find(b"stream\n") + len("stream\n")
     broken[start : start + 4] = b"\x00\x00\x00\x00"
     assert extract_pdf_items(bytes(broken)) == []
+
+
+def test_objstm_and_tounicode_decode():
+    """VERDICT r2 #7: PDF-1.5 object streams + bfchar/bfrange ToUnicode
+    CMaps. All structure dicts live in a Flate ObjStm; text is hex
+    strings of 1-byte codes decoded through the font's CMap (a run of
+    contiguous codes is emitted as a bfrange, the rest as bfchar)."""
+    from crawler_spark.operators.pdf_decode import make_pdf_objstm
+
+    # codes 1..26 → a..z (emitted as ONE bfrange), plus Vietnamese
+    # bfchar entries outside the run
+    cmap = {i: chr(ord("a") + i - 1) for i in range(1, 27)}
+    cmap[0x30] = " "
+    cmap[0x31] = "ệ"
+    cmap[0x32] = "Đ"
+    pages = [
+        [(700.0, "vi"), (688.0, "Đviệt")],
+        [(700.0, "ệ b")],
+    ]
+    pdf = make_pdf_objstm(pages, cmap)
+    assert b"/ObjStm" in pdf and b"bfrange" in zlib_peek(pdf)
+    got = [(i["page"], i["y"], i["str"]) for i in extract_pdf_items(pdf)]
+    assert got == [
+        (1, 700.0, "vi"),
+        (1, 688.0, "Đviệt"),
+        (2, 700.0, "ệ b"),
+    ]
+
+
+def zlib_peek(pdf: bytes) -> bytes:
+    """Concatenate every inflatable stream (test helper)."""
+    import re as _re
+    import zlib as _z
+
+    out = b""
+    for m in _re.finditer(rb"stream\r?\n(.*?)\nendstream", pdf, _re.S):
+        try:
+            out += _z.decompress(m.group(1))
+        except Exception:
+            pass
+    return out
+
+
+def test_objstm_full_s8_path_spark(spark):
+    """ObjStm+CMap bytes through the full Spark path (decode →
+    assembly) — the same pdf_text surface as the classic layout."""
+    from crawler_spark.operators.pdf_decode import make_pdf_objstm
+
+    cmap = {i: chr(ord("a") + i - 1) for i in range(1, 27)}
+    cmap[0x30] = " "
+    pdf = make_pdf_objstm([[(700.0, "mot dong"), (688.0, "hai dong")]], cmap)
+    df = spark.createDataFrame([("d1", bytearray(pdf))], "doc_id string, data binary")
+    rows = pdf_text(df, "data", "doc_id").collect()
+    assert len(rows) == 1
+    assert "mot dong" in rows[0]["text"] and "hai dong" in rows[0]["text"]
+
+
+def test_tounicode_two_byte_codespace():
+    """2-byte codespacerange: codes consume 2 bytes per glyph."""
+    from crawler_spark.operators.pdf_decode import _parse_cmap
+
+    data = (
+        b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0041> <0041>\n<0100> <1EC7>\nendbfchar\n"
+    )
+    width, cmap = _parse_cmap(data)
+    assert width == 2
+    assert cmap == {0x41: "A", 0x100: "ệ"}
