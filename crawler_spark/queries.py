@@ -1674,8 +1674,8 @@ def q45_full_cleanup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     w = F.split(F.col("text"), " ")
     md = F.concat(
-        F.lit("# Đề mục\n"),
-        F.lit("“Trích” ![hình](http://x/i.png) xem [chú thích](http://y) rồi ** "),
+        F.lit("# Đề mục\n```js\nvar x = 1;\n```\n"),
+        F.lit("“Trích” ![hình](http://x/i.png) xem [chú thích](http://y) với `mã nguồn` rồi ** "),
         w[1],
         F.lit("q **\nvà *** "),
         w[2],
@@ -1692,8 +1692,8 @@ def q45_full_cleanup_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q45_SQL = r"""
 WITH src AS (
   SELECT doc_id,
-         '# Đề mục' || chr(10) ||
-         '“Trích” ![hình](http://x/i.png) xem [chú thích](http://y) rồi ** ' || split_part(text,' ',2) || 'q **' || chr(10) ||
+         '# Đề mục' || chr(10) || '```js' || chr(10) || 'var x = 1;' || chr(10) || '```' || chr(10) ||
+         '“Trích” ![hình](http://x/i.png) xem [chú thích](http://y) với `mã nguồn` rồi ** ' || split_part(text,' ',2) || 'q **' || chr(10) ||
          'và *** ' || split_part(text,' ',3) || 'q *** hết' || chr(10) ||
          '1.' || split_part(text,' ',4) || chr(10) ||
          '- mục * ' || split_part(text,' ',5) || 'q *' || chr(10) ||
@@ -1728,16 +1728,21 @@ WITH src AS (
 )
 SELECT doc_id, cleaned,
   regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(cleaned,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(cleaned,
     '!\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
     '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+    '\\`', chr(2), 'g'),
+    '(?m)^```[^\n]*$', '', 'g'),
+    '``([^`\n]+)``', '\1', 'g'),
+    '`([^`\n]+)`', '\1', 'g'),
     '(?m)^#{1,6}[ \t]+', '', 'g'),
     '(?m)^(?:> ?)+', '', 'g'),
     '(?m)^[ \t]*(-{3,}|\*{3,}|_{3,})[ \t]*$', '', 'g'),
     '(?m)^\\?[*-] *', '', 'g'),
     '\\\[', '[', 'g'),
     '\\\]', ']', 'g'),
-    '\\`', '`', 'g'),
+    chr(2), '`', 'g'),
     '["''*_~\\]', '', 'g') AS stripped
 FROM s3
 """

@@ -177,3 +177,24 @@ def test_footnote_roundtrip():
     notes = tx.extract_footnotes(s)
     stripped = tx.remove_footnotes(s)
     assert tx.inject_footnotes(stripped, notes) == s
+
+
+def test_strip_symbols_code_spans(spark):
+    """r3 (VERDICT r2 #5): code spans are in the subset — fences drop,
+    inline code keeps its content (strip-markdown code→value), escaped
+    backticks stay literal backticks."""
+    cases = [
+        ("dùng `mã nguồn` ở đây", "dùng mã nguồn ở đây"),
+        ("``a `tick` b`` xong", "a `tick` b xong"),
+        ("```js\nvar x = 1;\n```", "\nvar x = 1;\n"),
+        ("\\`không phải mã\\` và `mã`", "`không phải mã` và mã"),
+    ]
+    for src, want in cases:
+        assert tx.strip_symbols(src) == want, repr(src)
+    # Column twin: byte parity on the same cases
+    df = spark.createDataFrame([(s,) for s, _ in cases], "src string")
+    got = [
+        r["out"]
+        for r in df.select(tx.strip_symbols_col("src").alias("out")).collect()
+    ]
+    assert got == [w for _s, w in cases]
