@@ -268,8 +268,11 @@ def normalize_asterisk_col(text: Column | str) -> Column:
 # unescape (mdUtils.ts:232) and survive the sweep, same as upstream.
 # (npm is network-blocked in this sandbox, so the actual strip-markdown
 # pipeline cannot be executed for byte goldens; the subset is pinned by
-# q45's oracle instead.) Remaining divergence: multi-line inline code
-# and 4-space-indented code blocks.
+# q45's oracle instead.) Remaining divergences: multi-line inline code,
+# 4-space-indented code blocks, and literal backticks INSIDE a
+# double-tick span (strip-markdown keeps them; here the single-tick
+# rule consumes them — preserving them needs a replace callback, which
+# the shared python-re/Java/RE2 pattern table cannot express).
 # ---------------------------------------------------------------------------
 
 # one pattern table shared by both engines (every pattern below parses
@@ -283,7 +286,9 @@ _STRIP_STEPS: list[tuple[str, str]] = [
     # sentinel (RE2 in the oracle has no lookbehind) and restored below
     (r"\\`", "\x02"),
     (r"(?m)^```[^\n]*$", ""),  # code-fence lines (code → value text)
-    (r"``([^`\n]+)``", r"\1"),  # inline code, double-tick form
+    # double-tick form may contain single backticks (RE2-safe: no
+    # lookarounds — content is non-tick runs separated by single ticks)
+    (r"``([^`\n]+(?:`[^`\n]+)*)``", r"\1"),
     (r"`([^`\n]+)`", r"\1"),  # inline code → content
     (r"(?m)^#{1,6}[ \t]+", ""),  # heading markers
     (r"(?m)^(?:> ?)+", ""),  # blockquote markers

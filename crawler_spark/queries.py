@@ -1734,7 +1734,7 @@ SELECT doc_id, cleaned,
     '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
     '\\`', chr(2), 'g'),
     '(?m)^```[^\n]*$', '', 'g'),
-    '``([^`\n]+)``', '\1', 'g'),
+    '``([^`\n]+(?:`[^`\n]+)*)``', '\1', 'g'),
     '`([^`\n]+)`', '\1', 'g'),
     '(?m)^#{1,6}[ \t]+', '', 'g'),
     '(?m)^(?:> ?)+', '', 'g'),
