@@ -2,23 +2,44 @@
 
 The reference converts fetched HTML to markdown through a unified
 pipeline (rehype-parse → remove comments → rehype-remark → gfm →
-smartypants → stringify). A full CommonMark engine is out of scope;
-this module defines a *deterministic* subset converter covering the
-constructs the crawled sites emit (headings, paragraphs, emphasis,
-links, images, lists, blockquotes, breaks; script/style/comment
-removal; entity unescape) with one spec and two surfaces:
+smartypants → stringify). Executing that pipeline for byte goldens is
+environment-blocked (npm cannot reach the registry from this sandbox),
+so this module defines a *deterministic* subset converter covering the
+constructs the crawled sites emit, extended in r3 (VERDICT r2 #4) with
+the GFM + smartypants semantics of the published plugins:
+
+  * blocks: headings, paragraphs, blockquotes, unordered + ordered
+    lists, ``<hr>`` → ``***`` (remark-stringify default), ``<pre>`` →
+    fenced code blocks;
+  * GFM: ``<table>`` → pipe tables with ``align`` / ``text-align``
+    column alignment and ``\\|`` cell escaping; ``<del>/<s>`` → ``~~``
+    strikethrough; ``<code>`` → inline code;
+  * smartypants (retext-smartypants defaults): straight quotes → curly
+    (opener/closer by left context), ``--``/``---`` → em dash, ``...``
+    → ellipsis, TeX ``\\`\\``/''`` quotes → curly. Applied to TEXT only:
+    code spans/blocks and generated table/hr/URL constructs are
+    protected via placeholders, mirroring the pipeline's text-node
+    scope;
+  * script/style/comment removal; entity unescape.
+
+Documented subset divergences from the real unified pipeline: no
+markdown-special escaping in text (remark-stringify would emit ``\\*``
+for a literal asterisk), single-level list nesting, no ``start=``
+offset on ordered lists, and loose/tight list spacing is always tight.
+
+Two surfaces, one spec:
 
   * :func:`html_to_md` — pure Python (oracle mirror, also usable
     inside any pandas UDF);
   * :func:`html_to_md_udf` — an Arrow-batched ``pandas_udf`` (the
-    no-per-row-Python boundary rule: one Python call per batch, string
-    work vectorized per batch via ``Series.map`` of a compiled
-    pipeline).
+    no-per-row-Python boundary rule: one Python call per batch).
 
 Order of operations matters and is part of the spec: strip
-script/style/comments first (their content must never leak), convert
-block constructs, then inline ones, then drop remaining tags, then
-unescape entities (so entity-encoded markup stays literal text).
+script/style/comments first (their content must never leak), stash
+code verbatim, convert tables, then block constructs, then inline
+ones, drop remaining tags, unescape entities (so entity-encoded markup
+stays literal text), smartypants the text, and finally restore the
+protected constructs.
 """
 
 from __future__ import annotations
@@ -31,11 +52,19 @@ from pyspark.sql.types import StringType
 
 _SCRIPT_RE = re.compile(r"(?is)<(script|style)\b[^>]*>.*?</\1>")
 _COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_PRE_RE = re.compile(r"(?is)<pre\b[^>]*>(?:\s*<code\b[^>]*>)?(.*?)(?:</code>\s*)?</pre>")
+_CODE_RE = re.compile(r"(?is)<code\b[^>]*>(.*?)</code>")
+_TABLE_RE = re.compile(r"(?is)<table\b[^>]*>(.*?)</table>")
+_TR_RE = re.compile(r"(?is)<tr\b[^>]*>(.*?)</tr>")
+_CELL_RE = re.compile(r"(?is)<(t[hd])\b([^>]*)>(.*?)</\1>")
+_ALIGN_RE = re.compile(r"(?i)(?:align\s*=\s*[\"']?|text-align\s*:\s*)(left|center|right)")
 _HEAD_RE = re.compile(r"(?is)<h([1-6])\b[^>]*>(.*?)</h\1>")
 _P_RE = re.compile(r"(?is)<p\b[^>]*>(.*?)</p>")
 _BR_RE = re.compile(r"(?i)<br\s*/?>")
+_HR_RE = re.compile(r"(?i)<hr\b[^>]*/?>")
 _STRONG_RE = re.compile(r"(?is)<(?:strong|b)\b[^>]*>(.*?)</(?:strong|b)>")
 _EM_RE = re.compile(r"(?is)<(?:em|i)\b[^>]*>(.*?)</(?:em|i)>")
+_DEL_RE = re.compile(r"(?is)<(?:del|s|strike)\b[^>]*>(.*?)</(?:del|s|strike)>")
 _A_RE = re.compile(r"(?is)<a\b[^>]*?href=[\"']([^\"']*)[\"'][^>]*>(.*?)</a>")
 _IMG_RE = re.compile(
     r"(?is)<img\b[^>]*?src=[\"']([^\"']*)[\"'][^>]*?(?:alt=[\"']([^\"']*)[\"'][^>]*?)?/?>"
@@ -43,6 +72,7 @@ _IMG_RE = re.compile(
 _IMG_ALT_FIRST_RE = re.compile(
     r"(?is)<img\b[^>]*?alt=[\"']([^\"']*)[\"'][^>]*?src=[\"']([^\"']*)[\"'][^>]*?/?>"
 )
+_OL_RE = re.compile(r"(?is)<ol\b[^>]*>(.*?)</ol>")
 _LI_RE = re.compile(r"(?is)<li\b[^>]*>(.*?)</li>")
 _BQ_RE = re.compile(r"(?is)<blockquote\b[^>]*>(.*?)</blockquote>")
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
@@ -67,26 +97,126 @@ def _unescape(t: str) -> str:
     return re.sub(r"&#(\d+);", lambda m: chr(int(m.group(1))), t)
 
 
+# protected spans during smartypants: placeholders, markdown URLs, and
+# table delimiter rows (their --- runs are syntax, not text)
+_PROTECT_RE = re.compile(r"(\x00\d+\x00|\]\([^)\s]*\)|^\|[ :\-|]+\|$)", re.M)
+
+
+def _smartypants(t: str) -> str:
+    """retext-smartypants defaults on text segments: TeX backtick
+    quotes, ellipses, em dashes, curly quotes (opener when preceded by
+    start/whitespace/open-bracket/dash, else closer)."""
+    parts = _PROTECT_RE.split(t)
+    for i in range(0, len(parts), 2):
+        s = parts[i]
+        s = s.replace("``", "\u201c").replace("''", "\u201d")
+        s = s.replace("...", "…")
+        s = re.sub(r"(?<![-|])-{2,3}(?![-|])", "—", s)
+        s = re.sub(r'(?m)(^|[\s(\[{\u2014\u2013])"', "\\1\u201c", s)
+        s = s.replace('"', "\u201d")
+        s = re.sub(r"(?m)(^|[\s(\[{\u2014\u2013])'", "\\1\u2018", s)
+        s = s.replace("'", "\u2019")
+        parts[i] = s
+    return "".join(parts)
+
+
+def _cell_text(raw: str) -> str:
+    """One-line cell content: inner tags stay for the later inline
+    passes; whitespace collapses; pipes escape (GFM)."""
+    return re.sub(r"\s+", " ", raw).strip().replace("|", r"\|")
+
+
+def _table_md(m: re.Match) -> str:
+    rows: list[list[str]] = []
+    aligns: list[str] = []
+    for rm in _TR_RE.finditer(m.group(1)):
+        cells = []
+        for cm in _CELL_RE.finditer(rm.group(1)):
+            if not rows:
+                am = _ALIGN_RE.search(cm.group(2))
+                aligns.append(am.group(1).lower() if am else "")
+            cells.append(_cell_text(cm.group(3)))
+        if cells:
+            rows.append(cells)
+    if not rows:
+        return ""
+    ncol = max(len(r) for r in rows)
+    delim = {"": "---", "left": ":--", "center": ":-:", "right": "--:"}
+    aligns += [""] * (ncol - len(aligns))
+    lines = []
+    for ri, r in enumerate(rows):
+        r = r + [""] * (ncol - len(r))
+        lines.append("| " + " | ".join(r) + " |")
+        if ri == 0:
+            lines.append("| " + " | ".join(delim[a] for a in aligns) + " |")
+    return "\n".join(lines)
+
+
+def _ol_md(m: re.Match) -> str:
+    items = _LI_RE.findall(m.group(1))
+    return (
+        "\n\n"
+        + "\n".join(f"{i + 1}. {it.strip()}" for i, it in enumerate(items))
+        + "\n\n"
+    )
+
+
 def html_to_md(html: str) -> str:
     t = _SCRIPT_RE.sub("", html)
     t = _COMMENT_RE.sub("", t)
+
+    stash: list[str] = []
+
+    def _keep(md: str) -> str:
+        stash.append(md)
+        return f"\x00{len(stash) - 1}\x00"
+
+    # code is stashed VERBATIM (entities unescaped, no inline/quote
+    # processing may touch it — text-node scope of the real pipeline)
+    t = _PRE_RE.sub(
+        lambda m: "\n\n"
+        + _keep("```\n" + _unescape(_TAG_RE.sub("", m.group(1))).strip("\n") + "\n```")
+        + "\n\n",
+        t,
+    )
+    t = _CODE_RE.sub(lambda m: _keep("`" + _unescape(m.group(1)) + "`"), t)
+    # tables: generated pipe/dash syntax must survive smartypants —
+    # stash after the inline passes run on the assembled block
+    tables: list[str] = []
+
+    def _table_stash(m: re.Match) -> str:
+        tables.append(_table_md(m))
+        return f"\n\n\x01{len(tables) - 1}\x01\n\n"
+
+    t = _TABLE_RE.sub(_table_stash, t)
     # block constructs
     t = _HEAD_RE.sub(lambda m: "\n\n" + "#" * int(m.group(1)) + " " + m.group(2).strip() + "\n\n", t)
     t = _BQ_RE.sub(lambda m: "\n\n> " + m.group(1).strip() + "\n\n", t)
+    t = _OL_RE.sub(_ol_md, t)
     t = _LI_RE.sub(lambda m: "\n- " + m.group(1).strip(), t)
     t = _P_RE.sub(lambda m: "\n\n" + m.group(1).strip() + "\n\n", t)
     t = _BR_RE.sub("\n", t)
+    t = _HR_RE.sub(lambda _m: "\n\n" + _keep("***") + "\n\n", t)
+
+    # re-inject assembled tables so their CELLS get the inline passes
+    def _table_restore(m: re.Match) -> str:
+        return tables[int(m.group(1))]
+
+    t = re.sub(r"\x01(\d+)\x01", _table_restore, t)
     # inline constructs (image before link: <img> has no closing </a> clash)
     t = _IMG_ALT_FIRST_RE.sub(lambda m: f"![{m.group(1)}]({m.group(2)})", t)
     t = _IMG_RE.sub(lambda m: f"![{m.group(2) or ''}]({m.group(1)})", t)
     t = _A_RE.sub(lambda m: f"[{m.group(2).strip()}]({m.group(1)})", t)
     t = _STRONG_RE.sub(lambda m: f"**{m.group(1).strip()}**", t)
     t = _EM_RE.sub(lambda m: f"*{m.group(1).strip()}*", t)
+    t = _DEL_RE.sub(lambda m: f"~~{m.group(1).strip()}~~", t)
     # drop everything else, then entities
     t = _TAG_RE.sub("", t)
     t = _unescape(t)
     t = re.sub(r"[ \t]+\n", "\n", t)
     t = re.sub(r"\n{3,}", "\n\n", t)
+    t = _smartypants(t)
+    t = re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], t)
     return t.strip()
 
 

@@ -1,4 +1,9 @@
-"""C16 HTML→Markdown: golden cases + Spark pandas-UDF surface parity."""
+"""C16 HTML→Markdown: golden cases + Spark pandas-UDF surface parity.
+
+r3 extends the subset with GFM tables, ordered lists, code,
+strikethrough, hr, and retext-smartypants text punctuation (VERDICT r2
+#4; the real unified pipeline itself is npm/network-blocked here —
+goldens are hand-derived from the published plugin semantics)."""
 
 from __future__ import annotations
 
@@ -29,9 +34,44 @@ CASES = [
         "<script>alert('x')</script><style>p{}</style><p>sạch</p><!-- ghi chú -->",
         "sạch",
     ),
-    ("<p>&amp;amp; &lt;tag&gt; &quot;q&quot; &#7879;</p>", '&amp; <tag> "q" ệ'),
+    # smartypants: entity-decoded straight quotes curl (text-node scope)
+    ("<p>&amp;amp; &lt;tag&gt; &quot;q&quot; &#7879;</p>", "&amp; <tag> “q” ệ"),
     ("<div class='x'><span>giữ chữ</span></div>", "giữ chữ"),
     ("<h3 id='a'>Mục</h3>", "### Mục"),
+    # --- r3: GFM + smartypants additions -------------------------------
+    ("<ol><li>đầu</li><li>giữa</li><li>cuối</li></ol>", "1. đầu\n2. giữa\n3. cuối"),
+    ("<p>trước</p><hr><p>sau</p>", "trước\n\n***\n\nsau"),
+    ("<p>gạch <del>bỏ</del> và <s>xoá</s></p>", "gạch ~~bỏ~~ và ~~xoá~~"),
+    ("<p>mã <code>a|b -- c</code> xong</p>", "mã `a|b -- c` xong"),
+    (
+        "<pre><code>if (a &lt; b) {\n  x = \"y\";\n}</code></pre>",
+        '```\nif (a < b) {\n  x = "y";\n}\n```',
+    ),
+    (
+        "<table><tr><th>Tên</th><th align='right'>Số</th></tr>"
+        "<tr><td>a|b</td><td>1</td></tr>"
+        "<tr><td><strong>c</strong></td><td>2</td></tr></table>",
+        "| Tên | Số |\n| --- | --: |\n| a\\|b | 1 |\n| **c** | 2 |",
+    ),
+    (
+        "<table><tr><th style='text-align:center'>X</th></tr>"
+        "<tr><td>v</td></tr></table>",
+        "| X |\n| :-: |\n| v |",
+    ),
+    # smartypants: quotes, em dash, ellipsis; URLs stay untouched
+    (
+        "<p>\"kép\" và 'đơn' -- rồi... hết</p>",
+        "“kép” và ‘đơn’ — rồi… hết",
+    ),
+    (
+        '<p>apostrophe trong don\'t</p>',
+        "apostrophe trong don’t",
+    ),
+    (
+        '<p>Xem <a href="http://x/a--b...c">nơi \'này\'</a></p>',
+        "Xem [nơi ‘này’](http://x/a--b...c)",
+    ),
+    ("<p>TeX ``trích'' xưa</p>", "TeX “trích” xưa"),
 ]
 
 
@@ -43,6 +83,17 @@ def test_html_to_md_goldens():
 def test_entity_encoded_markup_stays_text():
     # &lt;strong&gt; must NOT become markdown emphasis
     assert html_to_md("<p>&lt;strong&gt;x&lt;/strong&gt;</p>") == "<strong>x</strong>"
+
+
+def test_code_content_protected_from_smartypants():
+    # quotes/dashes INSIDE code must stay straight (text-node scope)
+    got = html_to_md("<p><code>\"x\" -- 'y'</code> ngoài \"z\"</p>")
+    assert got == "`\"x\" -- 'y'` ngoài “z”"
+
+
+def test_table_delimiter_survives_smartypants():
+    got = html_to_md("<table><tr><th>a</th></tr><tr><td>b -- c</td></tr></table>")
+    assert got == "| a |\n| --- |\n| b — c |"
 
 
 def test_udf_surface(spark):
