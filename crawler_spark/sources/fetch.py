@@ -30,6 +30,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+# applyInPandas costs ~1-3 ms per GROUP on this hardware class (pandas
+# frame construction; BENCH.md §1b measured un-salting 15k tiny groups
+# at 2.3x). Salting a host splits its round batch into up to N_SALTS
+# groups, so it pays only when the host's per-round work dwarfs the
+# added group overhead: at ~1 ms/URL fetch+parse cost, ≥256 URLs/host/
+# round makes the worst-case added overhead (~16 × 3 ms) negligible
+# against ≥256 ms of now-parallelizable work. Below it, single-flight
+# per host is both faster and politer.
+SALT_MIN_BUDGET = 256
+
+
+def resolve_salted(mode: bool | str, budget_cap: int) -> bool:
+    """Resolve a ``salted_fetch`` setting: True/False pass through;
+    ``"auto"`` enables salting when the politeness budget cap says a
+    single host can receive ≥ SALT_MIN_BUDGET URLs in one round (the
+    dominant-domain skew case the north rule calls out)."""
+    if mode == "auto":
+        return budget_cap >= SALT_MIN_BUDGET
+    return bool(mode)
+
+
 FETCH_RESULT_FIELDS = [
     T.StructField("body", T.StringType(), True),
     T.StructField("status", T.IntegerType(), False),

@@ -38,7 +38,7 @@ from crawler_spark.operators.dedup import ShardedBloom, anti_join_seen, first_wi
 from crawler_spark.operators.politeness import budget_cap, eligible, select_round
 from crawler_spark.operators.robots import robots_filter
 from crawler_spark.plans.store import SnapshotStore
-from crawler_spark.sources.fetch import fetch_scheduled
+from crawler_spark.sources.fetch import fetch_scheduled, resolve_salted
 
 # markdown links, image syntax excluded (negative lookbehind)
 MD_LINK_PAT = r"(?<!!)\[([^\]]*)\]\(([^)]*)\)"
@@ -73,7 +73,7 @@ class CrawlEngine:
     compact_every: int = 8  # frontier delta-chain bound (MoR upserts)
     site_filter: Any = None  # SiteAdapter frontier predicate (Column)
     priority_desc: bool = False  # O2 descending variant
-    salted_fetch: bool = False
+    salted_fetch: bool | str = False  # True | False | "auto" (budget-cap heuristic)
     use_bloom: bool = False
     use_cuckoo: bool = False
     bloom_shards: int = 8
@@ -163,7 +163,11 @@ class CrawlEngine:
             cap=self._budget_cap,
         ).select(*FRONTIER_COLS, "host_rank", "attempt")
 
-        fetched = fetch_scheduled(scheduled, self.fetcher, salted=self.salted_fetch).cache()
+        fetched = fetch_scheduled(
+            scheduled,
+            self.fetcher,
+            salted=resolve_salted(self.salted_fetch, self._budget_cap),
+        ).cache()
         # one action materializes the cache AND yields both counts
         _c = fetched.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.col("success").cast("long")).alias("ok")

@@ -202,3 +202,15 @@ def test_force_recrawl_overrides(spark, world, fixture_dir, tmp_path_factory, or
     assert m2["scheduled"] > 0
     assert m2["discovered"] == 0
     assert eng.store.read("frontier").count() == n_frontier
+
+
+def test_salted_fetch_auto_heuristic():
+    """VERDICT r2 #10: "auto" salts only when the politeness budget cap
+    says one host can receive a large round batch (group-overhead
+    break-even, fetch.SALT_MIN_BUDGET)."""
+    from crawler_spark.sources.fetch import SALT_MIN_BUDGET, resolve_salted
+
+    assert resolve_salted(False, 10**6) is False
+    assert resolve_salted(True, 1) is True
+    assert resolve_salted("auto", SALT_MIN_BUDGET - 1) is False
+    assert resolve_salted("auto", SALT_MIN_BUDGET) is True
