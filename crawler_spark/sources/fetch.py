@@ -197,7 +197,12 @@ class HttpFetcher:
         return out
 
 
-def fetch_scheduled(scheduled: DataFrame, fetcher, salted: bool = False) -> DataFrame:
+def fetch_scheduled(
+    scheduled: DataFrame,
+    fetcher,
+    salted: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Run the fetch UDF grouped by host (politeness co-location).
 
     Default (``salted=False``): one task owns one host's (≤ budget)
@@ -212,6 +217,17 @@ def fetch_scheduled(scheduled: DataFrame, fetcher, salted: bool = False) -> Data
     assigned *before* the fetch — only task layout changes; use it
     when the fetcher itself rate-limits per host (HTTP client token
     bucket) rather than relying on single-flight placement.
+
+    The group exchange is pinned with an explicit ``repartition(n,
+    keys)``: AQE's partition coalescing sizes post-shuffle partitions
+    by MAP-OUTPUT BYTES, but this stage's cost is per-URL fetch/parse
+    work the byte heuristic cannot see — a round of 200 k scheduled
+    URLs is ~20 MB, so AQE would coalesce every salt group into ONE
+    task and silently serialize the whole fetch (measured: salting at
+    0.87× instead of >3× before the pin; BENCH.md §1e). A user-pinned
+    partition count is exempt from coalescing, and because the child
+    is hash-partitioned on exactly the grouping keys, applyInPandas
+    adds no second exchange.
     """
     out_schema = T.StructType(scheduled.schema.fields + FETCH_RESULT_FIELDS)
 
@@ -219,4 +235,12 @@ def fetch_scheduled(scheduled: DataFrame, fetcher, salted: bool = False) -> Data
         return fetcher.fetch_batch(pdf)
 
     keys = ["host", "host_salt"] if salted else ["host"]
-    return scheduled.groupBy(*keys).applyInPandas(_fetch, out_schema)
+    if num_partitions is None:
+        num_partitions = int(
+            scheduled.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    return (
+        scheduled.repartition(num_partitions, *keys)
+        .groupBy(*keys)
+        .applyInPandas(_fetch, out_schema)
+    )

@@ -214,3 +214,29 @@ def test_salted_fetch_auto_heuristic():
     assert resolve_salted(True, 1) is True
     assert resolve_salted("auto", SALT_MIN_BUDGET - 1) is False
     assert resolve_salted("auto", SALT_MIN_BUDGET) is True
+
+
+def test_salted_fetch_not_coalesced_to_one_task(spark):
+    """AQE sizes post-shuffle partitions by map-output BYTES, which
+    cannot see per-URL fetch/parse cost — without a user-pinned
+    repartition it coalesces a small round's salt groups into ONE task
+    and serializes the whole fetch (measured 0.87x from salting before
+    the pin). The fetch output must come from multiple partitions."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.sources.fetch import SyntheticFetcher, fetch_scheduled
+
+    scheduled = (
+        spark.range(10_000)
+        .select(
+            F.lit("big0").alias("host"),
+            F.concat(F.lit("http://big0/p/"), F.col("id")).alias("url"),
+            F.pmod(F.col("id"), F.lit(16)).cast("int").alias("host_salt"),
+            F.lit(1).alias("attempt"),
+        )
+    )
+    out = fetch_scheduled(scheduled, SyntheticFetcher(), salted=True).select(
+        F.spark_partition_id().alias("pid")
+    )
+    n_pids = out.distinct().count()
+    assert n_pids >= 4, f"salt groups coalesced into {n_pids} task(s)"

@@ -51,6 +51,36 @@ def synth_skewed(spark, n: int):
     )
 
 
+class CpuBoundFetcher:
+    """Models a real fetch+parse stage whose per-URL cost is CPU (DOM
+    parse, text cleanup, hashing) rather than allocator bandwidth.
+    SyntheticFetcher's body GENERATION is memory-bandwidth-bound on
+    this box (~300k rows/s regardless of cores — BENCH.md §0), so it
+    cannot show a parallelization win; per-URL CPU work can."""
+
+    def __init__(self, iters: int = 300):
+        # ~60 µs/URL — the low end of a real HTML parse + cleanup chain
+        # (50 µs - 1 ms/page); at 30 iters (~6 µs) the stage is too
+        # cheap for the straggler to dominate and salting shows ~1.1x
+        self.iters = iters
+
+    def fetch_batch(self, pdf):
+        import hashlib
+
+        bodies = []
+        for url in pdf["url"]:
+            h = url.encode()
+            for _ in range(self.iters):
+                h = hashlib.sha256(h).digest()
+            bodies.append(h.hex())
+        out = pdf.copy()
+        out["body"] = bodies
+        out["status"] = 200
+        out["success"] = True
+        out["latency_ms"] = 1
+        return out
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     big_budget = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -70,27 +100,33 @@ def main():
         frontier, politeness, default_budget=2, cap=big_budget
     ).cache()
     n_sched = scheduled.count()
-    fetcher = SyntheticFetcher()
 
-    results = {}
-    for salted in (False, True):
-        best = None
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            fetch_scheduled(scheduled, fetcher, salted=salted).agg(
-                F.sum(F.length("body"))
-            ).collect()
-            s = time.perf_counter() - t0
-            best = s if best is None else min(best, s)
-        results[salted] = best
+    for label, fetcher in (
+        ("bandwidth-bound gen", SyntheticFetcher()),
+        ("cpu-bound parse", CpuBoundFetcher()),
+    ):
+        results = {}
+        for salted in (False, True):
+            best = None
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                fetch_scheduled(scheduled, fetcher, salted=salted).agg(
+                    F.sum(F.length("body"))
+                ).collect()
+                s = time.perf_counter() - t0
+                best = s if best is None else min(best, s)
+            results[salted] = best
+            print(
+                f"{label:>18} salted={salted!s:>5}: best {best:6.2f} s "
+                f"({n_sched / best:,.0f} scheduled URLs/s)",
+                flush=True,
+            )
         print(
-            f"salted={salted!s:>5}: best {best:6.2f} s "
-            f"({n_sched / best:,.0f} scheduled URLs/s)"
+            f"{label:>18} skew speedup from salting: "
+            f"{results[False] / results[True]:.2f}x "
+            f"(n={n:,}, big-host budget={big_budget:,}, scheduled={n_sched:,})",
+            flush=True,
         )
-    print(
-        f"skew speedup from salting: {results[False] / results[True]:.2f}x "
-        f"(n={n:,}, big-host budget={big_budget:,}, scheduled={n_sched:,})"
-    )
 
 
 if __name__ == "__main__":
