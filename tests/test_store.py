@@ -259,3 +259,31 @@ def test_parquet_footer_row_counts(spark, store, tmp_path):
     df.repartition(4).write.parquet(p)
     assert store._parquet_rows([p]) == 123
     assert store._parquet_rows([str(tmp_path / "missing")]) == 0
+
+
+def test_iceberg_statement_builders():
+    """IcebergStore maps the SnapshotStore API onto Iceberg SQL; the
+    runtime needs an Iceberg catalog (no jar in this sandbox), but the
+    statement builders are deterministic and unit-testable."""
+    from crawler_spark.plans.store import IcebergStore
+
+    fq = "ice.crawl.frontier"
+    got = IcebergStore.merge_sql(fq, "_updates_frontier", "url_key",
+                                 ["url_key", "url", "completed"])
+    assert got == (
+        "MERGE INTO ice.crawl.frontier t USING _updates_frontier s "
+        "ON t.url_key = s.url_key "
+        "WHEN MATCHED THEN UPDATE SET t.url = s.url, t.completed = s.completed "
+        "WHEN NOT MATCHED THEN INSERT (url_key, url, completed) "
+        "VALUES (s.url_key, s.url, s.completed)"
+    )
+    assert IcebergStore.compact_sql("ice", fq) == (
+        "CALL ice.system.rewrite_data_files(table => 'ice.crawl.frontier', "
+        "options => map('min-input-files', '2'))"
+    )
+    assert IcebergStore.rollback_sql("ice", fq, 42) == (
+        "CALL ice.system.rollback_to_snapshot('ice.crawl.frontier', 42)"
+    )
+    assert IcebergStore.time_travel_sql(fq, 7) == (
+        "SELECT * FROM ice.crawl.frontier VERSION AS OF 7"
+    )
