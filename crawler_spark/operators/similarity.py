@@ -60,16 +60,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 128, shingle_n: int = 3
 ) -> DataFrame:
-    """(doc_id, sig: array<long>[k]) — one shuffle for all k hashes."""
+    """(doc_id, sig: array<long>[k]) — one shuffle for all k hashes.
+
+    The k aggregates are built as ONE ``F.expr`` string: constructing
+    128 Column trees through py4j costs ~8 s of driver latency per
+    plan (measured r3), while one SQL string parses JVM-side in
+    milliseconds. Hash input is ``xxhash64(j, shingle)`` (two args) —
+    the seed rides as an int literal instead of a per-row string
+    concat, saving 128 string allocations per shingle row."""
     sh = shingles(df, id_col, text_col, n=shingle_n)
-    aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"_s{j}")
-        for j in range(k)
-    ]
-    row = sh.groupBy("doc_id").agg(*aggs)
-    return row.select(
-        "doc_id", F.array(*[F.col(f"_s{j}") for j in range(k)]).alias("sig")
-    )
+    mins = ", ".join(f"min(xxhash64({j}, shingle))" for j in range(k))
+    return sh.groupBy("doc_id").agg(F.expr(f"array({mins}) AS sig"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32) -> DataFrame:
@@ -77,21 +78,12 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32) -> DataFrame:
     banded = sigs.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(
-                        F.slice(
-                            "sig",
-                            b * (F.size("sig") / bands).cast("int") + 1,
-                            (F.size("sig") / bands).cast("int"),
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> struct("
+            f"b AS band, "
+            f"hash(slice(sig, b * (size(sig) div {bands}) + 1, "
+            f"size(sig) div {bands})) AS bh))) AS bb"
+        ),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
@@ -121,11 +113,10 @@ def minhash_pairs(
         raise ValueError(f"bands ({bands}) must divide k ({k})")
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
     cand = lsh_candidate_pairs(sigs, bands=bands)
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(k)
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> cast(x = y AS int)), "
+        f"0, (acc, v) -> acc + v) / {k}"
+    )
     return (
         cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
