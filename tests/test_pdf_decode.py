@@ -172,3 +172,183 @@ def test_tounicode_two_byte_codespace():
     width, cmap = _parse_cmap(data)
     assert width == 2
     assert cmap == {0x41: "A", 0x100: "ệ"}
+
+
+# --------------------------------------------------------------------------
+# r3: full non-image /Filter set (LZW/ASCIIHex/ASCII85/RunLength,
+# chains, predictors) — PDF 32000-1:2008 §7.4
+# --------------------------------------------------------------------------
+
+FILTER_PAGE = [(700.0, "Hello filter world"), (680.0, "second line .")]
+
+
+def test_lzw_spec_vector():
+    """PDF 32000 §7.4.4.2 example: encoded 80 0B 60 50 22 0C 0C 85 01
+    decodes to the 10-byte string '-----A---B' (clear, 9-bit codes,
+    one table hit, EOD)."""
+    from crawler_spark.operators.pdf_decode import _lzw_decode
+
+    assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == b"-----A---B"
+
+
+def test_lzw_roundtrip_widths_and_kwkwk():
+    """Encoder/decoder stay width-synchronized across the 9→10→11→12
+    bit transitions (EarlyChange 0 and 1) and through the KwKwK case."""
+    from crawler_spark.operators.pdf_decode import _lzw_decode, _lzw_encode
+
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaa",  # KwKwK: code == next_code
+        b"-----A---B",
+        bytes(range(256)) * 40,  # forces 10/11/12-bit widths
+        b"ab" * 5000,
+    ]
+    for data in cases:
+        for early in (0, 1):
+            enc = _lzw_encode(data, early=early)
+            assert _lzw_decode(enc, early=early) == data, (len(data), early)
+
+
+def test_ahx_a85_rle_edge_cases():
+    from crawler_spark.operators.pdf_decode import (
+        _a85_decode,
+        _ahx_decode,
+        _rle_decode,
+    )
+
+    # odd final hex digit pads with 0; whitespace ignored; > terminates
+    assert _ahx_decode(b"48 65 6C\n6C 6F 7>junk") == b"Hellop"
+    assert _ahx_decode(b"414>") == b"A@"
+    # z = four-zero-byte group shorthand
+    assert _a85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    import base64
+
+    assert _a85_decode(base64.a85encode(b"filter me") + b"~>") == b"filter me"
+    # literal run, repeat run, EOD stops early
+    assert _rle_decode(bytes([2]) + b"abc" + bytes([254]) + b"x" + bytes([128, 0]) + b"Z") == b"abc" + b"x" * 3
+
+
+def test_every_single_filter_roundtrips_through_extract():
+    for f in (
+        ["FlateDecode"],
+        ["LZWDecode"],
+        ["ASCIIHexDecode"],
+        ["ASCII85Decode"],
+        ["RunLengthDecode"],
+    ):
+        pdf = make_pdf([FILTER_PAGE], filters=f)
+        txt = " ".join(i["str"] for i in extract_pdf_items(pdf))
+        assert "Hello filter world" in txt and "second line" in txt, f
+
+
+def test_filter_arrays_chain_in_decode_order():
+    """/Filter [A B] applies A then B to the raw bytes — the fixture
+    encoder runs in reverse so the chain must unwind exactly."""
+    for chain in (
+        ["ASCII85Decode", "FlateDecode"],
+        ["ASCIIHexDecode", "LZWDecode"],
+        ["ASCII85Decode", "RunLengthDecode", "FlateDecode"],
+    ):
+        pdf = make_pdf([FILTER_PAGE], filters=chain)
+        txt = " ".join(i["str"] for i in extract_pdf_items(pdf))
+        assert "Hello filter world" in txt, chain
+
+
+def test_png_predictor_12_under_flate_and_lzw():
+    """/DecodeParms << /Predictor 12 /Columns N >> (PNG Up rows) under
+    the innermost compression filter, single and array /Filter forms."""
+    for f in (["FlateDecode"], ["LZWDecode"], ["ASCII85Decode", "FlateDecode"]):
+        pdf = make_pdf([FILTER_PAGE], filters=f, predictor_columns=16)
+        assert b"/Predictor 12" in pdf
+        txt = " ".join(i["str"] for i in extract_pdf_items(pdf))
+        assert "Hello filter world" in txt, f
+
+
+def test_png_unpredict_all_row_types():
+    """Sub/Up/Average/Paeth rows hand-filtered then recovered."""
+    from crawler_spark.operators.pdf_decode import _png_unpredict
+
+    plain = bytes([10, 20, 30, 40]) + bytes([15, 25, 35, 45]) + bytes(
+        [100, 110, 120, 130]
+    ) + bytes([90, 95, 105, 200])
+    rows = [plain[i : i + 4] for i in range(0, 16, 4)]
+    filtered = bytearray()
+    prev = bytes(4)
+    # row 0: Sub, row 1: Up, row 2: Average, row 3: Paeth (bpp=1)
+    for ft, row in zip((1, 2, 3, 4), rows):
+        out = bytearray()
+        for j in range(4):
+            a = row[j - 1] if j >= 1 else 0
+            b = prev[j]
+            c = prev[j - 1] if j >= 1 else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((row[j] - pred) & 0xFF)
+        filtered.append(ft)
+        filtered += out
+        prev = row
+    assert _png_unpredict(bytes(filtered), columns=4) == plain
+
+
+def test_tiff_predictor_2():
+    from crawler_spark.operators.pdf_decode import _tiff_unpredict
+
+    plain = b"\x05\x07\x09\x10\x10\x11"
+    diffed = bytes(
+        [5, 2, 2, 16, 0, 1]
+    )  # horizontal deltas per 3-byte row, colors=1
+    assert _tiff_unpredict(diffed, columns=3) == plain
+    # colors=2: component-wise differencing
+    plain2 = bytes([1, 100, 3, 103])
+    diffed2 = bytes([1, 100, 2, 3])
+    assert _tiff_unpredict(diffed2, columns=2, colors=2) == plain2
+
+
+def test_image_codec_streams_are_skipped_not_fatal():
+    """A /DCTDecode 'image' stream in the document must not break
+    extraction of the text pages around it (pdfjs text-only parity)."""
+    pdf = make_pdf([FILTER_PAGE], filters=["FlateDecode"])
+    img = (
+        b"90 0 obj\n<< /Subtype /Image /Filter /DCTDecode /Length 4 >>\n"
+        b"stream\n\xff\xd8\xff\xd9\nendstream\nendobj\n"
+    )
+    patched = pdf.replace(b"xref", img + b"xref", 1)
+    txt = " ".join(i["str"] for i in extract_pdf_items(patched))
+    assert "Hello filter world" in txt
+
+
+def test_corrupt_lzw_stream_skipped():
+    pdf = make_pdf([FILTER_PAGE, [(700.0, "page two ok")]], filters=["LZWDecode"])
+    # truncate the first stream body to garbage mid-codes
+    import re as _re
+
+    m = _re.search(rb"stream\r?\n", pdf)
+    start = m.end()
+    broken = pdf[:start] + b"\xff\xfe\xfd" + pdf[start + 3 :]
+    items = extract_pdf_items(broken)
+    txt = " ".join(i["str"] for i in items)
+    assert "page two ok" in txt  # later pages survive
+
+
+def test_filtered_chain_through_spark_path(spark):
+    """Chained filters + predictor through pdf_text (the S8 surface)."""
+    pdf = make_pdf(
+        [[(700.0, "mot dong"), (688.0, "hai dong")]],
+        filters=["ASCII85Decode", "FlateDecode"],
+        predictor_columns=8,
+    )
+    df = spark.createDataFrame(
+        [("d1", bytearray(pdf))], "doc_id string, data binary"
+    )
+    rows = pdf_text(df, "data", "doc_id").collect()
+    assert len(rows) == 1
+    assert "mot dong" in rows[0]["text"] and "hai dong" in rows[0]["text"]
