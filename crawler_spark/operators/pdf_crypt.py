@@ -1,0 +1,338 @@
+"""Standard security handler for the S8 PDF decode path (stdlib-only).
+
+The reference consumes encrypted PDFs transparently through pdfjs
+(``/root/reference/src/lib/processPDf.ts:13-97`` — ``getDocument``
+decrypts before ``getTextContent``). This module re-expresses the
+*standard* security handler (PDF 32000-1:2008 §7.6.3 + the ISO
+32000-2 / Acrobat X R6 extension) with nothing beyond ``hashlib``:
+
+* **RC4** (V1/V2, R2/R3): 40- and 128-bit keys, the md5 key schedule
+  of Algorithm 2 and the per-object key of Algorithm 1.
+* **AES-128 "AESV2"** (V4, R4): per-object key with the ``sAlT``
+  suffix; CBC with a 16-byte IV prefix and PKCS#7 padding.
+* **AES-256 "AESV3"** (V5, R6): SHA-2 hardened derivation
+  (Algorithm 2.B), file key unwrapped from /UE; the file key IS the
+  object key.
+
+The AES core is a from-scratch FIPS-197 implementation (encrypt +
+decrypt, 128/256-bit keys) — ~100 lines, fine at fixture scale and
+used per-stream, not per-byte. Empty user password only (the
+overwhelmingly common "owner-locked" case pdfjs opens silently);
+password-protected documents raise so callers can skip the document
+rather than emit garbage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+# ---------------------------------------------------------------------- RC4
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, byte in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = byte ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+# ------------------------------------------------------------ AES (FIPS-197)
+
+def _build_sbox() -> bytes:
+    # multiplicative inverse in GF(2^8)/0x11B, then the affine map —
+    # derived, not transcribed, so the table can't be mistyped
+    exp, log = [0] * 512, [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= (x << 1) ^ (0x1B if x & 0x80 else 0)
+        x &= 0xFF
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+    sbox = bytearray(256)
+    for a in range(256):
+        inv = 0 if a == 0 else exp[255 - log[a]]
+        b = 0
+        for i in range(8):
+            bit = (
+                (inv >> i)
+                ^ (inv >> ((i + 4) % 8))
+                ^ (inv >> ((i + 5) % 8))
+                ^ (inv >> ((i + 6) % 8))
+                ^ (inv >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            b |= bit << i
+        sbox[a] = b
+    return bytes(sbox)
+
+
+_SBOX = _build_sbox()
+_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_INV_SBOX = bytes(_INV_SBOX)
+
+_RCON = b"\x01\x02\x04\x08\x10\x20\x40\x80\x1b\x36\x6c\xd8\xab\x4d"
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+_MUL = [[0] * 256 for _ in range(16)]
+for _c in (1, 2, 3, 9, 11, 13, 14):
+    for _a in range(256):
+        r, a, c = 0, _a, _c
+        while c:
+            if c & 1:
+                r ^= a
+            a = _xtime(a)
+            c >>= 1
+        _MUL[_c][_a] = r
+
+
+class AES:
+    """AES-128/192/256 block cipher, encrypt + decrypt."""
+
+    def __init__(self, key: bytes):
+        nk = len(key) // 4
+        if nk not in (4, 6, 8):
+            raise ValueError("AES key must be 16/24/32 bytes")
+        self.nr = nk + 6
+        w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+        for i in range(nk, 4 * (self.nr + 1)):
+            t = list(w[i - 1])
+            if i % nk == 0:
+                t = t[1:] + t[:1]
+                t = [_SBOX[b] for b in t]
+                t[0] ^= _RCON[i // nk - 1]
+            elif nk > 6 and i % nk == 4:
+                t = [_SBOX[b] for b in t]
+            w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+        self.rk = [sum((w[4 * r + c] for c in range(4)), []) for r in range(self.nr + 1)]
+
+    @staticmethod
+    def _add(state: list[int], rk: list[int]) -> None:
+        for i in range(16):
+            state[i] ^= rk[i]
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        s = list(block)
+        self._add(s, self.rk[0])
+        for rnd in range(1, self.nr + 1):
+            s = [_SBOX[b] for b in s]
+            # ShiftRows (column-major state: s[r + 4c])
+            s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+            if rnd < self.nr:
+                t = s[:]
+                for c in range(0, 16, 4):
+                    a0, a1, a2, a3 = t[c : c + 4]
+                    s[c] = _MUL[2][a0] ^ _MUL[3][a1] ^ a2 ^ a3
+                    s[c + 1] = a0 ^ _MUL[2][a1] ^ _MUL[3][a2] ^ a3
+                    s[c + 2] = a0 ^ a1 ^ _MUL[2][a2] ^ _MUL[3][a3]
+                    s[c + 3] = _MUL[3][a0] ^ a1 ^ a2 ^ _MUL[2][a3]
+            self._add(s, self.rk[rnd])
+        return bytes(s)
+
+    def decrypt_block(self, block: bytes) -> bytes:
+        s = list(block)
+        self._add(s, self.rk[self.nr])
+        for rnd in range(self.nr - 1, -1, -1):
+            # InvShiftRows then InvSubBytes
+            s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+            s = [_INV_SBOX[b] for b in s]
+            self._add(s, self.rk[rnd])
+            if rnd > 0:
+                t = s[:]
+                for c in range(0, 16, 4):
+                    a0, a1, a2, a3 = t[c : c + 4]
+                    s[c] = _MUL[14][a0] ^ _MUL[11][a1] ^ _MUL[13][a2] ^ _MUL[9][a3]
+                    s[c + 1] = _MUL[9][a0] ^ _MUL[14][a1] ^ _MUL[11][a2] ^ _MUL[13][a3]
+                    s[c + 2] = _MUL[13][a0] ^ _MUL[9][a1] ^ _MUL[14][a2] ^ _MUL[11][a3]
+                    s[c + 3] = _MUL[11][a0] ^ _MUL[13][a1] ^ _MUL[9][a2] ^ _MUL[14][a3]
+        return bytes(s)
+
+
+def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:
+    if len(data) % 16:
+        raise ValueError("AES-CBC data not block-aligned")
+    aes = AES(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        dec = aes.decrypt_block(blk)
+        out += bytes(a ^ b for a, b in zip(dec, prev))
+        prev = blk
+    if unpad and out:
+        n = out[-1]
+        if not 1 <= n <= 16:
+            raise ValueError("bad PKCS#7 padding")
+        out = out[:-n]
+    return bytes(out)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
+    if pad:
+        n = 16 - len(data) % 16
+        data = data + bytes([n]) * n
+    elif len(data) % 16:
+        raise ValueError("AES-CBC data not block-aligned")
+    aes = AES(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = aes.encrypt_block(blk)
+        out += prev
+    return bytes(out)
+
+
+# ----------------------------------------------- standard security handler
+
+PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _pad_password(pwd: bytes) -> bytes:
+    return (pwd + PAD)[:32]
+
+
+def file_key_rc4(
+    o: bytes, p: int, id0: bytes, r: int, length_bits: int, password: bytes = b""
+) -> bytes:
+    """Algorithm 2: the RC4/AESV2 file encryption key (R2/R3/R4)."""
+    h = hashlib.md5()
+    h.update(_pad_password(password))
+    h.update(o[:32])
+    h.update(struct.pack("<i", p))
+    h.update(id0)
+    key = h.digest()
+    n = length_bits // 8 if r >= 3 else 5
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def user_value_rc4(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3+): the /U entry for an empty user pwd."""
+    if r == 2:
+        return rc4(key, PAD)
+    h = hashlib.md5(PAD + id0).digest()
+    u = rc4(key, h)
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in key), u)
+    return u + b"\x00" * 16
+
+
+def owner_value_rc4(r: int, length_bits: int, password: bytes = b"") -> bytes:
+    """Algorithm 3: /O for owner password == user password (empty)."""
+    key = hashlib.md5(_pad_password(password)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    n = length_bits // 8 if r >= 3 else 5
+    o = rc4(key[:n], _pad_password(password))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key[:n]), o)
+    return o
+
+
+def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: per-object RC4/AESV2 key."""
+    h = hashlib.md5()
+    h.update(file_key)
+    h.update(struct.pack("<i", num)[:3])
+    h.update(struct.pack("<i", gen)[:2])
+    if aes:
+        h.update(b"sAlT")
+    return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+# ----------------------------------------------------- AES-256 (V5 R6)
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B: the R6 hardened SHA-2 hash."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        mod = sum(e[:16]) % 3
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def user_values_r6(password: bytes = b"") -> tuple[bytes, bytes, bytes]:
+    """(U, UE, file_key) for R6 with the given user password. U carries
+    validation salt at [32:40] and key salt at [40:48] (random in real
+    writers; fixed here for deterministic fixtures)."""
+    vsalt, ksalt = b"valsalt1", b"keysalt1"
+    u = _hash_2b(password, vsalt) + vsalt + ksalt
+    file_key = bytes(range(32))  # deterministic fixture file key
+    ik = _hash_2b(password, ksalt)
+    ue = aes_cbc_encrypt(ik, bytes(16), file_key, pad=False)
+    return u, ue, file_key
+
+
+def file_key_r6(u: bytes, ue: bytes, password: bytes = b"") -> bytes | None:
+    """Algorithm 2.A (user-password path): validate and unwrap the
+    file key from /U + /UE. None = wrong password."""
+    vsalt, ksalt = u[32:40], u[40:48]
+    if _hash_2b(password, vsalt) != u[:32]:
+        return None
+    ik = _hash_2b(password, ksalt)
+    return aes_cbc_decrypt(ik, bytes(16), ue[:32], unpad=False)
+
+
+# ----------------------------------------------------------- stream layer
+
+
+def decrypt_stream(data: bytes, fkey: bytes, num: int, gen: int, cfm: str) -> bytes:
+    """Decrypt one stream's raw bytes. ``cfm``: V2 (RC4), AESV2, AESV3."""
+    if cfm == "V2":
+        return rc4(object_key(fkey, num, gen, aes=False), data)
+    if cfm == "AESV2":
+        key = object_key(fkey, num, gen, aes=True)
+    elif cfm == "AESV3":
+        key = fkey
+    else:
+        raise ValueError(f"unsupported crypt filter {cfm}")
+    if len(data) < 16:
+        raise ValueError("AES stream shorter than its IV")
+    return aes_cbc_decrypt(key, data[:16], data[16:])
+
+
+def encrypt_stream(data: bytes, fkey: bytes, num: int, gen: int, cfm: str) -> bytes:
+    """Fixture-side partner of :func:`decrypt_stream` (deterministic
+    IV derived from the object number — fine for test fixtures)."""
+    if cfm == "V2":
+        return rc4(object_key(fkey, num, gen, aes=False), data)
+    if cfm == "AESV2":
+        key = object_key(fkey, num, gen, aes=True)
+    elif cfm == "AESV3":
+        key = fkey
+    else:
+        raise ValueError(f"unsupported crypt filter {cfm}")
+    iv = hashlib.md5(b"iv%d" % num).digest()
+    return iv + aes_cbc_encrypt(key, iv, data)

@@ -352,3 +352,96 @@ def test_filtered_chain_through_spark_path(spark):
     rows = pdf_text(df, "data", "doc_id").collect()
     assert len(rows) == 1
     assert "mot dong" in rows[0]["text"] and "hai dong" in rows[0]["text"]
+
+
+# --------------------------------------------------------------------------
+# r3: standard security handler (RC4 / AESV2 / AESV3), inline images,
+# array-form bfrange
+# --------------------------------------------------------------------------
+
+
+def test_aes_rc4_primitives_against_published_vectors():
+    """FIPS-197 Appendix C block vectors + the classic RC4 test vector
+    anchor the from-scratch ciphers to the public spec."""
+    from crawler_spark.operators.pdf_crypt import (
+        AES,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        rc4,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    assert AES(k128).encrypt_block(pt).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert AES(k256).encrypt_block(pt).hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert AES(k128).decrypt_block(AES(k128).encrypt_block(pt)) == pt
+    assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    iv = bytes(range(16))
+    for msg in (b"", b"x", b"16-byte-block-xx", b"cbc roundtrip!" * 9):
+        assert aes_cbc_decrypt(k128, iv, aes_cbc_encrypt(k128, iv, msg)) == msg
+
+
+ENC_PAGE = [(700.0, "secret text line"), (680.0, "mot dong khac .")]
+
+
+def test_encrypted_pdfs_all_modes_roundtrip():
+    """RC4-40/RC4-128/AES-128/AES-256 fixtures decode to the same
+    items as their plaintext twins, with and without filter chains;
+    the on-disk bytes must NOT contain the plaintext."""
+    for mode in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
+        for filt in (None, ["FlateDecode"], ["ASCII85Decode", "FlateDecode"]):
+            pdf = make_pdf([ENC_PAGE], filters=filt, encrypt=mode)
+            txt = " ".join(i["str"] for i in extract_pdf_items(pdf))
+            assert "secret text line" in txt and "mot dong khac" in txt, (mode, filt)
+        assert b"secret text line" not in make_pdf([ENC_PAGE], encrypt=mode), mode
+
+
+def test_password_protected_pdf_skipped_whole():
+    """Tampering /U (≈ a real user password we don't have) must yield
+    zero items, not garbage text — the locked-document path."""
+    import re as _re
+
+    for mode in ("rc4-128", "aes-256"):
+        pdf = make_pdf([ENC_PAGE], encrypt=mode)
+        um = _re.search(rb"/U <([0-9a-f]+)>", pdf)
+        bad = pdf[: um.start(1)] + b"00" * (len(um.group(1)) // 2) + pdf[um.end(1) :]
+        assert extract_pdf_items(bad) == [], mode
+
+
+def test_encrypted_pdf_through_spark_path(spark):
+    pdf = make_pdf([[(700.0, "kin kin"), (688.0, "hai hang")]], encrypt="aes-128")
+    df = spark.createDataFrame([("d1", bytearray(pdf))], "doc_id string, data binary")
+    rows = pdf_text(df, "data", "doc_id").collect()
+    assert len(rows) == 1 and "kin kin" in rows[0]["text"]
+
+
+def test_inline_image_payload_does_not_derail_tokenizer():
+    """A BI…ID <binary> EI block whose payload contains '(' , ')' and
+    'Tj'-looking bytes is skipped; surrounding text survives."""
+    from crawler_spark.operators.pdf_decode import _strip_inline_images
+
+    pdf = make_pdf([[(700.0, "before image"), (680.0, "after image")]])
+    # splice an inline image between the two Tj ops of the content stream
+    payload = b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00(\xff)Tj\x01\x9c EI"
+    patched = pdf.replace(b"' ", b"' \n" + payload + b"\n", 1)
+    txt = " ".join(i["str"] for i in extract_pdf_items(patched))
+    assert "before image" in txt and "after image" in txt
+    assert "\xff" not in txt
+    # unterminated image: rest of stream dropped, no crash
+    assert _strip_inline_images(b"(a) Tj BI /W 1 ID \x00\x01") == b"(a) Tj "
+    # BI inside a string is NOT an image delimiter
+    assert _strip_inline_images(b"(BI not image) Tj") == b"(BI not image) Tj"
+
+
+def test_bfrange_array_form():
+    from crawler_spark.operators.pdf_decode import _parse_cmap
+
+    data = (
+        b"begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<05> <07> [<0058> <1EC7> <0041>]\nendbfrange\n"
+    )
+    _w, cmap = _parse_cmap(data)
+    assert cmap == {5: "X", 6: "ệ", 7: "A"}
