@@ -247,7 +247,13 @@ def normalize_asterisk_col(text: Column | str) -> Column:
 
     @pandas_udf(StringType())
     def _na(s):
-        return s.map(lambda t: normalize_asterisk(t) if t is not None else None)
+        # vectorized fast path: rows with no '*' are returned untouched
+        # (the common case on a real corpus), so the per-row Python
+        # regex work only runs on rows that can actually change
+        mask = s.notna() & s.str.contains("*", regex=False)
+        out = s.copy()
+        out[mask] = s[mask].map(normalize_asterisk)
+        return out
 
     c = F.col(text) if isinstance(text, str) else text
     return _na(c)
