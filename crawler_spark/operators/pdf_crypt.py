@@ -24,6 +24,7 @@ rather than emit garbage.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 
@@ -269,8 +270,12 @@ def object_key(file_key: bytes, num: int, gen: int, aes: bool) -> bytes:
 # ----------------------------------------------------- AES-256 (V5 R6)
 
 
+@functools.lru_cache(maxsize=256)
 def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
-    """ISO 32000-2 Algorithm 2.B: the R6 hardened SHA-2 hash."""
+    """ISO 32000-2 Algorithm 2.B: the R6 hardened SHA-2 hash.
+    Memoized: the hash is deliberately slow (64+ AES-CBC rounds over a
+    4 KiB buffer) and a corpus of same-password documents repeats the
+    same (password, salt) pairs."""
     k = hashlib.sha256(password + salt + udata).digest()
     i = 0
     while True:

@@ -1977,3 +1977,54 @@ WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.7
 
 QUERIES["q48_minhash_production"] = q48_minhash_production
 ORACLE_SQL["q48_minhash_production"] = Q48_SQL
+
+# ---------------------------------------------------------------------------
+# q49 — the full S8 surface inside the correctness gate: per-document
+# ENCRYPTED PDF bytes are synthesized in an Arrow UDF (mode rotates
+# through RC4-40/RC4-128/AESV2/AESV3 by doc_id), then decrypted,
+# filter-decoded, tokenized and assembled back to text by the real
+# pdf_text path (operators/pdf_decode.py + operators/pdf.py,
+# reference: src/lib/processPDf.ts:13-97). The rendered page text is a
+# deterministic label, so a DuckDB oracle is value-EXACT: any drift in
+# crypto, filters, tokenizing or assembly breaks the hash match.
+# ---------------------------------------------------------------------------
+
+
+def q49_pdf_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from crawler_spark.operators.pdf_decode import make_pdf, pdf_text
+
+    @pandas_udf("binary")
+    def _mk(ids):
+        modes = ["rc4-40", "rc4-128", "aes-128", "aes-256"]
+
+        def mk(i):
+            i = int(i)
+            return make_pdf(
+                [[(700.0, f"DOC_{i:05d}")]],
+                filters=["FlateDecode"],
+                encrypt=modes[i % 4],
+            )
+
+        return ids.map(mk)
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", _mk(F.col("doc_id")).alias("data"))
+    )
+    return pdf_text(d, "data", "doc_id").select("doc_id", "page", "text")
+
+
+Q49_SQL = r"""
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS page,
+       'DOC_' || lpad(doc_id::VARCHAR, 5, '0') AS text
+FROM documents
+WHERE doc_id < 60
+"""
+
+QUERIES["q49_pdf_decode_roundtrip"] = q49_pdf_decode_roundtrip
+ORACLE_SQL["q49_pdf_decode_roundtrip"] = Q49_SQL
