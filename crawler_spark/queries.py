@@ -2028,3 +2028,109 @@ WHERE doc_id < 60
 
 QUERIES["q49_pdf_decode_roundtrip"] = q49_pdf_decode_roundtrip
 ORACLE_SQL["q49_pdf_decode_roundtrip"] = Q49_SQL
+
+# ---------------------------------------------------------------------------
+# q50 — Gopher-style repetition quality rules (Rae et al. 2021 §A1.1,
+# the standard pretraining-corpus repetition filters): per document,
+# the fraction of words covered by the most-frequent 1/2/3-gram and
+# the duplicate-word fraction, plus the keep/drop verdict. Scale shape
+# is the canonical word-count pipeline: one explode of (n, gram)
+# structs -> partial-aggregated count -> per-(doc, n) max -> pivot —
+# two doc-keyed shuffles regardless of corpus size; the word-level
+# ratios are shuffle-free higher-order functions. Short-doc guards per
+# the ADVICE shingle lesson (sequence() turns descending when the
+# upper bound crosses the start).
+# ---------------------------------------------------------------------------
+
+
+def q50_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w")
+    )
+    base = d.select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n_words"),
+        (F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w")).alias("dwf"),
+    )
+    gram_structs = """
+        CASE WHEN size(w) >= 1 THEN
+          transform(w, g -> struct(1 AS n, g AS gram)) ELSE array() END
+        || CASE WHEN size(w) >= 2 THEN
+          transform(sequence(1, size(w) - 1),
+                    i -> struct(2 AS n, concat_ws(' ', slice(w, i, 2)) AS gram))
+          ELSE array() END
+        || CASE WHEN size(w) >= 3 THEN
+          transform(sequence(1, size(w) - 2),
+                    i -> struct(3 AS n, concat_ws(' ', slice(w, i, 3)) AS gram))
+          ELSE array() END
+    """
+    counts = (
+        base.select("doc_id", F.explode(F.expr(gram_structs)).alias("g"))
+        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .count()
+    )
+    # one conditional agg instead of max-per-(doc,n) + pivot: same
+    # result, one fewer doc-keyed shuffle
+    piv = counts.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("count"))).alias(str(n))
+            for n in (1, 2, 3)
+        ]
+    )
+    out = base.join(piv, "doc_id", "left")
+    top = lambda n: F.round(  # noqa: E731
+        F.coalesce(F.col(str(n)), F.lit(0)) * n / F.col("n_words"), 6
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round("dwf", 6).alias("dup_word_frac"),
+        top(1).alias("top_word_frac"),
+        top(2).alias("top2gram_frac"),
+        top(3).alias("top3gram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("top2gram_frac") <= 0.20) & (F.col("top3gram_frac") <= 0.18),
+    )
+
+
+Q50_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+  FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+         1.0 - len(list_distinct(w)) * 1.0 / len(w) AS dwf
+  FROM d),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM d
+  UNION ALL
+  SELECT doc_id, 2, w[i] || ' ' || w[i+1]
+  FROM d, unnest(range(1, len(w))) t(i) WHERE len(w) >= 2
+  UNION ALL
+  SELECT doc_id, 3, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+  FROM d, unnest(range(1, len(w) - 1)) t(i) WHERE len(w) >= 3),
+mx AS (
+  SELECT doc_id, n, max(c) AS m
+  FROM (SELECT doc_id, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 1 THEN m END) AS m1,
+         max(CASE WHEN n = 2 THEN m END) AS m2,
+         max(CASE WHEN n = 3 THEN m END) AS m3
+  FROM mx GROUP BY 1)
+SELECT b.doc_id, b.n_words,
+       round(b.dwf, 6) AS dup_word_frac,
+       round(coalesce(m1, 0) * 1.0 / b.n_words, 6) AS top_word_frac,
+       round(coalesce(m2, 0) * 2.0 / b.n_words, 6) AS top2gram_frac,
+       round(coalesce(m3, 0) * 3.0 / b.n_words, 6) AS top3gram_frac,
+       (round(coalesce(m2, 0) * 2.0 / b.n_words, 6) <= 0.20
+        AND round(coalesce(m3, 0) * 3.0 / b.n_words, 6) <= 0.18) AS keep
+FROM base b LEFT JOIN piv USING (doc_id)
+"""
+
+QUERIES["q50_repetition_rules"] = q50_repetition_rules
+ORACLE_SQL["q50_repetition_rules"] = Q50_SQL

@@ -143,3 +143,18 @@ def test_politeness_partial_topk_before_shuffle(spark):
         b for b in plan.split("\n\n") if "WindowGroupLimit" in b and "Partial" in b
     ]
     assert partials, "no partial WindowGroupLimit before the politeness shuffle"
+
+
+def test_q50_word_count_shape(spark):
+    """Repetition rules must keep the canonical word-count shape:
+    partial aggregation before every exchange, no window over the
+    exploded grams, and exactly one gram-keyed + one doc-keyed
+    aggregation (max-per-n fused into conditional aggregates, not a
+    pivot's extra shuffle)."""
+    plan = plan_of(spark, "q50_repetition_rules")
+    assert "partial_count" in plan or "partial" in plan
+    assert "Window" not in plan
+    # gram-keyed agg + doc-keyed agg + broadcast for the join (the
+    # formatted pre-AQE plan also lists each exchange's detail block);
+    # a pivot or window would push this past 6
+    assert plan.count("Exchange") <= 6
