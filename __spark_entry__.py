@@ -3,13 +3,14 @@
 ``entry(spark)`` runs the flagship pricing-rollup query on sf0.001;
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 plus the training-data dedup/similarity/ANN/text-analysis
-ops (50 queries; all but q43 have DuckDB oracles — q45/q46 cover the
+ops (51 queries; all but q43 have DuckDB oracles — q45/q46 cover the
 full reference cleanup chain and verse-order tracking, q47 proves the
 banded pHash recall guarantee against a brute-force oracle, q48 proves
 the production MinHash operator (k=128, b=32) against a brute-force
 exact-Jaccard oracle, q49 round-trips ENCRYPTED PDF bytes through the
 full S8 decrypt/decode/assemble path against a value-exact oracle,
-q50 adds the Gopher repetition quality rules).
+q50 adds the Gopher repetition quality rules, q51 the PII
+redaction pass).
 The full registry lives in ``crawler_spark/queries.py``.
 """
 

@@ -2134,3 +2134,63 @@ FROM base b LEFT JOIN piv USING (doc_id)
 
 QUERIES["q50_repetition_rules"] = q50_repetition_rules
 ORACLE_SQL["q50_repetition_rules"] = Q50_SQL
+
+# ---------------------------------------------------------------------------
+# q51 — PII scrubbing (functions/pii.py): the standard pre-training
+# redaction pass (emails / SSN-shaped ids / phones), pure JVM
+# regexp_replace chain with an RE2-compatible shared pattern table so
+# the DuckDB oracle replays the exact same rules. PII is injected
+# deterministically from doc_id in both engines, so the value match
+# proves pattern semantics AND precedence (emails before ids before
+# phones — an SSN also matches the looser phone pattern).
+# ---------------------------------------------------------------------------
+
+
+def q51_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.functions.pii import pii_counts_col, scrub_pii_col
+
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ssn 123-45-6789 end"),
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", inj.alias("t"))
+    )
+    counts = pii_counts_col("t")
+    return d.select(
+        "doc_id",
+        scrub_pii_col("t").alias("scrubbed"),
+        counts["emails"].alias("n_emails"),
+        counts["ids"].alias("n_ids"),
+        counts["phones"].alias("n_phones"),
+    )
+
+
+Q51_SQL = r"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com or +1-555-01'
+              || lpad((doc_id % 100)::VARCHAR, 2, '0') || ' ssn 123-45-6789 end' AS t
+  FROM documents WHERE doc_id < 200),
+m1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+  FROM inj),
+m2 AS (SELECT *, regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g') AS t2 FROM m1)
+SELECT doc_id,
+       regexp_replace(t2, '\+?\d[\d \-()]{7,}\d', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ids,
+       CAST(len(regexp_extract_all(t2, '\+?\d[\d \-()]{7,}\d')) AS INTEGER) AS n_phones
+FROM m2
+"""
+
+QUERIES["q51_pii_scrub"] = q51_pii_scrub
+ORACLE_SQL["q51_pii_scrub"] = Q51_SQL
