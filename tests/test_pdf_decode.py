@@ -445,3 +445,34 @@ def test_bfrange_array_form():
     )
     _w, cmap = _parse_cmap(data)
     assert cmap == {5: "X", 6: "ệ", 7: "A"}
+
+
+def test_binary_stream_tail_byte_survives_endstream_trim():
+    """A /Length entry bounds stream data exactly, so encrypted or
+    compressed bytes whose LAST byte is \\r or \\n are not eaten by the
+    pre-endstream EOL heuristic (doc-19 regression: an AES ciphertext
+    ending 0x0D lost a whole page — 1/256 of random-tail streams)."""
+    # deterministic repro: this exact corpus yields an AES stream whose
+    # ciphertext ends with \r under the fixture's fixed key/IV schedule
+    pg = [
+        [(700.0 - 14 * ln, f"doc 19 page {p} line {ln} of the corpus") for ln in range(8)]
+        for p in range(5)
+    ]
+    pdf = make_pdf(pg, filters=["FlateDecode"], encrypt="aes-128")
+    items = extract_pdf_items(pdf)
+    assert sorted({i["page"] for i in items}) == [1, 2, 3, 4, 5]
+    assert len(items) == 40
+    # hand-built raw stream ending in \r\n (both bytes are DATA)
+    body = b"BT /F1 12 Tf 72 700 Td (tail) Tj ET\r\n"
+    pdf2 = (
+        b"%%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n%%%%EOF"
+        % (len(body), body)
+    )
+    assert [i["str"] for i in extract_pdf_items(pdf2)] == ["tail"]
+    # indirect /Length N 0 R still falls back to the EOL heuristic
+    # (and must not backtrack-match the "1" of "160")
+    pdf3 = pdf2.replace(b"/Length %d" % len(body), b"/Length 160 0 R")
+    assert [i["str"] for i in extract_pdf_items(pdf3)] == ["tail"]
