@@ -2194,3 +2194,193 @@ FROM m2
 
 QUERIES["q51_pii_scrub"] = q51_pii_scrub
 ORACLE_SQL["q51_pii_scrub"] = Q51_SQL
+
+# ---------------------------------------------------------------------------
+# q52 — benchmark decontamination: the standard pre-training hygiene
+# pass (GPT-3 appendix-C / PaLM style) — flag any document sharing a
+# 13-gram with an evaluation benchmark. Scale shape: the benchmark
+# gram set is tiny next to the corpus, so it BROADCASTS into the
+# doc-gram stream (one map-side join, no corpus shuffle besides the
+# per-doc count agg). Benchmark passages are synthesized inline and
+# injected into doc_id % 7 == 0 rows identically in both engines, so
+# the value match proves gram extraction + overlap semantics exactly.
+# Short-doc guards per the ADVICE shingle lesson.
+# ---------------------------------------------------------------------------
+
+_Q52_GREEK = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+)
+
+
+def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = 13
+    grams = (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"  transform(sequence(1, size(w) - {n - 1}), "
+        f"            i -> concat_ws(' ', slice(w, i, {n}))) "
+        "ELSE array() END"
+    )
+    bench = spark.range(3).select(
+        F.concat(
+            F.lit("eval item "), F.col("id").cast("string"), F.lit(" " + _Q52_GREEK)
+        ).alias("p")
+    )
+    bgrams = (
+        bench.select(F.split(F.trim("p"), r"\s+").alias("w"))
+        .select(F.explode(F.expr(grams)).alias("gram"))
+        .distinct()
+    )
+    inj = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" eval item "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(" " + _Q52_GREEK),
+        ),
+    ).otherwise(F.col("text"))
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.trim(inj), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.greatest(F.size("w") - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+            F.expr(grams).alias("grams"),
+        )
+    )
+    hits = (
+        d.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bgrams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return d.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+Q52_SQL = rf"""
+WITH bench AS (
+  SELECT 'eval item ' || j::VARCHAR || ' {_Q52_GREEK}' AS p FROM range(3) t(j)),
+bw AS (SELECT regexp_split_to_array(trim(p), '\s+') AS w FROM bench),
+bg AS (
+  SELECT DISTINCT array_to_string(w[i : i + 12], ' ') AS gram
+  FROM bw, unnest(range(1, len(w) - 11)) t(i) WHERE len(w) >= 13),
+inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' eval item ' || (doc_id % 3)::VARCHAR || ' {_Q52_GREEK}'
+              ELSE text END AS t
+  FROM documents),
+dw AS (SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w FROM inj),
+dg AS (SELECT doc_id, CAST(greatest(len(w) - 12, 0) AS BIGINT) AS n_grams, w FROM dw),
+ex AS (
+  SELECT doc_id, array_to_string(w[i : i + 12], ' ') AS gram
+  FROM dg, unnest(range(1, len(w) - 11)) t(i) WHERE len(w) >= 13),
+hits AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ex e JOIN bg b USING (gram) GROUP BY 1)
+SELECT d.doc_id, d.n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM dg d LEFT JOIN hits h USING (doc_id)
+"""
+
+QUERIES["q52_decontamination"] = q52_decontamination
+ORACLE_SQL["q52_decontamination"] = Q52_SQL
+
+# ---------------------------------------------------------------------------
+# q53 — cross-corpus line-level boilerplate removal (CCNet / RefinedWeb
+# style): drop any LINE that appears in >= min_docs distinct documents
+# (nav bars, cookie banners, footers), keep everything else in
+# original order. Scale shape: the corpus-wide frequent-line set is
+# tiny after the >= min_docs filter, so it comes back as a BROADCAST
+# left-anti join — the only corpus-sized shuffles are the line-hash
+# count and the per-doc reassembly. The fixture has no newlines, so
+# "lines" are deterministic 8-word chunks plus injected boilerplate
+# (5 header variants + a global footer), identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+def q53_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    min_docs = 10
+    lines_expr = """
+      concat(
+        array(concat('promo banner variant ', cast(doc_id % 5 AS string))),
+        CASE WHEN size(w) >= 1 THEN
+          transform(sequence(1, cast(ceil(size(w) / 8.0) AS int)),
+                    i -> concat_ws(' ', slice(w, (i - 1) * 8 + 1, 8)))
+        ELSE array() END,
+        array('copyright footer all rights reserved'))
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w")
+    )
+    lines = d.select("doc_id", F.expr(lines_expr).alias("arr")).select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n_lines"),
+        F.posexplode("arr").alias("pos", "line"),
+    )
+    freq = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(F.broadcast(freq), "line", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("cleaned"),
+    )
+    tot = lines.groupBy("doc_id").agg(F.first("n_lines").alias("n_lines"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+    )
+
+
+Q53_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+  FROM documents),
+lines0 AS (
+  SELECT doc_id, 0 AS pos,
+         'promo banner variant ' || (doc_id % 5)::VARCHAR AS line FROM d
+  UNION ALL
+  SELECT doc_id, i AS pos,
+         array_to_string(w[(i - 1) * 8 + 1 : least(i * 8, len(w))], ' ')
+  FROM d, unnest(range(1, CAST(ceil(len(w) / 8.0) AS BIGINT) + 1)) t(i)
+  WHERE len(w) >= 1
+  UNION ALL
+  SELECT doc_id, 1000000, 'copyright footer all rights reserved' FROM d),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS nd FROM lines0 GROUP BY 1)
+  WHERE nd >= 10),
+kept AS (
+  SELECT l.* FROM lines0 l LEFT JOIN freq f USING (line) WHERE f.line IS NULL),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM lines0 GROUP BY 1)
+SELECT t.doc_id, t.n_lines,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.cleaned, '') AS cleaned
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+QUERIES["q53_line_boilerplate"] = q53_line_boilerplate
+ORACLE_SQL["q53_line_boilerplate"] = Q53_SQL

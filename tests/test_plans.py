@@ -158,3 +158,22 @@ def test_q50_word_count_shape(spark):
     # formatted pre-AQE plan also lists each exchange's detail block);
     # a pivot or window would push this past 6
     assert plan.count("Exchange") <= 6
+
+
+def test_q52_benchmark_grams_broadcast(spark):
+    """Decontamination must stream corpus grams past a BROADCAST of
+    the (tiny) benchmark gram set — a shuffled semi-join here would
+    re-shuffle the whole corpus by 13-gram at 100 TB."""
+    plan = plan_of(spark, "q52_decontamination")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the benchmark side, not the corpus, builds the broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_q53_frequent_lines_broadcast_anti(spark):
+    """Line-level boilerplate removal: the >=min_docs frequent-line
+    set is tiny, so it must come back as a broadcast LEFT ANTI join —
+    never a corpus-sized shuffle keyed on raw line text."""
+    plan = plan_of(spark, "q53_line_boilerplate")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Window" not in plan
