@@ -476,3 +476,64 @@ def test_binary_stream_tail_byte_survives_endstream_trim():
     # (and must not backtrack-match the "1" of "160")
     pdf3 = pdf2.replace(b"/Length %d" % len(body), b"/Length 160 0 R")
     assert [i["str"] for i in extract_pdf_items(pdf3)] == ["tail"]
+
+
+def test_simple_font_encoding_differences():
+    """Simple fonts without /ToUnicode decode through /Encoding:
+    base encoding (WinAnsi = cp1252 exactly) overridden by a
+    /Differences glyph-name array, with AGL names, uniXXXX names,
+    and unknown glyphs -> .notdef (dropped)."""
+    font = (
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        "/Encoding << /BaseEncoding /WinAnsiEncoding "
+        "/Differences [ 200 /Agrave /eacute 240 /uni1EC7 /oe 250 /nosuchglyph ] >> >>"
+    )
+    # codes 200,201,240,241,250 ride in as latin-1 literal bytes
+    # (the whole string must stay latin-1-encodable, or _pdf_string
+    # switches to the BOM'd hex form which bypasses 1-byte encodings)
+    text = "\xc8\xc9 plain \xf0\xf1 \xfa"
+    pdf = make_pdf([[(700.0, text)]], font=font)
+    items = extract_pdf_items(pdf)
+    # 200->À 201->é 240->ệ 241->œ, WinAnsi passthrough for ASCII,
+    # unknown glyph at 250 (0xfa) dropped, not passed through
+    assert items[0]["str"] == "Àé plain ệœ "
+
+
+def test_simple_font_base_encodings_and_precedence():
+    # bare-name /Encoding: MacRoman 0xBE is ae ligature
+    mac = "<< /Type /Font /Encoding /MacRomanEncoding >>"
+    assert extract_pdf_items(make_pdf([[(700.0, "\xbe")]], font=mac))[0]["str"] == "æ"
+    # StandardEncoding: 0x27 is quoteright, 0o341 is AE
+    std = "<< /Type /Font /Encoding /StandardEncoding >>"
+    got = extract_pdf_items(make_pdf([[(700.0, "it's \xe1")]], font=std))[0]["str"]
+    assert got == "it’s Æ"
+    # WinAnsi smart quotes land at 0x91-0x94
+    win = "<< /Type /Font /Encoding /WinAnsiEncoding >>"
+    got = extract_pdf_items(make_pdf([[(700.0, "\x93hi\x94")]], font=win))[0]["str"]
+    assert got == "“hi”"
+    # no /Encoding at all: latin-1 fallback unchanged
+    got = extract_pdf_items(make_pdf([[(700.0, "caf\xe9")]]))[0]["str"]
+    assert got == "café"
+
+
+def test_encoding_differences_under_encryption_and_filters():
+    """/Differences live in the (plaintext) font dict, so they apply
+    unchanged when the content stream is filtered AND encrypted."""
+    font = "<< /Type /Font /Encoding << /Differences [ 65 /quoteright ] >> >>"
+    pdf = make_pdf(
+        [[(700.0, "A B")]], filters=["FlateDecode"], encrypt="aes-128", font=font
+    )
+    got = extract_pdf_items(pdf)[0]["str"]
+    assert got == "’ B"
+
+
+def test_glyph_name_resolution_forms():
+    from crawler_spark.operators.pdf_decode import _glyph_to_unicode
+
+    assert _glyph_to_unicode("eacute") == "é"
+    assert _glyph_to_unicode("uni1EC7") == "ệ"
+    assert _glyph_to_unicode("uni00410042") == "AB"  # multi-unit UTF-16BE
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("a") == "a"
+    assert _glyph_to_unicode("Euro") == "€"
+    assert _glyph_to_unicode("nosuch") == ""
