@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract).
 
-Runs every registered query (53 at last count) at ``$SPARK_GRAFT_SF_DIR`` (default
+Runs every registered query (55 at last count) at ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
 JSON line::
 

@@ -2384,3 +2384,125 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 
 QUERIES["q53_line_boilerplate"] = q53_line_boilerplate
 ORACLE_SQL["q53_line_boilerplate"] = Q53_SQL
+
+# ---------------------------------------------------------------------------
+# q54 — duplicate-cluster canonicalization (operators/components.py):
+# near-dup PAIRS (the q22/q47/q38 output shape) collapse into
+# transitive clusters and each cluster elects min-doc_id as the copy
+# a dedup sweep keeps. Iterative min-label propagation + pointer
+# jumping with per-iteration lineage cuts — the missing step between
+# "pairs found" and "rows dropped" in every real pipeline. The oracle
+# computes the same closure with a recursive CTE. Pairs are
+# deterministic doc_id arithmetic (chains + long-range merges), so
+# transitivity across >1 hop is actually exercised.
+# ---------------------------------------------------------------------------
+
+
+def q54_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.operators.components import duplicate_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    a, b = d.alias("a"), d.alias("b")
+    chain = a.join(
+        b, F.expr("b.doc_id = a.doc_id + 1 AND a.doc_id % 10 < 3")
+    ).select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    longrange = a.join(
+        b, F.expr("b.doc_id = a.doc_id + 50 AND a.doc_id % 97 = 0")
+    ).select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+    return duplicate_clusters(chain.union(longrange))
+
+
+Q54_SQL = r"""
+WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 10 < 3
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 50 AND a.doc_id % 97 = 0),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(node, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY 1),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY 1)
+SELECT c.node AS doc_id, c.component, s.cluster_size,
+       c.node = c.component AS is_canonical
+FROM comp c JOIN sizes s USING (component)
+"""
+
+QUERIES["q54_dup_clusters"] = q54_dup_clusters
+ORACLE_SQL["q54_dup_clusters"] = Q54_SQL
+
+# ---------------------------------------------------------------------------
+# q55 — token-budget sequence packing: greedy first-fit-in-order of
+# documents into fixed token-budget bins (the batch-packing step of an
+# SFT/pre-training loader). Packing is inherently sequential, so the
+# parallel unit is a PACK GROUP (here doc_id // 50): groups pack
+# concurrently via applyInPandas (one Arrow batch per group, whole
+# group materialized and sorted — the stateful-chunk lesson from
+# ADVICE r2), while within a group the fill loop is exact greedy
+# semantics. The oracle replays the same loop as a recursive CTE
+# stepping one row per recursion level. An oversized doc (> budget)
+# gets a bin of its own; order is doc_id within group.
+# ---------------------------------------------------------------------------
+
+
+def q55_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    budget = 128
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for tok in pdf["tok"]:
+            if fill > 0 and fill + tok > budget:
+                cur += 1
+                fill = 0
+            fill += int(tok)
+            bins.append(cur)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "pack_group": pdf["grp"],
+                "bin_idx": bins,
+                "n_tokens": pdf["tok"],
+            }
+        )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") / 50).cast("long").alias("grp"),
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+        .cast("long")
+        .alias("tok"),
+    )
+    return d.groupBy("grp").applyInPandas(
+        pack, "doc_id long, pack_group long, bin_idx long, n_tokens long"
+    )
+
+
+Q55_SQL = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, doc_id // 50 AS grp,
+         CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS tok,
+         row_number() OVER (PARTITION BY doc_id // 50 ORDER BY doc_id) AS rn
+  FROM documents),
+pack(grp, rn, doc_id, tok, bin_idx, fill) AS (
+  SELECT grp, rn, doc_id, tok, CAST(0 AS BIGINT), tok FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.grp, t.rn, t.doc_id, t.tok,
+         CASE WHEN p.fill + t.tok <= 128 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + t.tok <= 128 THEN p.fill + t.tok ELSE t.tok END
+  FROM pack p JOIN t ON t.grp = p.grp AND t.rn = p.rn + 1)
+SELECT doc_id, CAST(grp AS BIGINT) AS pack_group,
+       CAST(bin_idx AS BIGINT) AS bin_idx, tok AS n_tokens
+FROM pack
+"""
+
+QUERIES["q55_sequence_packing"] = q55_sequence_packing
+ORACLE_SQL["q55_sequence_packing"] = Q55_SQL

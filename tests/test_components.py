@@ -1,0 +1,94 @@
+"""connected_components / duplicate_clusters vs a union-find brute force."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawler_spark.operators.components import (
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _brute(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+EDGES = (
+    # path of diameter 12 (pointer jumping must converge way under 30)
+    [(i, i + 1) for i in range(12)]
+    # star
+    + [(100, x) for x in (101, 102, 103)]
+    # two clusters merged only transitively: 200-201, 202-203, 201-202
+    + [(200, 201), (202, 203), (201, 202)]
+    # self-loop + reversed duplicate edge
+    + [(300, 300), (5, 4)]
+)
+
+
+def test_components_match_union_find(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == _brute(EDGES)
+
+
+def test_duplicate_clusters_canonical_election(spark):
+    df = spark.createDataFrame(EDGES, "a long, b long")
+    rows = duplicate_clusters(df).collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+    # the 13-node path is one cluster rooted at 0
+    assert len(by_comp[0]) == 13
+
+
+def test_components_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(df, max_iter=1)
+
+
+def test_sequence_packing_edge_cases(spark, tmp_path):
+    """q55 greedy fill semantics on a synthetic corpus that covers
+    what the sf fixture can't: oversized docs (> budget), exact-fit
+    boundaries, and group isolation."""
+    import pyspark.sql.functions as F
+
+    from crawler_spark.queries import QUERIES
+
+    # tokens per doc: group 0 = [64, 64, 1, 200, 10], group 1 = [128]
+    toks = {0: 64, 1: 64, 2: 1, 3: 200, 4: 10, 50: 128}
+    rows = [(i, " ".join(["w"] * t)) for i, t in toks.items()]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "lang", F.lit("en")
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["pack_group"], r["bin_idx"], r["n_tokens"])
+        for r in QUERIES["q55_sequence_packing"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (0, 0, 64),  # 64
+        1: (0, 0, 64),  # 64+64 = 128 exact fit
+        2: (0, 1, 1),  # would overflow -> new bin
+        3: (0, 2, 200),  # oversized doc gets its own bin
+        4: (0, 3, 10),  # fill after oversized resets
+        50: (1, 0, 128),  # separate pack group, exact budget
+    }
