@@ -97,6 +97,10 @@ def bench_frontier(spark, n: int = 2_000_000, budget: int = 8) -> dict:
 
 
 def main() -> None:
+    # string-heavy stages GC-collapse on the default 16g heap once a
+    # long session accumulates (BENCH.md §0: 35.6s → 10.5s after 48g);
+    # every bench tool pins this, and the 55-query session needs it too
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.1

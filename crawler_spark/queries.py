@@ -2053,21 +2053,30 @@ def q50_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").alias("n_words"),
         (F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w")).alias("dwf"),
     )
-    gram_structs = """
+    # explode cheap (n, i) INT structs and build the gram string ABOVE
+    # the Generate: Spark re-evaluates a Generate's input expression
+    # per OUTPUT element (CollapseProject inlines it), so exploding the
+    # string-building transform directly costs O(grams²) string work
+    # per doc — measured 3-5 s vs <1 s at sf0.1 (same trap as q52/q53)
+    gram_pos = """
         CASE WHEN size(w) >= 1 THEN
-          transform(w, g -> struct(1 AS n, g AS gram)) ELSE array() END
+          transform(sequence(1, size(w)), i -> struct(1 AS n, i AS i))
+          ELSE array() END
         || CASE WHEN size(w) >= 2 THEN
-          transform(sequence(1, size(w) - 1),
-                    i -> struct(2 AS n, concat_ws(' ', slice(w, i, 2)) AS gram))
+          transform(sequence(1, size(w) - 1), i -> struct(2 AS n, i AS i))
           ELSE array() END
         || CASE WHEN size(w) >= 3 THEN
-          transform(sequence(1, size(w) - 2),
-                    i -> struct(3 AS n, concat_ws(' ', slice(w, i, 3)) AS gram))
+          transform(sequence(1, size(w) - 2), i -> struct(3 AS n, i AS i))
           ELSE array() END
     """
     counts = (
-        base.select("doc_id", F.explode(F.expr(gram_structs)).alias("g"))
-        .groupBy("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        base.select("doc_id", "w", F.explode(F.expr(gram_pos)).alias("g"))
+        .select(
+            "doc_id",
+            F.col("g.n").alias("n"),
+            F.expr("concat_ws(' ', slice(w, g.i, g.n))").alias("gram"),
+        )
+        .groupBy("doc_id", "n", "gram")
         .count()
     )
     # one conditional agg instead of max-per-(doc,n) + pivot: same
@@ -2214,12 +2223,17 @@ _Q52_GREEK = (
 
 def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = 13
-    grams = (
-        f"CASE WHEN size(w) >= {n} THEN "
-        f"  transform(sequence(1, size(w) - {n - 1}), "
-        f"            i -> concat_ws(' ', slice(w, i, {n}))) "
+    # explode POSITIONS (a cheap int sequence) and hash the 13-gram
+    # above the Generate: Spark re-evaluates a Generate's input per
+    # output element, so exploding the hash-building transform itself
+    # re-runs the whole string pipeline O(positions) times per doc —
+    # measured 9 s vs 0.5 s at sf0.1. Grams travel as xxhash64 longs,
+    # never strings, so the join exchange carries 8 bytes per gram.
+    pos = (
+        f"CASE WHEN size(w) >= {n} THEN sequence(1, size(w) - {n - 1}) "
         "ELSE array() END"
     )
+    gram = f"xxhash64(concat_ws(' ', slice(w, i, {n})))"
     bench = spark.range(3).select(
         F.concat(
             F.lit("eval item "), F.col("id").cast("string"), F.lit(" " + _Q52_GREEK)
@@ -2227,7 +2241,8 @@ def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bgrams = (
         bench.select(F.split(F.trim("p"), r"\s+").alias("w"))
-        .select(F.explode(F.expr(grams)).alias("gram"))
+        .select("w", F.explode(F.expr(pos)).alias("i"))
+        .select(F.expr(gram).alias("gram"))
         .distinct()
     )
     inj = F.when(
@@ -2239,22 +2254,21 @@ def q52_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" " + _Q52_GREEK),
         ),
     ).otherwise(F.col("text"))
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.trim(inj), r"\s+").alias("w"))
-        .select(
-            "doc_id",
-            F.greatest(F.size("w") - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
-            F.expr(grams).alias("grams"),
-        )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(inj), r"\s+").alias("w")
     )
     hits = (
-        d.select("doc_id", F.explode("grams").alias("gram"))
+        d.select("doc_id", "w", F.explode(F.expr(pos)).alias("i"))
+        .select("doc_id", F.expr(gram).alias("gram"))
         .join(F.broadcast(bgrams), "gram", "left_semi")
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
-    return d.join(hits, "doc_id", "left").select(
+    tot = d.select(
+        "doc_id",
+        F.greatest(F.size("w") - (n - 1), F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return tot.join(hits, "doc_id", "left").select(
         "doc_id",
         "n_grams",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
@@ -2307,22 +2321,37 @@ ORACLE_SQL["q52_decontamination"] = Q52_SQL
 
 def q53_line_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_docs = 10
-    lines_expr = """
-      concat(
-        array(concat('promo banner variant ', cast(doc_id % 5 AS string))),
-        CASE WHEN size(w) >= 1 THEN
-          transform(sequence(1, cast(ceil(size(w) / 8.0) AS int)),
-                    i -> concat_ws(' ', slice(w, (i - 1) * 8 + 1, 8)))
-        ELSE array() END,
-        array('copyright footer all rights reserved'))
+    # explode a cheap position sequence and build each line string
+    # ABOVE the Generate (the input expression re-evaluates per output
+    # element — exploding the line-building transform directly costs
+    # O(lines²) string work per doc, the q50/q52 trap). Position 0 is
+    # the header, nc + 1 the footer, 1..nc the 8-word chunks.
+    line_expr = """
+      CASE WHEN pos = 0
+             THEN concat('promo banner variant ', cast(doc_id % 5 AS string))
+           WHEN pos = nc + 1
+             THEN 'copyright footer all rights reserved'
+           ELSE concat_ws(' ', slice(w, (pos - 1) * 8 + 1, 8)) END
     """
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w")
-    )
-    lines = d.select("doc_id", F.expr(lines_expr).alias("arr")).select(
         "doc_id",
-        F.size("arr").cast("long").alias("n_lines"),
-        F.posexplode("arr").alias("pos", "line"),
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+").alias("w"),
+    )
+    lines = (
+        d.select(
+            "doc_id",
+            "w",
+            F.expr(
+                "CASE WHEN size(w) >= 1 THEN cast(ceil(size(w) / 8.0) AS int) "
+                "ELSE 0 END"
+            ).alias("nc"),
+        )
+        .select(
+            "doc_id", "w", "nc",
+            (F.col("nc") + 2).cast("long").alias("n_lines"),
+            F.explode(F.expr("sequence(0, nc + 1)")).alias("pos"),
+        )
+        .select("doc_id", "n_lines", "pos", F.expr(line_expr).alias("line"))
     )
     freq = (
         lines.groupBy("line")

@@ -177,3 +177,18 @@ def test_q53_frequent_lines_broadcast_anti(spark):
     plan = plan_of(spark, "q53_line_boilerplate")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "Window" not in plan
+
+
+def test_no_heavy_expressions_under_generate(spark):
+    """Spark re-evaluates a Generate's input expression once per
+    OUTPUT element (CollapseProject inlines the projection), so an
+    explode over a string-building transform costs O(elements²) string
+    work per row — q50/q52/q53 regressed 6-15x this way. Gate: no
+    Generate input in these plans may contain string builders; the
+    heavy work must sit ABOVE the explode."""
+    for q in ("q50_repetition_rules", "q52_decontamination", "q53_line_boilerplate"):
+        plan = plan_of(spark, q)
+        gen_lines = [l for l in plan.splitlines() if "explode(" in l]
+        assert gen_lines, q
+        for line in gen_lines:
+            assert "concat_ws" not in line and "xxhash64" not in line, (q, line)
