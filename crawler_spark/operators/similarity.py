@@ -47,14 +47,23 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     # load-bearing: sequence(1, 0) is DESCENDING in Spark ([1, 0]), and
     # slice(w, 0, n) throws INVALID_PARAMETER_VALUE.START — without the
     # when(), one short/empty doc aborts the whole sweep.
-    grams = F.when(
-        F.size("w") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("w") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("w", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return dw.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    #
+    # Explode POSITIONS, not the built strings: a Generate re-evaluates
+    # its input expression once per OUTPUT element, so exploding the
+    # string-building transform costs O(positions²) string work per doc
+    # (12× on the q52 twin of this shape). The concat sits ABOVE the
+    # Generate and runs once per shingle.
+    pos = F.when(
+        F.size("w") >= n, F.sequence(F.lit(1), F.size("w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        dw.select("doc_id", "w", F.explode(pos).alias("i"))
+        .select(
+            "doc_id",
+            F.expr(f"concat_ws(' ', slice(w, i, {int(n)}))").alias("shingle"),
+        )
+        .distinct()
+    )
 
 
 def minhash_signatures(
@@ -75,16 +84,19 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing at least one band bucket."""
+    # explode the (cheap) band index, hash the slice ABOVE the Generate
+    # (its input re-evaluates per output element — the q52 trap)
     banded = sigs.select(
+        "doc_id", "sig", F.expr(f"explode(sequence(0, {bands - 1})) AS band")
+    ).select(
         "doc_id",
         "sig",
+        "band",
         F.expr(
-            f"explode(transform(sequence(0, {bands - 1}), b -> struct("
-            f"b AS band, "
-            f"hash(slice(sig, b * (size(sig) div {bands}) + 1, "
-            f"size(sig) div {bands})) AS bh))) AS bb"
+            f"hash(slice(sig, band * (size(sig) div {bands}) + 1, "
+            f"size(sig) div {bands})) AS bh"
         ),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    )
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
     )

@@ -697,15 +697,17 @@ def _shingles(d: DataFrame) -> DataFrame:
     # split() into every lambda call site (an O(words²) blowup)
     dw = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
     # when() guard: sequence(1, 0) is descending and slice start 0
-    # throws — a <3-word doc must yield an empty shingle set, not abort
-    grams = F.when(
-        F.size("w") >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size("w") - 2),
-            lambda i: F.concat_ws(" ", F.slice("w", i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return dw.select("doc_id", F.explode(grams).alias("shingle")).distinct()
+    # throws — a <3-word doc must yield an empty shingle set, not abort.
+    # Positions explode; the string builds ABOVE the Generate (whose
+    # input re-evaluates per output element — the q52 trap).
+    pos = F.when(F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        dw.select("doc_id", "w", F.explode(pos).alias("i"))
+        .select("doc_id", F.expr("concat_ws(' ', slice(w, i, 3))").alias("shingle"))
+        .distinct()
+    )
 
 
 def q22_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

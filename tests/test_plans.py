@@ -186,7 +186,14 @@ def test_no_heavy_expressions_under_generate(spark):
     work per row — q50/q52/q53 regressed 6-15x this way. Gate: no
     Generate input in these plans may contain string builders; the
     heavy work must sit ABOVE the explode."""
-    for q in ("q50_repetition_rules", "q52_decontamination", "q53_line_boilerplate"):
+    for q in (
+        "q50_repetition_rules",
+        "q52_decontamination",
+        "q53_line_boilerplate",
+        "q22_minhash_lsh_pairs",
+        "q24_ngram_jaccard",
+        "q48_minhash_production",
+    ):
         plan = plan_of(spark, q)
         gen_lines = [l for l in plan.splitlines() if "explode(" in l]
         assert gen_lines, q
