@@ -6,10 +6,11 @@ phash)``. The reference has no image pipeline (it *drops* images,
 so decode/validate semantics are defined here from scratch:
 
   * numpy-only codecs for ``ppm`` (P6), ``bmp`` (24-bit BI_RGB),
-    ``png`` (8-bit RGB via zlib), and ``qjpg`` — a deterministic
-    synthetic *lossy* format (uniform quantization, step 8 → PSNR
-    ≈ 40.9 dB) standing in for JPEG since no codec libs exist in the
-    env;
+    ``png`` (8-bit RGB via zlib), ``gif`` (GIF87a/89a with real GIF
+    LZW, interlace, local/global palettes — lossless for palette
+    images), and ``qjpg`` — a deterministic synthetic *lossy* format
+    (uniform quantization, step 8 → PSNR ≈ 40.9 dB) standing in for
+    JPEG since no codec libs exist in the env;
   * 64-bit perceptual hash (32×32 grayscale → DCT-II → 8×8 low-band →
     median threshold);
   * PSNR for the ``allclose`` per-row invariant (PSNR ≥ 40 dB lossy,
@@ -192,11 +193,203 @@ def decode_qjpg(data: bytes) -> np.ndarray:
     return np.minimum(q.astype(np.int32) * step + step // 2, 255).astype(np.uint8)
 
 
+# ------------------------------------------------------------------- GIF
+# GIF87a/89a, stdlib-only (GIF LZW is variable-width LSB-first packing
+# with growth at next_code == 2^width — unlike PDF's MSB-first TIFF
+# variant in operators/pdf_decode.py). Decode: global/local color
+# tables, interlace, extension skipping, deferred-clear tolerance,
+# first frame. Encode: exact-palette (≤ 256 distinct colors — GIF is
+# palettized, so palette-able images round-trip LOSSLESSLY; >256
+# colors raise instead of silently quantizing).
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = bitcnt = pos = 0
+    while True:
+        while bitcnt < width and pos < len(data):
+            bitbuf |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        if bitcnt < width:
+            break  # truncated stream: return what decoded
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, width, prev = eoi + 1, mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    width = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    wseq = b""
+    for b in indices:
+        t = wseq + bytes([b])
+        if t in table:
+            wseq = t
+            continue
+        emit(table[wseq])
+        table[t] = next_code
+        next_code += 1
+        # the decoder's table runs one entry behind the encoder's, so
+        # it widens when ITS next_code (ours - 1) reaches 2^width
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # reset before the 12-bit table fills
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, mcs + 1
+        wseq = bytes([b])
+    if wseq:
+        emit(table[wseq])
+    emit(eoi)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # interlace row schedule
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    palette = np.unique(flat, axis=0)  # lexicographic — deterministic
+    if len(palette) > 256:
+        raise ValueError("GIF encode: more than 256 distinct colors")
+    pal_bits = max(1, int(len(palette) - 1).bit_length())
+    pal = np.zeros((1 << pal_bits, 3), np.uint8)
+    pal[: len(palette)] = palette
+    key = palette[:, 0].astype(np.int32) * 65536 + palette[:, 1].astype(
+        np.int32
+    ) * 256 + palette[:, 2].astype(np.int32)
+    lut = {int(k): i for i, k in enumerate(key)}
+    fk = flat[:, 0].astype(np.int32) * 65536 + flat[:, 1].astype(np.int32) * 256 + flat[
+        :, 2
+    ].astype(np.int32)
+    idx = np.array([lut[int(k)] for k in fk], np.uint8).reshape(h, w)
+    if interlace:
+        idx = np.concatenate([idx[start::step] for start, step in _GIF_PASSES])
+    mcs = max(2, pal_bits)
+    lzw = _gif_lzw_encode(idx.tobytes(), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(lzw), mcs)[: w * h], np.uint8
+        ).reshape(h, w)
+        if iflags & 0x40:  # interlace: rows arrive in pass order
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in _GIF_PASSES]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        return pal[idx.astype(np.int64) % len(pal)].astype(np.uint8)
+    raise ValueError("GIF contains no image block")
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
     "png": (encode_png, decode_png),
     "qjpg": (encode_qjpg, decode_qjpg),
+    "gif": (encode_gif, decode_gif),
 }
 LOSSY_FMTS = {"qjpg"}
 

@@ -160,3 +160,31 @@ def test_near_duplicate_rejects_unsafe_banding(spark):
     df = spark.createDataFrame([("a", 0)], "image_id string, phash long")
     with pytest.raises(ValueError, match="pigeonhole"):
         near_duplicate_images(df, max_hamming=4, n_bands=4)
+
+
+def test_gif_roundtrip_and_features():
+    """GIF87a/89a codec (r3): palette images round-trip LOSSLESSLY
+    through real GIF LZW (variable-width LSB packing, 12-bit cap with
+    table reset), interlace, local/global color tables, extension
+    skipping; > 256 colors refuse to encode."""
+    rng = np.random.default_rng(42)
+    pal16 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    arr = pal16[rng.integers(0, 16, (64, 64))]
+    assert np.array_equal(im.decode_gif(im.encode_gif(arr)), arr)
+    assert np.array_equal(im.decode_gif(im.encode_gif(arr, interlace=True)), arr)
+    # dispatch through the CODECS table
+    assert np.array_equal(im.decode_image(im.encode_image(arr, "gif"), "gif"), arr)
+    # 256-color image forces 12-bit growth + encoder table reset
+    pal256 = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    big = pal256[rng.integers(0, 256, (128, 128))]
+    assert np.array_equal(im.decode_gif(im.encode_gif(big)), big)
+    # comment extension between color table and image block is skipped
+    two = np.where(
+        rng.integers(0, 2, (33, 17, 1)).astype(bool), np.uint8(255), np.uint8(0)
+    ).repeat(3, axis=2)
+    g = bytearray(im.encode_gif(two))
+    i = g.index(0x2C, 13 + 3 * 2)
+    patched = bytes(g[:i]) + bytes([0x21, 0xFE, 5]) + b"hello" + b"\x00" + bytes(g[i:])
+    assert np.array_equal(im.decode_gif(patched), two)
+    with pytest.raises(ValueError, match="256 distinct"):
+        im.encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
