@@ -8,9 +8,11 @@ so decode/validate semantics are defined here from scratch:
   * numpy-only codecs for ``ppm`` (P6), ``bmp`` (24-bit BI_RGB),
     ``png`` (8-bit RGB via zlib), ``gif`` (GIF87a/89a with real GIF
     LZW, interlace, local/global palettes — lossless for palette
-    images), and ``qjpg`` — a deterministic synthetic *lossy* format
-    (uniform quantization, step 8 → PSNR ≈ 40.9 dB) standing in for
-    JPEG since no codec libs exist in the env;
+    images), ``jpg`` — a REAL baseline JFIF JPEG (T.81 SOF0, Annex-K
+    tables, 4:4:4; see ``functions/jpeg.py``) written from the public
+    spec since no codec libs exist in the env — and ``qjpg``, a
+    simpler deterministic lossy format (uniform quantization, step 8
+    → PSNR ≈ 40.9 dB) kept as a fast second lossy tier;
   * 64-bit perceptual hash (32×32 grayscale → DCT-II → 8×8 low-band →
     median threshold);
   * PSNR for the ``allclose`` per-row invariant (PSNR ≥ 40 dB lossy,
@@ -29,6 +31,8 @@ import zlib
 
 import numpy as np
 import pandas as pd
+
+from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
 # ---------------------------------------------------------------------------
 # Codecs: arrays are uint8, shape (h, w, 3), RGB
@@ -390,8 +394,9 @@ CODECS = {
     "png": (encode_png, decode_png),
     "qjpg": (encode_qjpg, decode_qjpg),
     "gif": (encode_gif, decode_gif),
+    "jpg": (encode_jpeg, decode_jpeg),
 }
-LOSSY_FMTS = {"qjpg"}
+LOSSY_FMTS = {"qjpg", "jpg"}
 
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:

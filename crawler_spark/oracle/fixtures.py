@@ -38,7 +38,7 @@ SITES = ["site0.test", "site1.test", "site2.test", "site3.test"]
 # Zipf-ish skew: dominant host gets ~60% of documents (exercises salting)
 SITE_WEIGHTS = [0.60, 0.20, 0.12, 0.08]
 GENRES = ["A", "C", "D", "N", "Z"]
-FMTS = ["ppm", "bmp", "png", "qjpg"]
+FMTS = ["ppm", "bmp", "png", "qjpg", "jpg"]
 CAPTION_WORDS = ["Hằng Cứu Giúp", "La Vang", "Fatima", "Lộ Đức", "Trà Kiệu"]
 MAX_ATTEMPTS = 5
 

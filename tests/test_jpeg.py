@@ -1,0 +1,149 @@
+"""Real baseline JPEG codec (functions/jpeg.py): structure, round-trip
+PSNR (the input_hint's >= 40 dB lossy invariant), table-driven decode,
+and byte-stuffing conformance. No Spark session needed."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from crawler_spark.functions import images as im
+from crawler_spark.functions.jpeg import (
+    _ZZ,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _markers(data: bytes) -> list[int]:
+    """Ordered marker bytes, skipping each segment by its length field
+    (so stuffed 0xFF00 inside entropy data is never misread)."""
+    out, i = [], 2
+    out.append(0xD8)
+    while i < len(data):
+        assert data[i] == 0xFF
+        m = data[i + 1]
+        out.append(m)
+        i += 2
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", data, i)
+        i += ln
+        if m == 0xDA:  # entropy data until EOI (encoder emits no RSTs)
+            j = data.find(b"\xff\xd9", i)
+            assert j != -1
+            i = j
+    return out
+
+
+def test_zigzag_is_standard_prefix():
+    # first 10 positions of the T.81 zigzag in raster indices
+    assert _ZZ[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert _ZZ[-1] == 63
+
+
+def test_structure_and_determinism():
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    data = encode_jpeg(arr)
+    assert data == encode_jpeg(arr)  # deterministic
+    ms = _markers(data)
+    assert ms[0] == 0xD8 and ms[-1] == 0xD9
+    assert ms.count(0xDB) == 2 and ms.count(0xC4) == 4
+    assert 0xC0 in ms and 0xDA in ms  # baseline SOF0
+    # SOF0 carries the unpadded dims
+    i = data.find(b"\xff\xc0")
+    _ln, _prec, h, w, nc = struct.unpack_from(">HBHHB", data, i + 2)
+    assert (h, w, nc) == (24, 40, 3)
+
+
+def test_entropy_segment_is_byte_stuffed():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    data = encode_jpeg(arr)
+    i = data.find(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", data, i + 2)
+    scan = data[i + 2 + ln : -2]  # between SOS header and EOI
+    assert b"\xff" in scan  # stuffing actually exercised
+    k = 0
+    while True:
+        k = scan.find(b"\xff", k)
+        if k == -1:
+            break
+        assert scan[k + 1] == 0x00, f"bare 0xFF at scan offset {k}"
+        k += 2
+
+
+@pytest.mark.parametrize(
+    "shape", [(8, 8), (17, 23), (1, 1), (16, 128), (64, 64)]
+)
+def test_noise_roundtrip_psnr_above_40(shape):
+    # uniform noise is the worst case for transform coding; the default
+    # quality must still clear the input_hint's 40 dB line
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    back = decode_jpeg(encode_jpeg(arr))
+    assert back.shape == arr.shape
+    assert im.psnr(arr, back) >= 40.0
+
+
+def test_smooth_content_much_higher_psnr():
+    yy, xx = np.mgrid[0:48, 0:80]
+    grad = np.stack([yy * 3 % 256, xx * 2 % 256, (yy + xx) % 256], -1).astype(
+        np.uint8
+    )
+    back = decode_jpeg(encode_jpeg(grad))
+    assert im.psnr(grad, back) >= 55.0
+
+
+def test_quality_knob_monotone():
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    psnrs = [
+        im.psnr(arr, decode_jpeg(encode_jpeg(arr, quality=q)))
+        for q in (80, 90, 98)
+    ]
+    sizes = [len(encode_jpeg(arr, quality=q)) for q in (80, 90, 98)]
+    assert psnrs == sorted(psnrs)
+    assert sizes == sorted(sizes)
+
+
+def test_decoder_reads_tables_from_stream():
+    # a quality-80 stream has different DQT contents than the default;
+    # decode must follow the file, not this encoder's default tables
+    rng = np.random.default_rng(19)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    lo = encode_jpeg(arr, quality=80)
+    hi = encode_jpeg(arr, quality=98)
+    assert lo != hi
+    p_lo = im.psnr(arr, decode_jpeg(lo))
+    p_hi = im.psnr(arr, decode_jpeg(hi))
+    assert p_hi > p_lo > 20.0
+
+
+def test_registry_dispatch_and_lossy_membership():
+    assert "jpg" in im.CODECS and "jpg" in im.LOSSY_FMTS
+    rng = np.random.default_rng(23)
+    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    back = im.decode_image(im.encode_image(arr, "jpg"), "jpg")
+    assert im.psnr(arr, back) >= 40.0
+    # decode(encode(.)) is idempotent truth for the fixture goldens:
+    # re-decoding the same bytes is bit-identical
+    data = im.encode_image(arr, "jpg")
+    assert np.array_equal(im.decode_image(data, "jpg"), im.decode_image(data, "jpg"))
+
+
+def test_rejects_malformed():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n")
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), dtype=np.uint8))  # not RGB
+    rng = np.random.default_rng(29)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(arr))
+    i = data.index(0xC0, 2)  # SOF0 marker byte (after 0xFF)
+    data[i] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
