@@ -527,3 +527,118 @@ def psnr_batch(
         except Exception:
             pass
     return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# Resize + embedding kernels (training-data pipeline ops over the
+# image payload; pure numpy, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def resize_rgb(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic RGB resize: exact area-average when downscaling,
+    bilinear when upscaling (per axis, so 64×16 → 32×32 mixes both).
+
+    Area averaging uses the same cumulative-sum trick as the pHash
+    grayscale path — exact block means for any integer geometry, no
+    sampling bias."""
+    h, w, _ = arr.shape
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("bad target size")
+    img = arr.astype(np.float64)
+
+    def axis_down(a: np.ndarray, n_out: int, axis: int) -> np.ndarray:
+        n_in = a.shape[axis]
+        edges = (np.arange(n_out + 1) * n_in / n_out).astype(np.int64)
+        cs = np.concatenate(
+            [np.zeros_like(np.take(a, [0], axis=axis)), a.cumsum(axis=axis)],
+            axis=axis,
+        )
+        hi = np.take(cs, edges[1:], axis=axis)
+        lo = np.take(cs, edges[:-1], axis=axis)
+        span = (edges[1:] - edges[:-1]).reshape(
+            [-1 if ax == axis else 1 for ax in range(a.ndim)]
+        )
+        return (hi - lo) / np.maximum(span, 1)
+
+    def axis_up(a: np.ndarray, n_out: int, axis: int) -> np.ndarray:
+        n_in = a.shape[axis]
+        # align-corners=False bilinear (the torchvision/PIL convention)
+        pos = (np.arange(n_out) + 0.5) * n_in / n_out - 0.5
+        lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+        hi = np.clip(lo + 1, 0, n_in - 1)
+        frac = np.clip(pos - lo, 0.0, 1.0)
+        shape = [-1 if ax == axis else 1 for ax in range(a.ndim)]
+        return np.take(a, lo, axis=axis) * (1 - frac.reshape(shape)) + np.take(
+            a, hi, axis=axis
+        ) * frac.reshape(shape)
+
+    img = axis_down(img, out_h, 0) if out_h <= h else axis_up(img, out_h, 0)
+    img = axis_down(img, out_w, 1) if out_w <= w else axis_up(img, out_w, 1)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def dct_features(arr: np.ndarray, band: int = 8) -> np.ndarray:
+    """Deterministic image embedding: per-channel 32×32 area resize →
+    2-D DCT-II → band×band low-frequency block → L2-normalized float32
+    vector of length 3·band² (192 for the default).
+
+    The perceptual analog of phash64 but continuous — JPEG re-encodes
+    land at cosine ≈ 1 while unrelated images are near-orthogonal, so
+    the vector feeds the ANN/cosine operators (q25/q26/q39) directly."""
+    m = _dct_matrix(32)
+    feats = []
+    for c in range(3):
+        g = _area_resize_plane(arr[..., c].astype(np.float64), 32)
+        d = m @ g @ m.T
+        block = d[:band, :band].ravel()
+        block = block.copy()
+        block[0] = 0.0  # drop DC: brightness-invariant
+        feats.append(block)
+    v = np.concatenate(feats)
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def _area_resize_plane(plane: np.ndarray, size: int) -> np.ndarray:
+    h, w = plane.shape
+    ys = (np.arange(size + 1) * h / size).astype(np.int64)
+    xs = (np.arange(size + 1) * w / size).astype(np.int64)
+    cs = np.zeros((h + 1, w + 1))
+    cs[1:, 1:] = plane.cumsum(0).cumsum(1)
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    return (
+        cs[ys[1:, None], xs[None, 1:]]
+        - cs[ys[:-1, None], xs[None, 1:]]
+        - cs[ys[1:, None], xs[None, :-1]]
+        + cs[ys[:-1, None], xs[None, :-1]]
+    ) / np.maximum(area, 1)
+
+
+def resize_batch(
+    bytes_s: pd.Series, fmt_s: pd.Series, out_w: int, out_h: int, out_fmt: str
+) -> pd.DataFrame:
+    """Decode → resize → re-encode a batch (the thumbnail stage).
+    Failed decodes yield null bytes + ok=False (quarantine pattern)."""
+    n = len(bytes_s)
+    out = [None] * n
+    ok = np.zeros(n, bool)
+    for i, (raw, fmt) in enumerate(zip(bytes_s.values, fmt_s.values)):
+        try:
+            small = resize_rgb(decode_image(bytes(raw), fmt), out_h, out_w)
+            out[i] = encode_image(small, out_fmt)
+            ok[i] = True
+        except Exception:
+            pass
+    return pd.DataFrame({"bytes": out, "ok": ok})
+
+
+def embed_batch(bytes_s: pd.Series, fmt_s: pd.Series, band: int = 8) -> pd.Series:
+    """Decode → dct_features for a batch; null on decode failure."""
+    out = []
+    for raw, fmt in zip(bytes_s.values, fmt_s.values):
+        try:
+            out.append(dct_features(decode_image(bytes(raw), fmt), band).tolist())
+        except Exception:
+            out.append(None)
+    return pd.Series(out)

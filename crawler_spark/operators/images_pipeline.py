@@ -212,3 +212,61 @@ def near_duplicate_images(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def resize_images(
+    images: DataFrame, out_w: int, out_h: int, out_fmt: str = "png"
+) -> DataFrame:
+    """Thumbnail stage: decode → deterministic resize (exact area
+    averages on downscale, bilinear on upscale) → re-encode. One
+    ``mapInPandas`` pass, map-only (no shuffle); rows that fail to
+    decode come back with null bytes + ok=False so callers quarantine
+    instead of losing the row."""
+    from crawler_spark.functions.images import resize_batch
+
+    cols = [c for c in images.columns if c not in ("bytes", "w", "h", "fmt")]
+    schema = T.StructType(
+        [images.schema[c] for c in cols]
+        + [
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = resize_batch(pdf["bytes"], pdf["fmt"], out_w, out_h, out_fmt)
+            out = pdf[cols].copy()
+            out["bytes"] = res["bytes"]
+            out["w"] = out_w
+            out["h"] = out_h
+            out["fmt"] = out_fmt
+            out["ok"] = res["ok"]
+            yield out
+
+    return images.mapInPandas(_resize, schema)
+
+
+def embed_images(images: DataFrame, band: int = 8) -> DataFrame:
+    """Feature-extraction stage: decode → per-channel low-band DCT
+    embedding (L2-normalized ``array<float>`` of length 3·band²).
+    Map-only; the output column feeds the ANN/cosine operators
+    (q25/q26/q39) unchanged. Decode failures yield null embeddings."""
+    from crawler_spark.functions.images import embed_batch
+
+    cols = [c for c in images.columns if c not in ("bytes",)]
+    schema = T.StructType(
+        [images.schema[c] for c in cols]
+        + [T.StructField("embedding", T.ArrayType(T.FloatType()), True)]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            out["embedding"] = embed_batch(pdf["bytes"], pdf["fmt"], band)
+            yield out
+
+    return images.mapInPandas(_embed, schema)

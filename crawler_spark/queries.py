@@ -2537,3 +2537,149 @@ FROM pack
 
 QUERIES["q55_sequence_packing"] = q55_sequence_packing
 ORACLE_SQL["q55_sequence_packing"] = Q55_SQL
+
+
+# ---------------------------------------------------------------------------
+# q56 — distributed image decode validation (the graft payload axis).
+# Synthesizes the input_hint images table deterministically from doc_id
+# (no external data), then runs the REAL codecs — including the
+# baseline JFIF JPEG of functions/jpeg.py — through one mapInPandas
+# pass: encode → decode → PSNR vs the source pixels → the per-row
+# invariant verdict (exact round-trip for lossless formats, ≥ 40 dB
+# for lossy; BASELINE.json input_hint). The DuckDB oracle pins every
+# SQL-derivable output column (id, fmt, dims, verdict): if a codec or
+# the Arrow plumbing breaks, `ok` flips (or decode raises) and the row
+# set diverges. The reference drops images outright
+# (src/lib/md/mdUtils.ts:23-44); this is the graft's replacement.
+# ---------------------------------------------------------------------------
+
+_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg"]  # mirrored in Q56_SQL
+
+
+def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.functions import images as im
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+
+    def validate(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                fmt = _Q56_FMTS[doc_id % len(_Q56_FMTS)]
+                w = 16 + (doc_id % 4) * 16
+                h = 16 + ((doc_id * 3) % 4) * 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (doc_id * 7 + yy * 3 + xx * 5) % 256,
+                        (doc_id * 11 + yy * 2 + xx * 7) % 256,
+                        (doc_id * 13 + yy * 5 + xx * 2) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                data = im.encode_image(arr, fmt)
+                back = im.decode_image(data, fmt)
+                if fmt in im.LOSSY_FMTS:
+                    ok = bool(im.psnr(arr, back) >= 40.0)
+                else:
+                    ok = bool(np.array_equal(arr, back))
+                rows.append((f"img{doc_id:04d}", fmt, w, h, ok))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt", "w", "h", "ok"]
+            )
+
+    return d.mapInPandas(
+        validate, "image_id string, fmt string, w int, h int, ok boolean"
+    )
+
+
+Q56_SQL = """
+SELECT 'img' || lpad(doc_id::VARCHAR, 4, '0') AS image_id,
+       CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'png' WHEN 3 THEN 'qjpg' ELSE 'jpg' END AS fmt,
+       (16 + (doc_id % 4) * 16)::INT AS w,
+       (16 + ((doc_id * 3) % 4) * 16)::INT AS h,
+       true AS ok
+FROM documents WHERE doc_id < 60
+"""
+
+QUERIES["q56_image_validate"] = q56_image_validate
+ORACLE_SQL["q56_image_validate"] = Q56_SQL
+
+
+# ---------------------------------------------------------------------------
+# q57 — image-embedding retrieval with PLANTED ground truth. Each
+# doc_id seeds a deterministic noise image; the probe set is a real
+# JPEG re-encode of each base (functions/jpeg.py, lossy). The engine
+# decodes both sets, extracts the low-band DCT embedding
+# (images_pipeline.embed_images), and retrieves each probe's top-1
+# base by cosine. Noise images from different seeds are
+# near-orthogonal while a JPEG re-encode lands at cosine ≈ 1, so the
+# expected answer is knowable WITHOUT computing embeddings: probe i
+# must retrieve base i with high similarity — which is exactly what
+# the DuckDB oracle pins. A broken codec, embedding kernel, or ANN
+# join flips the match and the row diverges.
+# ---------------------------------------------------------------------------
+
+
+def q57_image_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.functions import images as im
+    from crawler_spark.operators.images_pipeline import embed_images
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rng = np.random.default_rng(doc_id)
+                arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                rows.append(
+                    (f"base{doc_id:04d}", im.encode_image(arr, "png"), "png", "base")
+                )
+                rows.append(
+                    (f"probe{doc_id:04d}", im.encode_image(arr, "jpg"), "jpg", "probe")
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt", "role"])
+
+    imgs = d.mapInPandas(
+        synth, "image_id string, bytes binary, fmt string, role string"
+    )
+    emb = embed_images(imgs)
+    base = emb.filter(F.col("role") == "base").select(
+        F.col("image_id").alias("match_id"), F.col("embedding").alias("e_b")
+    )
+    probe = emb.filter(F.col("role") == "probe").select(
+        F.col("image_id").alias("probe_id"), F.col("embedding").alias("e_p")
+    )
+    # brute tier by design: 40×40 pairs; q26/q39 are the scale path
+    cos = F.aggregate(
+        F.zip_with("e_p", "e_b", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = probe.crossJoin(base).withColumn("cos", cos)
+    w = W.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("match_id"))
+    top = pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return top.select(
+        "probe_id", "match_id", (F.col("cos") > F.lit(0.95)).alias("high_sim")
+    )
+
+
+Q57_SQL = """
+SELECT 'probe' || lpad(doc_id::VARCHAR, 4, '0') AS probe_id,
+       'base' || lpad(doc_id::VARCHAR, 4, '0') AS match_id,
+       true AS high_sim
+FROM documents WHERE doc_id < 40
+"""
+
+QUERIES["q57_image_embed_topk"] = q57_image_embed_topk
+ORACLE_SQL["q57_image_embed_topk"] = Q57_SQL

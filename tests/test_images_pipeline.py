@@ -188,3 +188,76 @@ def test_gif_roundtrip_and_features():
     assert np.array_equal(im.decode_gif(patched), two)
     with pytest.raises(ValueError, match="256 distinct"):
         im.encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# resize + embedding kernels and operators (r3)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_rgb_invariants():
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    # identity
+    assert np.array_equal(im.resize_rgb(arr, 64, 64), arr)
+    # exact integer downscale == 2x2 block means
+    half = im.resize_rgb(arr, 32, 32)
+    blocks = arr.astype(np.float64).reshape(32, 2, 32, 2, 3).mean((1, 3))
+    assert np.array_equal(half, np.clip(np.round(blocks), 0, 255).astype(np.uint8))
+    # mixed up/down per axis + shape
+    assert im.resize_rgb(arr, 128, 16).shape == (128, 16, 3)
+    # constant image is resize-invariant in both directions
+    const = np.full((16, 16, 3), 77, np.uint8)
+    assert (im.resize_rgb(const, 40, 24) == 77).all()
+    assert (im.resize_rgb(const, 5, 9) == 77).all()
+    with pytest.raises(ValueError):
+        im.resize_rgb(arr, 0, 10)
+
+
+def test_dct_embedding_similarity():
+    rng = np.random.default_rng(37)
+    arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    v0 = im.dct_features(arr)
+    assert v0.shape == (192,) and v0.dtype == np.float32
+    assert abs(float(np.linalg.norm(v0)) - 1.0) < 1e-5
+    # a REAL JPEG re-encode stays at cosine ~1
+    jpg = im.decode_image(im.encode_image(arr, "jpg"), "jpg")
+    assert float(v0 @ im.dct_features(jpg)) > 0.99
+    # brightness shift is invariant (DC dropped)
+    brighter = np.clip(arr.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+    assert float(v0 @ im.dct_features(brighter)) > 0.97
+    # unrelated noise is near-orthogonal
+    other = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    assert abs(float(v0 @ im.dct_features(other))) < 0.5
+
+
+def test_resize_and_embed_operators(spark):
+    from crawler_spark.operators.images_pipeline import embed_images, resize_images
+
+    rng = np.random.default_rng(41)
+    rows = []
+    arrs = {}
+    for i in range(6):
+        arr = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        fmt = ["png", "jpg", "bmp"][i % 3]
+        arrs[f"im{i}"] = arr
+        rows.append((f"im{i}", im.encode_image(arr, fmt), fmt))
+    rows.append(("bad", b"\x00garbage", "png"))  # quarantine path
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+
+    out = {r["image_id"]: r for r in resize_images(df, 16, 12, "png").collect()}
+    assert not out["bad"]["ok"] and out["bad"]["bytes"] is None
+    for i in range(6):
+        r = out[f"im{i}"]
+        assert r["ok"] and (r["w"], r["h"], r["fmt"]) == (16, 12, "png")
+        dec = im.decode_image(bytes(r["bytes"]), "png")
+        assert dec.shape == (12, 16, 3)
+    # lossless-path thumbnails are exactly the kernel's output
+    ref = im.resize_rgb(arrs["im0"], 12, 16)
+    assert np.array_equal(im.decode_image(bytes(out["im0"]["bytes"]), "png"), ref)
+
+    emb = {r["image_id"]: r["embedding"] for r in embed_images(df).collect()}
+    assert emb["bad"] is None
+    v0 = np.array(emb["im0"], dtype=np.float32)
+    assert v0.shape == (192,)
+    assert np.allclose(v0, im.dct_features(arrs["im0"]), atol=1e-6)
