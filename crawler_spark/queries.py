@@ -2683,3 +2683,99 @@ FROM documents WHERE doc_id < 40
 
 QUERIES["q57_image_embed_topk"] = q57_image_embed_topk
 ORACLE_SQL["q57_image_embed_topk"] = Q57_SQL
+
+
+# ---------------------------------------------------------------------------
+# q58 — PDF embedded-image extraction (pdf × image cross-axis). The
+# reference reads PDFs text-only (processPDf.ts:13-97); the graft also
+# pulls /Subtype /Image XObjects and decodes them for real: DCTDecode
+# through the baseline JPEG codec, raw /DeviceRGB directly, prefix
+# filters + standard-handler encryption applied first
+# (operators/pdf_decode.py::extract_pdf_images). Each doc embeds one
+# deterministic image; the extracted phash must equal the expected
+# phash computed INDEPENDENTLY from the source pixels (carried through
+# the plan, compared JVM-side), and the oracle pins id/dims/fmt/
+# verdict. Mode rotation: plain DCT / Flate-wrapped DCT / raw RGB /
+# AES-128-encrypted DCT.
+# ---------------------------------------------------------------------------
+
+
+def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.functions import images as im
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from crawler_spark.operators.pdf_decode import make_pdf_with_images, pdf_images
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 30)
+
+    def build(batches):
+        for pdf_batch in batches:
+            rows = []
+            for doc_id in pdf_batch["doc_id"]:
+                doc_id = int(doc_id)
+                w = 16 + (doc_id % 3) * 8
+                h = 16 + ((doc_id * 5) % 3) * 8
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = np.stack(
+                    [
+                        (doc_id * 3 + yy * 5 + xx * 7) % 256,
+                        (doc_id * 5 + yy * 7 + xx * 3) % 256,
+                        (doc_id * 7 + yy * 3 + xx * 5) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                mode = doc_id % 4
+                if mode == 3:
+                    spec = {"data": encode_jpeg(arr), "w": w, "h": h,
+                            "filter": "DCTDecode"}
+                    doc = make_pdf_with_images([spec], encrypt="aes-128")
+                    exp_ph, fmt = im.phash64(decode_jpeg(spec["data"])), "jpg"
+                elif mode == 2:
+                    doc = make_pdf_with_images(
+                        [{"data": arr.tobytes(), "w": w, "h": h, "filter": None}]
+                    )
+                    exp_ph, fmt = im.phash64(arr), "raw"
+                else:
+                    jp = encode_jpeg(arr)
+                    doc = make_pdf_with_images(
+                        [{"data": jp, "w": w, "h": h, "filter": "DCTDecode",
+                          "prefix": ["FlateDecode"] if mode == 1 else None}]
+                    )
+                    exp_ph, fmt = im.phash64(decode_jpeg(jp)), "jpg"
+                rows.append((doc_id, doc, exp_ph, fmt))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pdf", "exp_phash", "exp_fmt"]
+            )
+
+    pdfs = d.mapInPandas(
+        build, "doc_id long, pdf binary, exp_phash long, exp_fmt string"
+    )
+    imgs = pdf_images(pdfs, "pdf", "doc_id", "exp_phash", "exp_fmt")
+    return imgs.select(
+        "doc_id",
+        "img_idx",
+        "w",
+        "h",
+        "fmt",
+        (
+            F.col("img_ok")
+            & (F.col("phash") == F.col("exp_phash"))
+            & (F.col("fmt") == F.col("exp_fmt"))
+        ).alias("ok"),
+    )
+
+
+Q58_SQL = """
+SELECT doc_id,
+       0 AS img_idx,
+       (16 + (doc_id % 3) * 8)::INT AS w,
+       (16 + ((doc_id * 5) % 3) * 8)::INT AS h,
+       CASE WHEN doc_id % 4 = 2 THEN 'raw' ELSE 'jpg' END AS fmt,
+       true AS ok
+FROM documents WHERE doc_id < 30
+"""
+
+QUERIES["q58_pdf_image_extract"] = q58_pdf_image_extract
+ORACLE_SQL["q58_pdf_image_extract"] = Q58_SQL

@@ -537,3 +537,104 @@ def test_glyph_name_resolution_forms():
     assert _glyph_to_unicode("a") == "a"
     assert _glyph_to_unicode("Euro") == "€"
     assert _glyph_to_unicode("nosuch") == ""
+
+
+# ---------------------------------------------------------------------------
+# image XObjects (r3): real DCTDecode via the baseline JPEG codec
+# ---------------------------------------------------------------------------
+
+
+def _img_fixtures():
+    import numpy as np
+
+    from crawler_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(61)
+    a1 = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    a2 = rng.integers(0, 256, (8, 32, 3), dtype=np.uint8)
+    return a1, a2, encode_jpeg(a1)
+
+
+def test_pdf_image_extraction_all_paths():
+    import numpy as np
+
+    from crawler_spark.functions import images as im
+    from crawler_spark.functions.jpeg import decode_jpeg
+    from crawler_spark.operators.pdf_decode import (
+        extract_pdf_images,
+        make_pdf_with_images,
+    )
+
+    a1, a2, jp = _img_fixtures()
+    pdf = make_pdf_with_images(
+        [
+            {"data": jp, "w": 16, "h": 24, "filter": "DCTDecode"},
+            {"data": a2.tobytes(), "w": 32, "h": 8, "filter": None},
+            {"data": jp, "w": 16, "h": 24, "filter": "DCTDecode",
+             "prefix": ["FlateDecode"]},
+            {"data": a2.tobytes(), "w": 32, "h": 8, "filter": None,
+             "prefix": ["ASCIIHexDecode", "FlateDecode"]},
+        ]
+    )
+    got = extract_pdf_images(pdf)
+    assert [r["ok"] for r in got] == [True] * 4
+    assert [r["fmt"] for r in got] == ["jpg", "raw", "jpg", "raw"]
+    exp = im.phash64(decode_jpeg(jp))
+    assert got[0]["phash"] == exp == got[2]["phash"]
+    assert got[1]["phash"] == im.phash64(a2) == got[3]["phash"]
+    # decoded-pixel invariant: the DCT payload round-trips >= 40 dB
+    assert im.psnr(a1, decode_jpeg(jp)) >= 40.0
+    # dims come from pixels; a lying /Width flips ok instead of crashing
+    lying = make_pdf_with_images([{"data": jp, "w": 99, "h": 24,
+                                   "filter": "DCTDecode"}])
+    assert extract_pdf_images(lying)[0]["ok"] is False
+    # out-of-scope codecs surface as ok=False rows, not silence
+    jpx = make_pdf_with_images([{"data": b"\x00" * 64, "w": 4, "h": 4,
+                                 "filter": "JPXDecode"}])
+    row = extract_pdf_images(jpx)[0]
+    assert row["ok"] is False and row["fmt"] == "JPXDecode"
+    # text extraction is undisturbed by image objects
+    from crawler_spark.operators.pdf_decode import extract_pdf_items
+
+    assert extract_pdf_items(pdf) == []
+    assert np is not None
+
+
+def test_pdf_image_extraction_encrypted():
+    from crawler_spark.functions import images as im
+    from crawler_spark.functions.jpeg import decode_jpeg
+    from crawler_spark.operators.pdf_decode import (
+        extract_pdf_images,
+        make_pdf_with_images,
+    )
+
+    a1, _a2, jp = _img_fixtures()
+    exp = im.phash64(decode_jpeg(jp))
+    for mode in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
+        pdf = make_pdf_with_images(
+            [{"data": jp, "w": 16, "h": 24, "filter": "DCTDecode"}], encrypt=mode
+        )
+        row = extract_pdf_images(pdf)[0]
+        assert row["ok"] and row["phash"] == exp, mode
+
+
+def test_pdf_images_spark_surface(spark):
+    from crawler_spark.functions import images as im
+    from crawler_spark.functions.jpeg import decode_jpeg
+    from crawler_spark.operators.pdf_decode import make_pdf_with_images, pdf_images
+
+    a1, a2, jp = _img_fixtures()
+    pdf = make_pdf_with_images(
+        [
+            {"data": jp, "w": 16, "h": 24, "filter": "DCTDecode"},
+            {"data": a2.tobytes(), "w": 32, "h": 8, "filter": None},
+        ]
+    )
+    df = spark.createDataFrame([("d1", bytearray(pdf)), ("d2", None)],
+                               "doc string, pdf binary")
+    rows = pdf_images(df, "pdf", "doc").collect()
+    assert len(rows) == 2 and all(r["doc"] == "d1" for r in rows)
+    by_idx = {r["img_idx"]: r for r in rows}
+    assert by_idx[0]["fmt"] == "jpg" and by_idx[0]["img_ok"]
+    assert by_idx[0]["phash"] == im.phash64(decode_jpeg(jp))
+    assert by_idx[1]["fmt"] == "raw" and by_idx[1]["phash"] == im.phash64(a2)
