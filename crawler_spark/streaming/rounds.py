@@ -423,6 +423,25 @@ class CrawlEngine:
             "headings": self.store.read("headings").count(),
         }
 
+    def materialize_images(self, byte_store: DataFrame) -> dict:
+        """Post-crawl image payload: accumulated extractions (all
+        rounds) ⨝ fetched bytes → the input_hint ``images`` table
+        (engine-decoded w/h/phash + decode_ok), committed to the
+        snapshot store with lineage — the north rule's "extracted
+        image+caption pairs live in Iceberg tables" leg.
+
+        ``byte_store(url, image_id, bytes, fmt)`` is the image-fetch
+        stage's output (the fixture CDN table in tests)."""
+        from crawler_spark.operators.images_pipeline import build_images_table
+
+        images = build_images_table(self.extractions(), byte_store)
+        self.store.commit("images", images, lineage={"op": "materialize_images"})
+        out = self.store.read("images")
+        return {
+            "images": out.count(),
+            "decode_ok": out.filter(F.col("decode_ok")).count(),
+        }
+
     # ------------------------------------------------------------- accessors
     def crawl_log(self) -> DataFrame:
         return self.store.read("crawl_log")

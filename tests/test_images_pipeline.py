@@ -261,3 +261,22 @@ def test_resize_and_embed_operators(spark):
     v0 = np.array(emb["im0"], dtype=np.float32)
     assert v0.shape == (192,)
     assert np.allclose(v0, im.dct_features(arrs["im0"]), atol=1e-6)
+
+
+def test_engine_materialize_images(spark, engine, fixture_dir, world):
+    """The engine commits the input_hint images table to its snapshot
+    store (north rule: image+caption pairs live in the table store),
+    and the committed rows equal the pipeline's output with every row
+    decode-validated."""
+    byte_store = read_table(spark, fixture_dir, "images")
+    counts = engine.materialize_images(byte_store)
+    assert counts["images"] > 0
+    assert counts["decode_ok"] == counts["images"]
+    stored = engine.store.read("images")
+    assert {f.name for f in stored.schema.fields} >= {
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    }
+    # captions in the STORE still match the reference extraction
+    got = {r["img_url"]: r["caption"] for r in stored.collect()}
+    for url, caption in got.items():
+        assert caption == world.images[url].caption
