@@ -65,3 +65,54 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_validate_images(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental image-payload validation: a file-source stream over
+    input_hint-shaped parquet (image_id, bytes, fmt, …) decodes each
+    new file's rows (real codecs, Arrow batches) and appends
+    (image_id, fmt, ok, w, h, phash) to ``out_dir``. The checkpoint
+    makes it resumable — files validated before a crash are never
+    re-decoded, the exact per-partition-lineage property the north
+    rule wants for fetch/parse stages. Trigger availableNow: drains
+    what exists, then stops (the batch-friendly cadence; a deployment
+    would use a processing-time trigger)."""
+    from pyspark.sql import types as T
+
+    from crawler_spark.functions.images import decode_stats_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("fmt", T.StringType(), True),
+        ]
+    )
+    src = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 4
+    ).parquet(in_dir)
+
+    def _decode(batches):
+        for pdf in batches:
+            stats = decode_stats_batch(pdf["bytes"], pdf["fmt"])
+            stats.insert(0, "image_id", pdf["image_id"].values)
+            stats.insert(1, "fmt", pdf["fmt"].values)
+            yield stats[["image_id", "fmt", "ok", "dec_w", "dec_h", "dec_phash"]]
+
+    validated = src.mapInPandas(
+        _decode,
+        "image_id string, fmt string, ok boolean, dec_w int, dec_h int, dec_phash long",
+    )
+    return (
+        validated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

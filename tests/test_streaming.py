@@ -136,3 +136,45 @@ def test_round_job_budget(spark, world, fixture_dir, tmp_path_factory):
         n_jobs = len(sc.statusTracker().getJobIdsForGroup(f"jobbudget{rnd}"))
         sc.setJobGroup(None, None)
         assert n_jobs <= 32, f"round {rnd} ran {n_jobs} Spark jobs (budget 32)"
+
+
+def test_stream_validate_images_resumable(spark, tmp_path_factory):
+    """Incremental payload validation: new files are decoded exactly
+    once across restarts (checkpoint-resumable), results match the
+    batch kernel."""
+    import numpy as np
+
+    from crawler_spark.functions import images as im
+    from crawler_spark.streaming.stream import stream_validate_images
+
+    base = tmp_path_factory.mktemp("imgstream")
+    in_dir, out_dir, ck = str(base / "in"), str(base / "out"), str(base / "ck")
+
+    rng = np.random.default_rng(71)
+
+    def write_batch(ids, fmts):
+        rows = []
+        for i, fmt in zip(ids, fmts):
+            arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+            rows.append((f"im{i}", bytearray(im.encode_image(arr, fmt)), fmt))
+        spark.createDataFrame(
+            rows, "image_id string, bytes binary, fmt string"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    write_batch([0, 1, 2], ["png", "jpg", "bmp"])
+    q = stream_validate_images(spark, in_dir, out_dir, ck)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 3
+    assert first.filter("ok").count() == 3
+
+    # more files arrive; restart from the SAME checkpoint
+    write_batch([3, 4], ["qjpg", "jpg"])
+    q2 = stream_validate_images(spark, in_dir, out_dir, ck)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    # exactly once: 5 distinct ids, 5 rows total (no re-decode of 0-2)
+    assert out.count() == 5
+    assert out.select("image_id").distinct().count() == 5
+    assert out.filter("ok").count() == 5
+    assert set(r["fmt"] for r in out.collect()) == {"png", "jpg", "bmp", "qjpg"}
