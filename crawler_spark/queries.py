@@ -2779,3 +2779,62 @@ FROM documents WHERE doc_id < 30
 
 QUERIES["q58_pdf_image_extract"] = q58_pdf_image_extract
 ORACLE_SQL["q58_pdf_image_extract"] = Q58_SQL
+
+
+# ---------------------------------------------------------------------------
+# q59 — pHash near-dup over REAL decoded pixels. q47 proves the
+# banding recall guarantee on synthetic hashes; this row drives the
+# whole physical path: per-doc noise image → PNG (base) + real-JPEG
+# re-encode (probe) → decode bytes → phash64 of the decoded pixels →
+# near_duplicate_images banded LSH. Measured: twin hamming ≤ 2,
+# cross-pair hamming ≥ 20, so at max_hamming=7 the pair set is exactly
+# {base_i ↔ probe_i} — which the oracle pins without computing a
+# single hash. A codec regression, phash drift, or banding bug changes
+# the pair set.
+# ---------------------------------------------------------------------------
+
+
+def q59_phash_real_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.functions import images as im
+    from crawler_spark.operators.images_pipeline import near_duplicate_images
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rng = np.random.default_rng(doc_id)
+                arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                rows.append((f"base{doc_id:04d}", im.encode_image(arr, "png"), "png"))
+                rows.append(
+                    (f"probe{doc_id:04d}", im.encode_image(arr, "jpg"), "jpg")
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"])
+
+    raw = d.mapInPandas(synth, "image_id string, bytes binary, fmt string")
+
+    def hash_batch(batches):
+        for pdf in batches:
+            stats = im.decode_stats_batch(pdf["bytes"], pdf["fmt"])
+            yield pd.DataFrame(
+                {"image_id": pdf["image_id"].values, "phash": stats["dec_phash"]}
+            )
+
+    hashed = raw.mapInPandas(hash_batch, "image_id string, phash long")
+    pairs = near_duplicate_images(hashed, max_hamming=7)
+    return pairs.select("id_a", "id_b")
+
+
+Q59_SQL = """
+SELECT 'base' || lpad(doc_id::VARCHAR, 4, '0') AS id_a,
+       'probe' || lpad(doc_id::VARCHAR, 4, '0') AS id_b
+FROM documents WHERE doc_id < 40
+"""
+
+QUERIES["q59_phash_real_pixels"] = q59_phash_real_pixels
+ORACLE_SQL["q59_phash_real_pixels"] = Q59_SQL
