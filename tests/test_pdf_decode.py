@@ -638,3 +638,52 @@ def test_pdf_images_spark_surface(spark):
     assert by_idx[0]["fmt"] == "jpg" and by_idx[0]["img_ok"]
     assert by_idx[0]["phash"] == im.phash64(decode_jpeg(jp))
     assert by_idx[1]["fmt"] == "raw" and by_idx[1]["phash"] == im.phash64(a2)
+
+
+def test_bfrange_surrogate_pair_dst():
+    """Composite-font CMaps mapping into the supplementary plane: the
+    simple-form bfrange increments the LAST UTF-16 code unit (CMap
+    spec / pdfjs), so a surrogate-pair dst walks consecutive code
+    points — and the fixture emitter produces the 8-hex-digit form."""
+    from crawler_spark.operators.pdf_decode import (
+        _parse_cmap,
+        extract_pdf_items,
+        make_pdf_objstm,
+    )
+
+    w, m = _parse_cmap(
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"2 beginbfrange\n<0010> <0012> <D835DC00>\n<0020> <0021> <0041>\n"
+        b"endbfrange"
+    )
+    assert w == 2
+    assert m[0x10] == "\U0001d400" and m[0x12] == "\U0001d402"
+    assert m[0x20] == "A" and m[0x21] == "B"
+
+    # end-to-end: math-bold letters through an ObjStm-packed document
+    cmap = {0x41 + i: chr(0x1D400 + i) for i in range(4)}  # 𝐀𝐁𝐂𝐃
+    cmap[0x20] = " "
+    pdf = make_pdf_objstm([[(700.0, "𝐀𝐁 𝐂𝐃")]], cmap)
+    assert extract_pdf_items(pdf)[0]["str"] == "𝐀𝐁 𝐂𝐃"
+    # the emitter used the 8-hex-digit RANGE form, not per-code bfchar
+    import re
+    import zlib
+
+    bodies = [
+        z
+        for m in re.finditer(rb"stream\r?\n(.*?)endstream", pdf, re.S)
+        for z in [_try_inflate(m.group(1))]
+        if z is not None
+    ]
+    assert any(b"<41> <44> <D835DC00>" in b for b in bodies)
+
+
+def _try_inflate(data: bytes):
+    import zlib
+
+    for chop in (data, data.rstrip(b"\r\n")):
+        try:
+            return zlib.decompress(chop)
+        except Exception:
+            continue
+    return data
