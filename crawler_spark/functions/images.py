@@ -11,8 +11,8 @@ so decode/validate semantics are defined here from scratch:
     images), ``jpg`` — a REAL baseline JFIF JPEG (T.81 SOF0, Annex-K
     tables, 4:4:4; see ``functions/jpeg.py``) written from the public
     spec since no codec libs exist in the env — and ``qjpg``, a
-    simpler deterministic lossy format (uniform quantization, step 8
-    → PSNR ≈ 40.9 dB) kept as a fast second lossy tier;
+    simpler deterministic lossy format (uniform quantization, step 4
+    → worst-case PSNR ≈ 42.1 dB) kept as a fast second lossy tier;
   * 64-bit perceptual hash (32×32 grayscale → DCT-II → 8×8 low-band →
     median threshold);
   * PSNR for the ``allclose`` per-row invariant (PSNR ≥ 40 dB lossy,
@@ -177,13 +177,19 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 _QJPG_MAGIC = b"QJPG"
-_QJPG_STEP = 8  # uniform quantization step → PSNR ≈ 40.9 dB
+# Uniform quantization step. Step 4 bounds per-channel error at 2, so
+# worst-case PSNR = 10·log10(255²/2²) ≈ 42.1 dB — the ≥ 40 dB invariant
+# holds DETERMINISTICALLY for every input, including 1-pixel images
+# (step 8's ≈ 40.9 dB was only an expectation; property-based fuzzing
+# found single-pixel inputs at 38.8 dB).
+_QJPG_STEP = 4
 
 
 def encode_qjpg(arr: np.ndarray) -> bytes:
     """Deterministic synthetic lossy format: mid-rise quantization with
-    step 8 (error var ≈ step²/12 → PSNR ≈ 40.9 dB) + zlib. Exercises
-    the PSNR ≥ 40 dB invariant path without a real JPEG codec."""
+    step 4 (max error 2 → worst-case PSNR ≈ 42.1 dB, expected ≈ 46.9)
+    + zlib. Exercises the PSNR ≥ 40 dB invariant path alongside the
+    real JPEG codec, with an analytically guaranteed bound."""
     h, w, _ = arr.shape
     q = (arr.astype(np.uint8) // _QJPG_STEP).astype(np.uint8)
     return _QJPG_MAGIC + struct.pack("<HHB", w, h, _QJPG_STEP) + zlib.compress(q.tobytes(), 6)

@@ -1,0 +1,104 @@
+"""Property-based codec hardening (hypothesis): arbitrary pixel
+arrays round-trip losslessly (or within the PSNR bound), and
+arbitrary/mutated byte strings NEVER hang or corrupt — they decode or
+raise ValueError, nothing else. A crawler feeds codecs attacker-shaped
+bytes; decode_stats_batch quarantines failures, so 'raises cleanly' is
+the contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from crawler_spark.functions import images as im
+
+_SETTINGS = dict(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@st.composite
+def rgb_arrays(draw, max_side: int = 33):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    seed = draw(st.integers(0, 2**31 - 1))
+    return np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+@settings(**_SETTINGS)
+@given(arr=rgb_arrays(), fmt=st.sampled_from(["ppm", "bmp", "png"]))
+def test_lossless_roundtrip_property(arr, fmt):
+    assert np.array_equal(im.decode_image(im.encode_image(arr, fmt), fmt), arr)
+
+
+@settings(**_SETTINGS)
+@given(arr=rgb_arrays(max_side=24), fmt=st.sampled_from(["jpg", "qjpg"]))
+def test_lossy_psnr_property(arr, fmt):
+    back = im.decode_image(im.encode_image(arr, fmt), fmt)
+    assert back.shape == arr.shape
+    assert im.psnr(arr, back) >= 40.0
+
+
+@settings(**_SETTINGS)
+@given(
+    data=st.binary(min_size=0, max_size=512),
+    fmt=st.sampled_from(["ppm", "bmp", "png", "qjpg", "jpg", "gif"]),
+)
+def test_garbage_bytes_never_hang(data, fmt):
+    try:
+        out = im.decode_image(data, fmt)
+        assert isinstance(out, np.ndarray)
+    except Exception as e:  # noqa: BLE001 — the contract: raise, don't hang
+        assert not isinstance(e, (MemoryError, RecursionError))
+
+
+@settings(**_SETTINGS)
+@given(
+    arr=rgb_arrays(max_side=16),
+    fmt=st.sampled_from(["ppm", "bmp", "png", "qjpg", "jpg", "gif"]),
+    pos_frac=st.floats(0.0, 1.0),
+    newbyte=st.integers(0, 255),
+)
+def test_single_byte_corruption_is_contained(arr, fmt, pos_frac, newbyte):
+    """Flip one byte anywhere in a valid encoding: decode must either
+    succeed (returning an array) or raise — no hangs, no interpreter
+    errors. This is the path decode_stats_batch quarantines."""
+    if fmt == "gif":
+        arr = (arr // 64 * 64).astype(np.uint8)  # ≤256 colors for GIF
+    data = bytearray(im.encode_image(arr, fmt))
+    pos = min(len(data) - 1, int(pos_frac * len(data)))
+    data[pos] = newbyte
+    try:
+        out = im.decode_image(bytes(data), fmt)
+        assert isinstance(out, np.ndarray)
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, (MemoryError, RecursionError))
+
+
+def test_resize_property_bounds():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        oh, ow = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = im.resize_rgb(arr, oh, ow)
+        assert out.shape == (oh, ow, 3)
+        # means are preserved within rounding for pure downscales
+        if oh <= h and ow <= w:
+            assert abs(float(out.mean()) - float(arr.mean())) < 16.0
+
+
+@pytest.mark.parametrize("fmt", ["ppm", "bmp", "png", "qjpg", "jpg"])
+def test_truncation_is_contained(fmt):
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = im.encode_image(arr, fmt)
+    for cut in (0, 1, len(data) // 4, len(data) // 2, len(data) - 1):
+        try:
+            im.decode_image(data[:cut], fmt)
+        except Exception as e:  # noqa: BLE001
+            assert not isinstance(e, (MemoryError, RecursionError))

@@ -37,7 +37,7 @@ def test_lossy_psnr_above_40():
     arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
     back = im.decode_image(im.encode_image(arr, "qjpg"), "qjpg")
     p = im.psnr(arr, back)
-    assert 40.0 <= p < 60.0  # quantization step 8 ⇒ ≈ 40.9 dB
+    assert 40.0 <= p < 60.0  # quantization step 4 ⇒ ≈ 46.9 dB expected
 
 
 def test_phash_stability_and_sensitivity():
