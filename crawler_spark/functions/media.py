@@ -2,14 +2,19 @@
 metadata (training-data-pipeline ops from the build brief; the image
 twin lives in functions/images.py and is fully real).
 
-No audio/video codec libraries exist in this container, so REAL codec
-decode is stubbed behind :class:`UnsupportedCodecError` — but the
-Spark-side plumbing is real and tested: schemas, mapInPandas batch
-shapes, deterministic fake formats that exercise the full path:
+No audio/video codec *libraries* exist in this container; perceptual
+codecs (mp3/aac/h264/…) are stubbed behind
+:class:`UnsupportedCodecError`, but three audio codecs are REAL,
+written from the public specs (r3 — the same move as the baseline
+JPEG in ``functions/jpeg.py``), and the Spark-side plumbing (schemas,
+mapInPandas batch shapes) is real and tested throughout:
 
-  * audio ``pcm16``: raw little-endian int16 mono/interleaved samples —
-    genuinely decodable with numpy (not a fake), so feature extraction
-    (rms, zero-crossing rate, duration) runs on real math;
+  * audio ``pcm16``: raw little-endian int16 mono/interleaved samples;
+  * audio ``ulaw``: G.711 µ-law log-PCM (2:1, fully vectorized,
+    ≈ 38 dB SQNR measured on tones);
+  * audio ``adpcm``: IMA/DVI4 ADPCM (4 bits/sample adaptive-step DPCM,
+    ~4:1; sequential predictor state, so the per-sample loop is
+    Python inside Arrow batches — the codec IS the work);
   * video ``rawrgb``: 16-byte header (w, h, n_frames, fps ×1000 — all
     uint32 LE) + n_frames RGB24 frames — frame sampling, per-frame
     stats and pHash run on real pixels via the images module.
@@ -65,14 +70,123 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def decode_audio(data: bytes, codec: str) -> np.ndarray:
-    """→ float64 samples in [-1, 1]. Only ``pcm16`` decodes here."""
+    """→ float64 samples in [-1, 1]. REAL decoders: ``pcm16`` (raw),
+    ``ulaw`` (G.711 µ-law, 2:1) and ``adpcm`` (IMA/DVI4 ADPCM, ~4:1) —
+    all written from the public specs; perceptual codecs (mp3/aac/…)
+    still raise (no codec libs in env)."""
     if codec == "pcm16":
         return np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    if codec == "ulaw":
+        return _ulaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
+    if codec == "adpcm":
+        return _adpcm_decode(data).astype(np.float64) / 32768.0
     raise UnsupportedCodecError(f"audio codec {codec!r} requires a codec library")
 
 
 def encode_audio_pcm16(samples: np.ndarray) -> bytes:
     return (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+
+
+# ------------------------------------------------------- G.711 µ-law
+# Fully vectorized log-PCM: 8 bits/sample, segment-constant relative
+# precision (≈ 38 dB SQNR on full-scale content).
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def encode_audio_ulaw(samples: np.ndarray) -> bytes:
+    pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int32)
+    sign = np.where(pcm < 0, 0x80, 0).astype(np.int32)
+    mag = np.minimum(np.abs(pcm), _ULAW_CLIP) + _ULAW_BIAS
+    # exponent = position of the leading 1 above bit 7 (0..7)
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8).tobytes()
+
+
+def _ulaw_decode(b: np.ndarray) -> np.ndarray:
+    u = (~b.astype(np.int32)) & 0xFF
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.float64)
+
+
+# ---------------------------------------------------- IMA (DVI4) ADPCM
+# 4 bits/sample adaptive-step DPCM; the state (predictor, step index)
+# makes it inherently sequential, so the per-sample loop is Python —
+# justified the same way the JPEG entropy coder is: the codec IS the
+# work, and it runs inside Arrow batches on executors.
+
+_ADPCM_MAGIC = b"ADP1"
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def encode_audio_adpcm(samples: np.ndarray) -> bytes:
+    pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int32)
+    pred, index = (int(pcm[0]) if len(pcm) else 0), 0
+    nibbles: list[int] = []
+    for s in pcm:
+        step = _IMA_STEPS[index]
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        # reconstruct exactly as the decoder will (keeps states in sync)
+        delta = (step >> 3) + ((code & 1) * (step >> 2)) + (
+            ((code >> 1) & 1) * (step >> 1)
+        ) + (((code >> 2) & 1) * step)
+        pred = max(-32768, min(32767, pred + (-delta if code & 8 else delta)))
+        index = max(0, min(88, index + _IMA_INDEX[code & 7]))
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    packed = bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+    head = _ADPCM_MAGIC + struct.pack(
+        "<Ihb", len(pcm), int(pcm[0]) if len(pcm) else 0, 0
+    )
+    return head + packed
+
+
+def _adpcm_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _ADPCM_MAGIC:
+        raise ValueError("not an ADP1 stream")
+    n, pred0, index = struct.unpack_from("<Ihb", data, 4)
+    body = data[11:]
+    out = np.empty(n, np.int32)
+    pred, index = int(pred0), max(0, min(88, int(index)))
+    for i in range(n):
+        byte = body[i >> 1]
+        code = (byte >> 4) if i & 1 else (byte & 0x0F)
+        step = _IMA_STEPS[index]
+        delta = (step >> 3) + ((code & 1) * (step >> 2)) + (
+            ((code >> 1) & 1) * (step >> 1)
+        ) + (((code >> 2) & 1) * step)
+        pred = max(-32768, min(32767, pred + (-delta if code & 8 else delta)))
+        index = max(0, min(88, index + _IMA_INDEX[code & 7]))
+        out[i] = pred
+    return out
 
 
 def extract_audio_features(audio: DataFrame) -> DataFrame:

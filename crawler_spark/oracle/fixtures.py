@@ -38,7 +38,7 @@ SITES = ["site0.test", "site1.test", "site2.test", "site3.test"]
 # Zipf-ish skew: dominant host gets ~60% of documents (exercises salting)
 SITE_WEIGHTS = [0.60, 0.20, 0.12, 0.08]
 GENRES = ["A", "C", "D", "N", "Z"]
-FMTS = ["ppm", "bmp", "png", "qjpg", "jpg"]
+FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "gif"]
 CAPTION_WORDS = ["Hằng Cứu Giúp", "La Vang", "Fatima", "Lộ Đức", "Trà Kiệu"]
 MAX_ATTEMPTS = 5
 
@@ -78,7 +78,13 @@ def _mk_image(rng: np.random.Generator, idx: int, site: str) -> ImageSpec:
     w = int(rng.choice([16, 32, 64, 128]))
     h = int(rng.choice([16, 32, 64, 128]))
     fmt = FMTS[idx % len(FMTS)]
-    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if fmt == "gif":
+        # GIF is palettized (≤ 256 colors, lossless for palette
+        # images): draw pixels from a random 64-color palette
+        palette = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+        arr = palette[rng.integers(0, 64, (h, w))]
+    else:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     data = im.encode_image(arr, fmt)
     decoded = im.decode_image(data, fmt)  # golden = decode(encode(.)) —
     # for lossy fmts the *stored* truth is the decoded result
