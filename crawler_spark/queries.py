@@ -2838,3 +2838,77 @@ FROM documents WHERE doc_id < 40
 
 QUERIES["q59_phash_real_pixels"] = q59_phash_real_pixels
 ORACLE_SQL["q59_phash_real_pixels"] = Q59_SQL
+
+
+# ---------------------------------------------------------------------------
+# q60 — the COMPOSED preprocessing pipeline: language gate → quality
+# floor → exact dedup (first-wins per content hash) → PII scrub, one
+# DataFrame chain. Each stage is oracle-checked alone (q27/q28/q21/
+# q51); this row proves the COMPOSITION — the shape a real corpus
+# cleanup job runs. Duplicates are PLANTED (every doc unioned again
+# under doc_id+10000) so the dedup stage provably removes rows: only
+# original doc_ids may survive. Plan-wise the gates are map-side
+# (pruning BEFORE the single md5-keyed dedup shuffle) and the scrub is
+# a JVM regexp projection after it.
+# ---------------------------------------------------------------------------
+
+
+def q60_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from crawler_spark.functions.pii import scrub_pii_col
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0)
+    staged = (
+        corpus.select("doc_id", "text", words.alias("w"))
+        .filter(F.array_contains(F.col("w"), "the"))  # token lang gate (en)
+        .filter(F.size("w") >= 40)  # quality floor
+        .withColumn("n_words", F.size("w").cast("bigint"))
+        .withColumn("text_hash", F.md5("text"))
+        .drop("w")
+    )
+    win = W.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        staged.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)  # exact dedup, first-wins
+        .select(
+            "doc_id",
+            "n_words",
+            "text_hash",
+            F.length(scrub_pii_col("text")).cast("bigint").alias("scrubbed_len"),
+        )
+    )
+
+
+Q60_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents),
+staged AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> length(x) > 0) AS w
+  FROM corpus),
+gated AS (
+  SELECT doc_id, text, len(w)::BIGINT AS n_words, md5(text) AS text_hash
+  FROM staged
+  WHERE list_contains(w, 'the') AND len(w) >= 40),
+dd AS (
+  SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+  FROM gated)
+SELECT doc_id, n_words, text_hash,
+       length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+           '\+?\d[\d \-()]{7,}\d', '<PHONE>', 'g'))::BIGINT AS scrubbed_len
+FROM dd WHERE rn = 1
+"""
+
+QUERIES["q60_preprocess_pipeline"] = q60_preprocess_pipeline
+ORACLE_SQL["q60_preprocess_pipeline"] = Q60_SQL
