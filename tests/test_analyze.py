@@ -24,6 +24,12 @@ def _tables(spark, world):
     for url, p in world.pages.items():
         if "site0.test" not in url:
             continue
+        if "/private/" in url:
+            # robots-disallowed paths never reach the corpus (the
+            # engine's robots filter drops them before fetch); this
+            # quick builder must match, or a /private/doc/N page
+            # aliases doc N's sentence ids
+            continue
         if "/ch_" not in url and url in chaptered:
             continue
         m = re.search(r"/doc/(\d+)", url)
