@@ -28,6 +28,7 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=50)
     ap.add_argument("--bloom", action="store_true", help="enable the bloom dedup tier")
     ap.add_argument("--trees", action="store_true", help="emit sentence/footnote/heading tables post-crawl")
+    ap.add_argument("--images", action="store_true", help="materialize the input_hint images table post-crawl")
     args = ap.parse_args()
 
     # spark-submit provides the session config; fall back to local dev
@@ -62,6 +63,10 @@ def main() -> None:
                "extractions": engine.extractions().count()}
     if args.trees:
         summary.update(engine.build_documents())
+    if args.images:
+        summary.update(
+            engine.materialize_images(read_table(spark, fixture_dir, "images"))
+        )
     print(json.dumps(summary))
 
 
