@@ -199,3 +199,17 @@ def test_no_heavy_expressions_under_generate(spark):
         assert gen_lines, q
         for line in gen_lines:
             assert "concat_ws" not in line and "xxhash64" not in line, (q, line)
+
+
+def test_q60_single_dedup_shuffle(spark):
+    """The composed preprocessing pipeline must keep its gates map-side
+    so the ONLY round-trip shuffle is the md5-keyed dedup window: one
+    hashpartitioning Exchange total (the union and scrub are map-only).
+    At 100 TB an extra corpus shuffle here doubles the job's IO."""
+    plan = plan_of(spark, "q60_preprocess_pipeline")
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    assert "hashpartitioning(text_hash" in plan
+    assert "SinglePartition" not in plan
