@@ -192,26 +192,65 @@ def near_duplicate_images(
             for k in range(n_bands)
         ]
     )
-    exploded = images.select(
-        "image_id", "phash", F.explode(band_arr).alias("b")
-    ).select("image_id", "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    a = exploded.select(
-        F.col("image_id").alias("id_a"), F.col("phash").alias("ph_a"), "band", "val"
+    # Candidate generation runs over DISTINCT hashes, not image rows:
+    # exact duplicates (the bulk of real corpora) never enter the
+    # banded join, so each (band, val) bucket holds distinct hashes
+    # only and the join size is governed by hash entropy, not corpus
+    # size. Same-hash id pairs come from a cheap full-hash self-join;
+    # cross-hash candidates expand back to ids afterwards.
+    #
+    # Scale economics (random-ish hashes, n = DISTINCT hash count):
+    # expected candidates ~= n^2/2 * n_bands / 2^width, so
+    #   max_hamming<=1 (2x32-bit bands)  ~ n^2 * 4.7e-10  -> any n
+    #   max_hamming<=3 (4x16-bit bands)  ~ n^2 * 3.1e-5   -> n <~ 10^7
+    #   max_hamming<=7 (8x8-bit bands)   ~ n^2 * 1.6e-2   -> n <~ 10^5
+    # (tools/bench_phash.py measures this tier table). Past that,
+    # tighten max_hamming or pre-cluster. Real phash corpora collapse
+    # heavily under the distinct() (near-identical images share exact
+    # hashes), which is what makes the 8-bit tier usable in practice.
+    hashes = images.select("phash").distinct()
+    exploded = hashes.select("phash", F.explode(band_arr).alias("b")).select(
+        "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
-    b = exploded.select(
-        F.col("image_id").alias("id_b"), F.col("phash").alias("ph_b"), "band", "val"
-    )
-    pairs = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "ph_a", "id_b", "ph_b")
+    ha = exploded.select(F.col("phash").alias("ph_a"), "band", "val")
+    hb = exploded.select(F.col("phash").alias("ph_b"), "band", "val")
+    hash_pairs = (
+        ha.join(hb, ["band", "val"])
+        .filter(F.col("ph_a") < F.col("ph_b"))
+        .select("ph_a", "ph_b")
         .distinct()
-    )
-    return (
-        pairs.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    ids = images.select("image_id", "phash")
+    same = (
+        ids.alias("x")
+        .join(ids.alias("y"), "phash")
+        .filter(F.col("x.image_id") < F.col("y.image_id"))
+        .select(
+            F.col("x.image_id").alias("id_a"),
+            F.col("y.image_id").alias("id_b"),
+            F.bit_count(F.lit(0)).alias("hamming"),
+        )
+    )
+    cross = (
+        hash_pairs.join(
+            ids.select(F.col("phash").alias("ph_a"), F.col("image_id").alias("ia")),
+            "ph_a",
+        )
+        .join(
+            ids.select(F.col("phash").alias("ph_b"), F.col("image_id").alias("ib")),
+            "ph_b",
+        )
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
 
 
 def resize_images(

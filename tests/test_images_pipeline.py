@@ -280,3 +280,37 @@ def test_engine_materialize_images(spark, engine, fixture_dir, world):
     got = {r["img_url"]: r["caption"] for r in stored.collect()}
     for url, caption in got.items():
         assert caption == world.images[url].caption
+
+
+def test_near_duplicate_exact_dup_collapse_parity(spark):
+    """The distinct-hash rework (r3 scale fix): with many EXACT
+    duplicates in the corpus, the output pair set must still equal
+    brute force — same-hash pairs at hamming 0, cross-hash pairs once
+    each, nothing double-counted via multiple band collisions."""
+    import itertools
+
+    hashes = {
+        "h0": 0x0123456789ABCDEF,
+        "h1": 0x0123456789ABCDEE,  # hamming 1 from h0
+        "far": 0x5555555555555555,
+    }
+    rows = []
+    for i in range(4):  # 4 exact copies of h0
+        rows.append((f"a{i}", hashes["h0"]))
+    for i in range(3):  # 3 exact copies of h1
+        rows.append((f"b{i}", hashes["h1"]))
+    rows.append(("z", hashes["far"]))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in near_duplicate_images(df, max_hamming=7).collect()
+    }
+    # brute force over all pairs
+    exp = {}
+    for (ia, pa), (ib, pb) in itertools.combinations(rows, 2):
+        h = bin((pa ^ pb) & 0xFFFFFFFFFFFFFFFF).count("1")
+        if h <= 7:
+            a, b = sorted([ia, ib])
+            exp[(a, b)] = h
+    assert got == exp
+    assert len(got) == 6 + 3 + 12  # C(4,2) + C(3,2) + 4*3 cross
