@@ -83,7 +83,15 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32) -> DataFrame:
-    """Distinct (doc_a, doc_b) pairs sharing at least one band bucket."""
+    """Distinct (doc_a, doc_b) pairs sharing at least one band bucket.
+
+    Bucket keys are 32-bit hashes of signature slices, so random-text
+    collisions are rare at any n. The quadratic hazard is EXACT
+    duplicate documents: identical texts share every band, so a
+    cluster of z byte-identical docs emits z²·bands candidate rows
+    before dedup. Run exact dedup (q21 / dedup.first_wins on a content
+    hash) before near-dup sweeps — the same reason
+    ``near_duplicate_images`` bands over distinct hashes."""
     # explode the (cheap) band index, hash the slice ABOVE the Generate
     # (its input re-evaluates per output element — the q52 trap)
     banded = sigs.select(
