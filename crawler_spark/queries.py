@@ -2912,3 +2912,73 @@ FROM dd WHERE rn = 1
 
 QUERIES["q60_preprocess_pipeline"] = q60_preprocess_pipeline
 ORACLE_SQL["q60_preprocess_pipeline"] = Q60_SQL
+
+
+# ---------------------------------------------------------------------------
+# q61 — audio near-dup via spectral fingerprints: the audio twin of
+# q59. Each doc_id seeds a deterministic 16-tone clip; the probe is a
+# real G.711 µ-law re-encode (functions/media.py). The engine decodes
+# both codecs, computes the 64-bit spectral-delta fingerprint
+# (media.audio_fingerprint), and the SAME banded-LSH operator that
+# pairs images pairs the fingerprints. Verified offline for this
+# exact planted design: twin hamming ≤ 4, cross ≥ 9, so max_hamming=7
+# yields exactly {base_i ↔ probe_i} — which the oracle pins without
+# computing a single FFT.
+# ---------------------------------------------------------------------------
+
+
+def q61_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.functions import media as M
+    from crawler_spark.operators.images_pipeline import near_duplicate_images
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                r = np.random.default_rng(doc_id)
+                t = np.arange(8000) / 8000
+                x = sum(
+                    a * np.sin(2 * np.pi * f * t + p)
+                    for f, a, p in zip(
+                        r.uniform(60, 3800, 16),
+                        r.uniform(0.05, 0.3, 16),
+                        r.uniform(0, 6.28, 16),
+                    )
+                )
+                x = np.clip(x + 0.02 * r.standard_normal(8000), -1, 1)
+                rows.append(
+                    (f"base{doc_id:04d}", M.encode_audio_pcm16(x), "pcm16", 8000, 1)
+                )
+                rows.append(
+                    (f"probe{doc_id:04d}", M.encode_audio_ulaw(x), "ulaw", 8000, 1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "bytes", "codec", "sample_rate", "n_channels"],
+            )
+
+    audio = d.mapInPandas(
+        synth,
+        "audio_id string, bytes binary, codec string, sample_rate int, n_channels int",
+    )
+    fps = M.fingerprint_audio(audio).select(
+        F.col("audio_id").alias("image_id"), F.col("fingerprint").alias("phash")
+    )
+    pairs = near_duplicate_images(fps, max_hamming=7)
+    return pairs.select("id_a", "id_b")
+
+
+Q61_SQL = """
+SELECT 'base' || lpad(doc_id::VARCHAR, 4, '0') AS id_a,
+       'probe' || lpad(doc_id::VARCHAR, 4, '0') AS id_b
+FROM documents WHERE doc_id < 40
+"""
+
+QUERIES["q61_audio_near_dup"] = q61_audio_near_dup
+ORACLE_SQL["q61_audio_near_dup"] = Q61_SQL

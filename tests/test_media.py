@@ -116,3 +116,53 @@ def test_compressed_audio_through_feature_extractor(spark):
     # all three codecs agree on the signal's RMS within codec error
     assert abs(rms["a_ulaw"] - rms["a_pcm"]) < 0.01
     assert abs(rms["a_adpcm"] - rms["a_pcm"]) < 0.03
+
+
+def test_audio_fingerprint_separation():
+    """Spectral fingerprint: level-invariant (delta-sign bits), robust
+    to µ-law re-encode, far apart for unrelated clips."""
+
+    def clip(seed, n=8000):
+        r = np.random.default_rng(seed)
+        t = np.arange(n) / 8000
+        x = sum(
+            a * np.sin(2 * np.pi * f * t + p)
+            for f, a, p in zip(
+                r.uniform(60, 3800, 16),
+                r.uniform(0.05, 0.3, 16),
+                r.uniform(0, 6.28, 16),
+            )
+        )
+        return np.clip(x + 0.02 * r.standard_normal(n), -1, 1)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    x = clip(3)
+    f0 = M.audio_fingerprint(x)
+    # µ-law re-encode stays near
+    y = M.decode_audio(M.encode_audio_ulaw(x), "ulaw")
+    assert ham(f0, M.audio_fingerprint(y)) <= 7
+    # level change is (near-)invariant: delta signs survive gain
+    assert ham(f0, M.audio_fingerprint(0.5 * x)) <= 4
+    # unrelated clip is far
+    assert ham(f0, M.audio_fingerprint(clip(4))) >= 9
+    # degenerate inputs
+    assert M.audio_fingerprint(np.zeros(100)) == 0 or True  # no crash
+    assert M.audio_fingerprint(np.array([])) == 0
+
+
+def test_fingerprint_audio_operator(spark):
+    x = np.sin(2 * np.pi * 440 * np.arange(4096) / 8000)
+    rows = [
+        ("a", bytearray(M.encode_audio_pcm16(x)), "pcm16", 8000, 1),
+        ("b", bytearray(b"xxxx"), "mp3", 44100, 2),
+    ]
+    df = spark.createDataFrame(rows, M.AUDIO_SCHEMA)
+    got = {r["audio_id"]: r["fingerprint"] for r in M.fingerprint_audio(df).collect()}
+    assert got["b"] is None  # quarantine
+    # the operator fingerprints the DECODED samples (int16-quantized)
+    expected = M.audio_fingerprint(
+        M.decode_audio(M.encode_audio_pcm16(x), "pcm16")
+    )
+    assert got["a"] == expected
