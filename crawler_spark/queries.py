@@ -2982,3 +2982,64 @@ FROM documents WHERE doc_id < 40
 
 QUERIES["q61_audio_near_dup"] = q61_audio_near_dup
 ORACLE_SQL["q61_audio_near_dup"] = Q61_SQL
+
+
+# ---------------------------------------------------------------------------
+# q62 — video near-dup: the third leg of the multimodal triangle
+# (q59 images, q61 audio). Each doc_id seeds a deterministic drifting
+# clip; the probe re-encodes EVERY frame through the real JPEG codec
+# and repacks as rawrgb. Fingerprint = per-frame phash64 majority
+# vote (media.video_fingerprint; measured twin hamming ≤ 1 vs cross
+# ≥ 16), paired by the SAME banded-LSH operator. The oracle pins the
+# planted pair set.
+# ---------------------------------------------------------------------------
+
+
+def q62_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from crawler_spark.functions import media as M
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from crawler_spark.operators.images_pipeline import near_duplicate_images
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 30)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                r = np.random.default_rng(doc_id)
+                base = r.integers(0, 256, (24, 32, 3)).astype(np.int16)
+                frames = []
+                for _ in range(12):
+                    base = np.clip(base + r.integers(-6, 7, (24, 32, 3)), 0, 255)
+                    frames.append(base.astype(np.uint8))
+                clip = np.stack(frames)
+                probe = np.stack(
+                    [decode_jpeg(encode_jpeg(f, quality=90)) for f in clip]
+                )
+                rows.append(
+                    (f"base{doc_id:04d}", M.encode_rawrgb(clip), "rawrgb")
+                )
+                rows.append(
+                    (f"probe{doc_id:04d}", M.encode_rawrgb(probe), "rawrgb")
+                )
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "codec"])
+
+    video = d.mapInPandas(synth, "video_id string, bytes binary, codec string")
+    fps = M.fingerprint_video(video).select(
+        F.col("video_id").alias("image_id"), F.col("fingerprint").alias("phash")
+    )
+    return near_duplicate_images(fps, max_hamming=7).select("id_a", "id_b")
+
+
+Q62_SQL = """
+SELECT 'base' || lpad(doc_id::VARCHAR, 4, '0') AS id_a,
+       'probe' || lpad(doc_id::VARCHAR, 4, '0') AS id_b
+FROM documents WHERE doc_id < 30
+"""
+
+QUERIES["q62_video_near_dup"] = q62_video_near_dup
+ORACLE_SQL["q62_video_near_dup"] = Q62_SQL

@@ -166,3 +166,39 @@ def test_fingerprint_audio_operator(spark):
         M.decode_audio(M.encode_audio_pcm16(x), "pcm16")
     )
     assert got["a"] == expected
+
+
+def test_video_fingerprint_and_operator(spark):
+    """Majority-vote video fingerprint: identical under lossless
+    re-pack, near under full per-frame JPEG re-encode, far for a
+    different clip; operator quarantines unknown codecs."""
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def clip(seed):
+        r = np.random.default_rng(seed)
+        base = r.integers(0, 256, (24, 32, 3)).astype(np.int16)
+        frames = []
+        for _ in range(10):
+            base = np.clip(base + r.integers(-6, 7, (24, 32, 3)), 0, 255)
+            frames.append(base.astype(np.uint8))
+        return np.stack(frames)
+
+    v = clip(1)
+    f0 = M.video_fingerprint(v)
+    rt, _ = M.decode_video(M.encode_rawrgb(v), "rawrgb")
+    assert M.video_fingerprint(rt) == f0  # lossless round-trip
+    probe = np.stack([decode_jpeg(encode_jpeg(f, quality=90)) for f in v])
+    assert ham(f0, M.video_fingerprint(probe)) <= 7
+    assert ham(f0, M.video_fingerprint(clip(2))) >= 10
+    assert M.video_fingerprint(v[:0]) == 0  # empty clip
+
+    rows = [
+        ("v1", bytearray(M.encode_rawrgb(v)), "rawrgb"),
+        ("v2", bytearray(b"\x00" * 32), "h264"),
+    ]
+    df = spark.createDataFrame(rows, M.VIDEO_SCHEMA)
+    got = {r["video_id"]: r["fingerprint"] for r in M.fingerprint_video(df).collect()}
+    assert got["v2"] is None and got["v1"] == f0
