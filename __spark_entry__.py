@@ -3,15 +3,17 @@
 ``entry(spark)`` runs the flagship pricing-rollup query on sf0.001;
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 plus the training-data dedup/similarity/ANN/text-analysis
-ops (51 queries; all but q43 have DuckDB oracles — q45/q46 cover the
-full reference cleanup chain and verse-order tracking, q47 proves the
-banded pHash recall guarantee against a brute-force oracle, q48 proves
-the production MinHash operator (k=128, b=32) against a brute-force
-exact-Jaccard oracle, q49 round-trips ENCRYPTED PDF bytes through the
-full S8 decrypt/decode/assemble path against a value-exact oracle,
-q50 adds the Gopher repetition quality rules, q51 the PII
-redaction pass).
-The full registry lives in ``crawler_spark/queries.py``.
+and multimodal ops (62 queries; all but q43 have DuckDB oracles).
+Highlights: q45/q46 cover the full reference cleanup chain and
+verse-order tracking; q47 proves the banded pHash recall guarantee
+against a brute-force oracle; q48 the production MinHash operator;
+q49 round-trips ENCRYPTED PDF bytes through decrypt/decode/assemble;
+q50-q53 Gopher rules / PII / decontamination / boilerplate; q54/q55
+dup-cluster canonicalization and sequence packing; q56-q62 the image/
+audio/video payload axis — distributed codec validation (incl. the
+real baseline JPEG), embedding retrieval, PDF image extraction, and
+the multimodal near-dup triangle, each against planted-ground-truth
+oracles. The full registry lives in ``crawler_spark/queries.py``.
 """
 
 from __future__ import annotations
