@@ -2562,7 +2562,14 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crawler_spark.functions import images as im
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 60)
+        # the tiny filtered slice is ONE input split; spread the
+        # codec-bound synth/decode stage across workers
+        .repartition(16)
+    )
 
     def validate(batches):
         for pdf in batches:
@@ -2633,7 +2640,14 @@ def q57_image_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions import images as im
     from crawler_spark.operators.images_pipeline import embed_images
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+        # the tiny filtered slice is ONE input split; spread the
+        # codec-bound synth/decode stage across workers
+        .repartition(16)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -2708,7 +2722,14 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
     from crawler_spark.operators.pdf_decode import make_pdf_with_images, pdf_images
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 30)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+        # the tiny filtered slice is ONE input split; spread the
+        # codec-bound synth/decode stage across workers
+        .repartition(16)
+    )
 
     def build(batches):
         for pdf_batch in batches:
@@ -2801,7 +2822,14 @@ def q59_phash_real_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions import images as im
     from crawler_spark.operators.images_pipeline import near_duplicate_images
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+        # the tiny filtered slice is ONE input split; spread the
+        # codec-bound synth/decode stage across workers
+        .repartition(16)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -2934,7 +2962,14 @@ def q61_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions import media as M
     from crawler_spark.operators.images_pipeline import near_duplicate_images
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 40)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 40)
+        # the tiny filtered slice is ONE input split; spread the
+        # codec-bound synth/decode stage across workers
+        .repartition(16)
+    )
 
     def synth(batches):
         for pdf in batches:
@@ -3003,7 +3038,14 @@ def q62_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
     from crawler_spark.operators.images_pipeline import near_duplicate_images
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 30)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 30)
+        # the tiny filtered slice is ONE input split; spread the
+        # codec-bound synth/decode stage across workers
+        .repartition(16)
+    )
 
     def synth(batches):
         for pdf in batches:
