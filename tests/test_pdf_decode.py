@@ -687,3 +687,44 @@ def _try_inflate(data: bytes):
         except Exception:
             continue
     return data
+
+
+def test_pdf_image_extraction_corruption_contained():
+    """Flip any single byte of a valid image-bearing PDF: extraction
+    must return a (possibly shorter / ok=False) list or raise cleanly —
+    never hang or corrupt. The crawler feeds this path wild bytes."""
+    import numpy as np
+
+    from crawler_spark.functions.jpeg import encode_jpeg
+    from crawler_spark.operators.pdf_decode import (
+        extract_pdf_images,
+        make_pdf_with_images,
+    )
+
+    rng = np.random.default_rng(97)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pdf = bytearray(
+        make_pdf_with_images(
+            [
+                {"data": encode_jpeg(arr), "w": 16, "h": 16, "filter": "DCTDecode"},
+                {"data": arr.tobytes(), "w": 16, "h": 16, "filter": None},
+            ]
+        )
+    )
+    step = max(1, len(pdf) // 80)  # ~80 corruption points across the file
+    for pos in range(0, len(pdf), step):
+        mutated = bytearray(pdf)
+        mutated[pos] ^= 0xA5
+        try:
+            out = extract_pdf_images(bytes(mutated))
+            assert isinstance(out, list)
+            for r in out:
+                assert set(r) == {"idx", "w", "h", "fmt", "phash", "ok"}
+        except Exception as e:  # noqa: BLE001 — raise cleanly, never hang
+            assert not isinstance(e, (MemoryError, RecursionError))
+    # truncations too
+    for cut in (0, 10, len(pdf) // 2, len(pdf) - 3):
+        try:
+            extract_pdf_images(bytes(pdf[:cut]))
+        except Exception as e:  # noqa: BLE001
+            assert not isinstance(e, (MemoryError, RecursionError))
