@@ -261,12 +261,17 @@ def _rgb_to_ycc(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return y - 128.0, cb, cr  # level-shifted; chroma already zero-centred
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 98) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 98, restart_interval: int = 0
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as baseline JFIF 4:4:4.
 
     Default quality 98 keeps PSNR >= 40 dB even on uniform-noise images
     (the worst case for transform coding — see tests); natural/smooth
-    content lands far higher.
+    content lands far higher.  ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs (byte-aligned, DC
+    predictors reset — T.81 §F.1.2.3 / E.1.4), matching what external
+    encoders produce for error resilience.
     """
     if arr.ndim != 3 or arr.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB")
@@ -298,12 +303,19 @@ def encode_jpeg(arr: np.ndarray, quality: int = 98) -> bytes:
     bw = _BitWriter()
     preds = [0, 0, 0]
     for b in range(comps[0].shape[0]):  # MCU raster; 4:4:4 -> 1 block/comp
+        if restart_interval and b and b % restart_interval == 0:
+            bw.flush()  # byte-align with 1-fill
+            n = (b // restart_interval - 1) % 8
+            bw.buf += bytes((0xFF, 0xD0 + n))  # RSTn: raw, never stuffed
+            preds = [0, 0, 0]
         for c in range(3):
             preds[c] = _encode_block(bw, comps[c][b], preds[c], *tables[c])
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     for tid, qt in ((0, qt_y), (1, qt_c)):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(qt.reshape(64)[i]) for i in _ZZ)  # DQT in zigzag
@@ -331,16 +343,22 @@ def encode_jpeg(arr: np.ndarray, quality: int = 98) -> bytes:
 
 
 class _BitReader:
-    """MSB-first bit reader over unstuffed entropy bytes; reads past the
-    end return 1-bits (matching encoder padding)."""
+    """MSB-first bit reader over unstuffed entropy bytes.
 
-    __slots__ = ("data", "pos", "acc", "n")
+    Reads past the end are padded with 1-bits so a peek at the tail is
+    well-defined, but *consuming* more than 7 padding bits (one byte of
+    legal encoder fill, T.81 §F.1.2.3) raises ValueError — a truncated
+    stream must surface as a decode failure, not plausible garbage."""
+
+    __slots__ = ("data", "pos", "acc", "n", "filled", "real_bits")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.filled = 0
+        self.real_bits = 8 * len(data)
 
     def _fill(self, need: int) -> None:
         while self.n < need:
@@ -350,6 +368,7 @@ class _BitReader:
             else:
                 self.acc = (self.acc << 8) | 0xFF
             self.n += 8
+            self.filled += 8
 
     def peek16(self) -> int:
         self._fill(16)
@@ -358,6 +377,8 @@ class _BitReader:
     def skip(self, k: int) -> None:
         self.n -= k
         self.acc &= (1 << self.n) - 1
+        if self.filled - self.n - self.real_bits > 7:
+            raise ValueError("truncated JPEG entropy stream")
 
     def bits(self, k: int) -> int:
         if k == 0:
@@ -386,7 +407,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comp_q: list[int] = []
     scan_tables: list[tuple[int, int]] = []
     i = 2
-    entropy = None
+    segments: list[bytes] | None = None
+    restart_interval = 0
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at {i}")
@@ -430,14 +452,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp_q.append(tq)
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"non-baseline SOF 0x{m:02x} unsupported")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
             ns = seg[0]
             scan_tables = [
                 (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)
             ]
-            # entropy data runs to the next non-stuffed, non-RST marker
+            # entropy data runs to the next non-stuffed, non-RST marker;
+            # RSTn boundaries split it into restart segments (E.1.4)
             j = i
             raw = bytearray()
+            segments = []
+            expect_rst = 0
             while j < len(data) - 1:
                 b = data[j]
                 if b == 0xFF:
@@ -446,25 +473,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raw.append(0xFF)
                         j += 2
                         continue
-                    if 0xD0 <= nxt <= 0xD7:  # RST: tolerated, not emitted
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+                        if nxt - 0xD0 != expect_rst:
+                            raise ValueError("out-of-order RST marker")
+                        expect_rst = (expect_rst + 1) % 8
+                        segments.append(bytes(raw))
+                        raw = bytearray()
                         j += 2
                         continue
                     break
                 raw.append(b)
                 j += 1
-            entropy = bytes(raw)
+            segments.append(bytes(raw))
             i = j
         # APPn/COM and anything else: skipped via seglen
-    if entropy is None or not h:
+    if segments is None or not h:
         raise ValueError("missing SOS/SOF0")
+    if len(segments) > 1 and not restart_interval:
+        raise ValueError("RST markers without DRI")
 
     bh, bw_ = -(-h // 8), -(-w // 8)
     nblocks = bh * bw_
-    br = _BitReader(entropy)
+    if restart_interval and len(segments) != -(-nblocks // restart_interval):
+        raise ValueError("restart segment count mismatch")
+    br = _BitReader(segments[0])
     coefs = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(3)]
     preds = [0, 0, 0]
     luts = [(huff[(0, td)], huff[(1, ta)]) for td, ta in scan_tables]
     for b in range(nblocks):
+        if restart_interval and b and b % restart_interval == 0:
+            # new restart segment: byte-aligned reader, DC preds reset
+            br = _BitReader(segments[b // restart_interval])
+            preds = [0, 0, 0]
         for c in range(3):
             (dsym, dlen), (asym, alen) = luts[c]
             p = br.peek16()

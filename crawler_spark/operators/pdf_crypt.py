@@ -215,14 +215,26 @@ def _pad_password(pwd: bytes) -> bytes:
 
 
 def file_key_rc4(
-    o: bytes, p: int, id0: bytes, r: int, length_bits: int, password: bytes = b""
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    length_bits: int,
+    password: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
-    """Algorithm 2: the RC4/AESV2 file encryption key (R2/R3/R4)."""
+    """Algorithm 2: the RC4/AESV2 file encryption key (R2/R3/R4).
+
+    For R>=4 with /EncryptMetadata false, Algorithm 2 step (f) appends
+    FF FF FF FF to the MD5 input (ISO 32000-1 §7.6.3.3).
+    """
     h = hashlib.md5()
     h.update(_pad_password(password))
     h.update(o[:32])
     h.update(struct.pack("<i", p))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     n = length_bits // 8 if r >= 3 else 5
     if r >= 3:

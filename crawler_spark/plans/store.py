@@ -489,7 +489,33 @@ class IcebergStore:
         lineage: dict | None = None,
         partition_by: list[str] | None = None,
     ) -> int:
+        """Mirror of :meth:`SnapshotStore.compact`.
+
+        With ``partition_by`` the table is re-laid-out via REPLACE TABLE
+        (new partition spec + ``snapshot-property.lineage.*`` on the
+        replacing snapshot, exactly like ``commit``). Without it,
+        ``rewrite_data_files`` compacts in place; the CALL procedure
+        cannot carry snapshot properties, so lineage is recorded as
+        ``lineage.compact.*`` table properties in the follow-up
+        metadata commit (visible in ``.snapshots``/``.properties``).
+        """
+        if partition_by:
+            return self.commit(
+                table,
+                self.read(table),
+                mode="overwrite",
+                lineage={**(lineage or {}), "op": "compact"},
+                partition_by=partition_by,
+            )
         self.spark.sql(self.compact_sql(self.catalog, self._fq(table)))
+        if lineage:
+            props = ", ".join(
+                f"'lineage.compact.{k}'='{str(v).replace(chr(39), '')}'"
+                for k, v in lineage.items()
+            )
+            self.spark.sql(
+                f"ALTER TABLE {self._fq(table)} SET TBLPROPERTIES ({props})"
+            )
         return self.current_version(table)
 
     def rollback(self, table: str, version: int) -> None:

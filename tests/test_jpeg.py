@@ -135,6 +135,60 @@ def test_registry_dispatch_and_lossy_membership():
     assert np.array_equal(im.decode_image(data, "jpg"), im.decode_image(data, "jpg"))
 
 
+def test_restart_interval_roundtrip():
+    # DRI + RSTn every 2 MCUs: byte-aligned segments, DC preds reset.
+    # A decoder that ignored restarts would keep stale predictors and
+    # mis-align the bit reader -> corrupt pixels; this pins correctness.
+    rng = np.random.default_rng(31)
+    arr = rng.integers(0, 256, (24, 48, 3), dtype=np.uint8)  # 18 MCUs
+    data = encode_jpeg(arr, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI present
+    # RST0..RST7 cycle appears in the scan
+    assert b"\xff\xd0" in data and b"\xff\xd7" in data
+    back = decode_jpeg(data)
+    assert im.psnr(arr, back) >= 40.0
+    # and matches the no-restart decode of the same pixels
+    plain = decode_jpeg(encode_jpeg(arr))
+    assert im.psnr(plain, back) >= 40.0
+
+
+def test_restart_markers_without_dri_rejected():
+    rng = np.random.default_rng(37)
+    arr = rng.integers(0, 256, (16, 32, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(arr, restart_interval=2))
+    i = data.find(b"\xff\xdd")
+    del data[i : i + 6]  # strip the DRI segment, keep the RSTs
+    with pytest.raises(ValueError, match="RST markers without DRI"):
+        decode_jpeg(bytes(data))
+
+
+def test_out_of_order_rst_rejected():
+    rng = np.random.default_rng(41)
+    arr = rng.integers(0, 256, (16, 48, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(arr, restart_interval=1))
+    i = data.find(b"\xff\xd0")
+    data[i + 1] = 0xD3  # RST0 -> RST3: sequence break
+    with pytest.raises(ValueError, match="out-of-order RST"):
+        decode_jpeg(bytes(data))
+
+
+def test_truncated_entropy_stream_raises():
+    # chopping entropy bytes must surface as ValueError, never as
+    # plausible garbage pixels (ADVICE r3: 1-bit padding masked it)
+    rng = np.random.default_rng(43)
+    arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = encode_jpeg(arr)
+    i = data.find(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", data, i + 2)
+    scan_start = i + 2 + ln
+    scan_len = len(data) - 2 - scan_start
+    for frac in (0.25, 0.5, 0.9):
+        cut = scan_start + int(scan_len * frac)
+        truncated = data[:cut] + b"\xff\xd9"
+        with pytest.raises(ValueError):
+            decode_jpeg(truncated)
+
+
 def test_rejects_malformed():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n")

@@ -399,6 +399,26 @@ def test_encrypted_pdfs_all_modes_roundtrip():
         assert b"secret text line" not in make_pdf([ENC_PAGE], encrypt=mode), mode
 
 
+def test_encrypt_metadata_false_key_derivation():
+    """R4 + /EncryptMetadata false: Algorithm 2 appends FF FF FF FF to
+    the MD5 input (ISO 32000-1 §7.6.3.3). A decoder that skips the step
+    derives the wrong key, fails /U validation, and drops the document
+    as locked — ADVICE r3. The fixture encrypts with the modified key,
+    so the round-trip only passes if the decoder applies it too."""
+    from crawler_spark.operators.pdf_crypt import file_key_rc4
+
+    pdf = make_pdf([ENC_PAGE], encrypt="aes-128-nometa")
+    assert b"/EncryptMetadata false" in pdf
+    assert b"secret text line" not in pdf
+    txt = " ".join(i["str"] for i in extract_pdf_items(pdf))
+    assert "secret text line" in txt and "mot dong khac" in txt
+    # the two keys genuinely differ, so the test can't pass vacuously
+    o = b"\x01" * 32
+    assert file_key_rc4(o, -4, b"i" * 16, 4, 128) != file_key_rc4(
+        o, -4, b"i" * 16, 4, 128, encrypt_metadata=False
+    )
+
+
 def test_password_protected_pdf_skipped_whole():
     """Tampering /U (≈ a real user password we don't have) must yield
     zero items, not garbage text — the locked-document path."""
