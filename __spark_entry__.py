@@ -3,7 +3,12 @@
 ``entry(spark)`` runs the flagship pricing-rollup query on sf0.001;
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 plus the training-data dedup/similarity/ANN/text-analysis
-and multimodal ops (62 queries; all but q43 have DuckDB oracles).
+and multimodal ops (exactly 50 entries — the driver's CORRECTNESS
+budget; all but q43 have DuckDB oracles). Closely-related variants are
+value-checked through suite entries that union the variants with a
+``variant`` discriminator and mirror it in the oracle SQL (see the
+"Registry consolidation" section of ``crawler_spark/queries.py``), so
+every operator family lands a driver row.
 Highlights: q45/q46 cover the full reference cleanup chain and
 verse-order tracking; q47 proves the banded pHash recall guarantee
 against a brute-force oracle; q48 the production MinHash operator;

@@ -24,6 +24,11 @@ from dataclasses import dataclass
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from crawler_spark.functions.text import (
+    FOOTNOTE_CLEANUP_CHAIN,
+    VERSE_CLEANUP_CHAIN,
+)
+
 
 @dataclass(frozen=True)
 class SiteAdapter:
@@ -38,6 +43,15 @@ class SiteAdapter:
                    incomplete-only.
     priority_desc: use the O2 descending priority (sortCheckpoint desc).
     budget:        per-round politeness budget override (None = table).
+    cleanup_chain: ordered step names for the markdown cleanup chain
+                   (``cleanupMdProcessor``'s per-site step array — the
+                   reference varies both ORDER and COMPOSITION per
+                   site, e.g. augustino.net inserts a footnote-label
+                   rewrite before normalizeWhitespace and notes in
+                   source that the order is load-bearing). None = the
+                   standard chain. Names resolve via
+                   ``functions.text.CLEANUP_STEPS`` so the chain stays
+                   JSON-serializable data.
     """
 
     name: str
@@ -45,6 +59,7 @@ class SiteAdapter:
     frontier_pred: str | None = None
     priority_desc: bool = False
     budget: int | None = None
+    cleanup_chain: tuple[str, ...] | None = None
 
     def seed_filter(self) -> Column:
         if self.seed_source is None:
@@ -54,9 +69,30 @@ class SiteAdapter:
     def frontier_filter(self) -> Column | None:
         return F.expr(self.frontier_pred) if self.frontier_pred else None
 
+    def cleanup(self, text_col: Column | str) -> Column:
+        """The adapter's cleanup chain as a Column transform."""
+        from crawler_spark.functions.text import (
+            STANDARD_CLEANUP_CHAIN,
+            cleanup_chain_col,
+        )
+
+        return cleanup_chain_col(
+            text_col, self.cleanup_chain or STANDARD_CLEANUP_CHAIN
+        )
+
 
 # the thanhlinh two-crawler split (main.ts:41-72) as data
 CHAPTERED_ASC = SiteAdapter(name="chaptered_asc", frontier_pred="has_chapters")
 FLAT_DESC = SiteAdapter(
     name="flat_desc", frontier_pred="NOT has_chapters", priority_desc=True
+)
+
+# per-site cleanup chains as data (reference getPageContent.ts files):
+# augustino.net/hdgmvietnam.com insert the footnote-label rewrite;
+# ktcgkpv.org runs the short verse chain
+AUGUSTINO = SiteAdapter(
+    name="augustino", seed_source="augustino", cleanup_chain=FOOTNOTE_CLEANUP_CHAIN
+)
+KTCGKPV_VERSES = SiteAdapter(
+    name="ktcgkpv_verses", seed_source="ktcgkpv", cleanup_chain=VERSE_CLEANUP_CHAIN
 )

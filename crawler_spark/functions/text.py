@@ -500,43 +500,109 @@ def sanitize_title_col(col: Column | str) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# cleanup pipeline (cleanupMdProcessor `mdUtils.ts:238-243`, standard order
-# e.g. `thanhlinh.net/getPageContent.ts:64-78`) — image-extracting variant
+# cleanup pipeline (cleanupMdProcessor `mdUtils.ts:238-243`). The chain
+# is DATA: each site passes its own ordered step list — the order is
+# load-bearing (the reference's in-source NOTE: normalizeWhitespace
+# "Have to run first so the asterisk regex can match correctly"), and
+# the composition varies per site (`augustino.net/getPageContent.ts:143`
+# and `hdgmvietnam.com/getPageContent.ts:137` insert a footnote-label
+# rewrite between removeMdHr and normalizeWhitespace;
+# `ktcgkpv.org/getPageContent.ts` runs a short chain with no
+# imgs/links/hr steps on verse text). `SiteAdapter.cleanup_chain`
+# carries the step names, so a new site's chain is config, not code.
 # ---------------------------------------------------------------------------
+
+# footnote link → "[label]" (`augustino.net/getPageContent.ts:140-156`;
+# the JS callback returns props[1] = the 2nd capturing group). Formats:
+# "[\[3\]](#link)", "[**\[3\]**](#link)", "[3](#link)".
+_FOOTNOTE_LABEL = r"\[[^\\\[]*(\\\[)?([^\\]*)(\\\])?[^\\\]]*\]\(([^)]*)\)"
+
+
+def footnote_label(text: str) -> str:
+    return re.sub(_FOOTNOTE_LABEL, lambda m: f"[{m.group(2)}]", text)
+
+
+def footnote_label_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, _FOOTNOTE_LABEL, "[$2]")
+
+
+# name → (python fn, Column fn); both sides of every step share one
+# pattern table, so parity tests cover the chain pair-wise
+CLEANUP_STEPS: dict[str, tuple] = {
+    "remove_md_imgs": (remove_md_imgs, remove_md_imgs_col),
+    "remove_md_links": (remove_md_links, remove_md_links_col),
+    "remove_md_hr": (remove_md_hr, remove_md_hr_col),
+    "footnote_label": (footnote_label, footnote_label_col),
+    "normalize_whitespace": (normalize_whitespace, normalize_whitespace_col),
+    "normalize_asterisk": (normalize_asterisk, normalize_asterisk_col),
+    "normalize_quotes": (normalize_quotes, normalize_quotes_col),
+    "normalize_number_bullet": (normalize_number_bullet, normalize_number_bullet_col),
+    "normalize_md": (normalize_md, normalize_md_col),
+    "remove_redundant_spaces": (remove_redundant_spaces, remove_redundant_spaces_col),
+}
+
+# the standard chain (`thanhlinh.net/getPageContent.ts:64-78` et al.)
+STANDARD_CLEANUP_CHAIN: tuple[str, ...] = (
+    "remove_md_imgs",
+    "remove_md_links",
+    "remove_md_hr",
+    "normalize_whitespace",  # must precede asterisk (reference NOTE)
+    "normalize_asterisk",
+    "normalize_quotes",
+    "normalize_number_bullet",
+    "normalize_md",
+    "remove_redundant_spaces",
+)
+
+# augustino.net / hdgmvietnam.com: footnote labels collapse before
+# whitespace normalization (getPageContent.ts:143-156 / :137-150)
+FOOTNOTE_CLEANUP_CHAIN: tuple[str, ...] = (
+    "remove_md_imgs",
+    "remove_md_links",
+    "remove_md_hr",
+    "footnote_label",
+    "normalize_whitespace",
+    "normalize_asterisk",
+    "normalize_quotes",
+    "normalize_number_bullet",
+    "normalize_md",
+    "remove_redundant_spaces",
+)
+
+# ktcgkpv.org verse chain (getPageContent.ts, short form)
+VERSE_CLEANUP_CHAIN: tuple[str, ...] = (
+    "normalize_whitespace",
+    "normalize_asterisk",
+    "normalize_quotes",
+    "normalize_number_bullet",
+    "normalize_md",
+    "remove_redundant_spaces",
+)
+
+
+def cleanup_chain(text: str, steps=STANDARD_CLEANUP_CHAIN) -> str:
+    """`cleanupMdProcessor` — fold the named steps left-to-right, then
+    trim (the reference trims at paragraph split)."""
+    for name in steps:
+        text = CLEANUP_STEPS[name][0](text)
+    return text.strip()
+
+
+def cleanup_chain_col(text: Column | str, steps=STANDARD_CLEANUP_CHAIN) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    for name in steps:
+        c = CLEANUP_STEPS[name][1](c)
+    return ws_trim_col(c)
 
 
 def cleanup_md(text: str) -> str:
-    """Standard ordered cleanup, images *removed* (post-extraction).
-
-    Order follows the reference's standard chain
-    (``thanhlinh.net/getPageContent.ts:64-78``): imgs → links → hr →
-    whitespace (must precede asterisk, per the reference's own NOTE) →
-    asterisk → quotes → numberBullet → md → redundantSpaces; the graft
-    appends a final trim (the reference trims at paragraph split)."""
-    t = remove_md_imgs(text)
-    t = remove_md_links(t)
-    t = remove_md_hr(t)
-    t = normalize_whitespace(t)
-    t = normalize_asterisk(t)
-    t = normalize_quotes(t)
-    t = normalize_number_bullet(t)
-    t = normalize_md(t)
-    t = remove_redundant_spaces(t)
-    return t.strip()
+    """Standard ordered cleanup, images *removed* (post-extraction)."""
+    return cleanup_chain(text, STANDARD_CLEANUP_CHAIN)
 
 
-def cleanup_md_col(text: Column | str) -> Column:
-    c = F.col(text) if isinstance(text, str) else text
-    c = remove_md_imgs_col(c)
-    c = remove_md_links_col(c)
-    c = remove_md_hr_col(c)
-    c = normalize_whitespace_col(c)
-    c = normalize_asterisk_col(c)
-    c = normalize_quotes_col(c)
-    c = normalize_number_bullet_col(c)
-    c = normalize_md_col(c)
-    c = remove_redundant_spaces_col(c)
-    return ws_trim_col(c)
+def cleanup_md_col(text: Column | str, steps=STANDARD_CLEANUP_CHAIN) -> Column:
+    return cleanup_chain_col(text, steps)
 
 
 # ---------------------------------------------------------------------------

@@ -40,26 +40,104 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _contract_partitions(e: DataFrame) -> DataFrame:
+    """One map-side union-find pass over each partition's edges
+    (VERDICT r3 #4 — the standard large-graph pre-contraction): every
+    partition collapses the edges it holds and emits one
+    (node → local min-root) mapping row per node it saw. All local
+    structure disappears into the mapping; the only global work left
+    is stitching nodes that appear in MULTIPLE partitions with
+    different local roots (boundary nodes), which the caller derives
+    from the mapping itself. Input partitioning is kept as-is:
+    near-dup pair streams arrive cluster-clumped (banded-join
+    output), and a hash repartition would both cost a shuffle and
+    destroy that locality. Memory is O(nodes per partition) in a
+    plain dict — the same sizing constraint the global loop's shuffle
+    already imposes."""
+    import pandas as pd
+
+    def contract(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        seen: set[int] = set()
+        for pdf in batches:
+            for u, v in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+                u, v = int(u), int(v)
+                seen.add(u)
+                seen.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by MIN id: local roots are local min labels
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        nodes = list(seen)
+        yield pd.DataFrame(
+            {"node": nodes, "root": [find(n) for n in nodes]}, dtype="int64"
+        )
+
+    return e.mapInPandas(contract, "node long, root long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    pre_contract: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     ``component`` is the MIN node id reachable from the node
     (undirected). Raises if ``max_iter`` iterations don't converge —
     a real 100 TB run should fail loudly, not return a half-merged
     clustering."""
-    e = (
-        edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
-        .union(
-            edges.select(
-                F.col(dst).cast("long").alias("src"), F.col(src).cast("long").alias("dst")
-            )
-        )
+    e0 = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    if not pre_contract:
+        return _cc_loop(e0, max_iter)
+    mapping = _contract_partitions(e0).localCheckpoint(eager=True)
+    # residue graph: a node seen by several partitions with different
+    # local roots stitches those roots together — star edges to the
+    # node's min root. Everything else is already contracted away, so
+    # the iterative loop runs over boundary structure only.
+    rmin = mapping.groupBy("node").agg(F.min("root").alias("rmin"))
+    residue = (
+        mapping.join(rmin, "node")
+        .filter(F.col("root") != F.col("rmin"))
+        .select(F.col("root").alias("src"), F.col("rmin").alias("dst"))
         .distinct()
     )
+    core = _cc_loop(residue, max_iter)
+    # local roots are local min labels, so the min root of a component
+    # IS its min node (any smaller node would be its partition's root);
+    # roots outside the residue keep their own label via coalesce. The
+    # mapping is touched once here and once at checkpoint — never per
+    # iteration.
+    return (
+        mapping.join(
+            core.select(F.col("node").alias("root"), "comp"), "root", "left"
+        )
+        .groupBy("node")
+        .agg(F.min(F.coalesce("comp", "root")).alias("comp"))
+    )
+
+
+def _cc_loop(e0: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation + pointer jumping over a (src, dst) edge
+    list (see module docstring)."""
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
     e = e.localCheckpoint(eager=False)
     comp = (
         e.select(F.col("src").alias("node"))

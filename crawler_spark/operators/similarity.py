@@ -83,7 +83,8 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32) -> DataFrame:
-    """Distinct (doc_a, doc_b) pairs sharing at least one band bucket.
+    """Distinct bare (doc_a, doc_b) pairs sharing at least one band
+    bucket.
 
     Bucket keys are 32-bit hashes of signature slices, so random-text
     collisions are rare at any n. The quadratic hazard is EXACT
@@ -91,30 +92,34 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 32) -> DataFrame:
     cluster of z byte-identical docs emits z²·bands candidate rows
     before dedup. Run exact dedup (q21 / dedup.first_wins on a content
     hash) before near-dup sweeps — the same reason
-    ``near_duplicate_images`` bands over distinct hashes."""
+    ``near_duplicate_images`` bands over distinct hashes.
+
+    The signature arrays are dropped BEFORE the join: each banded row
+    carries (doc_id, band, bh) = ~20 bytes, and the pair-dedup
+    exchange carries bare 16-byte id pairs. Carrying sig_a/sig_b here
+    (2×k longs ≈ 2 KB/row at k=128) multiplied shuffle volume ~100×
+    at realistic collision rates — terabytes at 10^9 docs for data
+    that is re-derivable by one post-dedup join (VERDICT r3). Gated by
+    ``test_lsh_pair_shuffle_carries_no_signatures``."""
     # explode the (cheap) band index, hash the slice ABOVE the Generate
-    # (its input re-evaluates per output element — the q52 trap)
+    # (its input re-evaluates per output element — the q52 trap), then
+    # DROP the signature before anything shuffles
     banded = sigs.select(
         "doc_id", "sig", F.expr(f"explode(sequence(0, {bands - 1})) AS band")
     ).select(
         "doc_id",
-        "sig",
         "band",
         F.expr(
             f"hash(slice(sig, band * (size(sig) div {bands}) + 1, "
             f"size(sig) div {bands})) AS bh"
         ),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
-    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
         a.join(b, ["band", "bh"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
 
@@ -128,17 +133,26 @@ def minhash_pairs(
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Near-dup pairs with signature-estimated Jaccard ≥ threshold."""
+    """Near-dup pairs with signature-estimated Jaccard ≥ threshold.
+
+    Signatures are re-joined to the DEDUPED bare pair set exactly once
+    (each side keyed on its doc id), so the estimate costs one lookup
+    per surviving pair instead of shipping 2 KB arrays through every
+    band collision and the pair-dedup exchange."""
     if k % bands:
         raise ValueError(f"bands ({bands}) must divide k ({k})")
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
     cand = lsh_candidate_pairs(sigs, bands=bands)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> cast(x = y AS int)), "
         f"0, (acc, v) -> acc + v) / {k}"
     )
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -62,3 +62,91 @@ def test_two_adapters_converge_to_single_crawler_state(
     }
     want_completed = {e.url for e in oracle_result.frontier if e.completed}
     assert got_completed == want_completed
+
+
+# ---------------------------------------------------------------------------
+# per-site cleanup chains as adapter data (VERDICT r3 #3): the
+# reference's cleanupMdProcessor takes an ordered step array that
+# varies per site — augustino.net/hdgmvietnam.com insert a
+# footnote-label rewrite (getPageContent.ts:143-156 / :137-150),
+# ktcgkpv.org runs a short verse chain, and an in-source NOTE marks
+# the whitespace-before-asterisk ORDER as load-bearing. The chain is
+# SiteAdapter config consumed by cleanup_chain_col.
+# ---------------------------------------------------------------------------
+
+
+def test_cleanup_chain_order_is_load_bearing(spark):
+    """Golden that DIFFERS between the two orders: an NBSP
+    (U+00A0) inside asterisk markers is only trimmed if
+    normalize_whitespace has already run (the asterisk regex matches
+    ASCII spaces only) — exactly why the reference NOTE pins the
+    order. Both chains are pure adapter data."""
+    from crawler_spark.functions.text import STANDARD_CLEANUP_CHAIN, cleanup_chain
+
+    text = "và *\u00a0quan trọng\u00a0* hơn"  # NBSPs explicit
+    swapped = list(STANDARD_CLEANUP_CHAIN)
+    i = swapped.index("normalize_whitespace")
+    j = swapped.index("normalize_asterisk")
+    swapped[i], swapped[j] = swapped[j], swapped[i]
+
+    std_golden = "và *quan trọng* hơn"
+    alt_golden = "và * quan trọng*  hơn"
+    assert cleanup_chain(text, STANDARD_CLEANUP_CHAIN) == std_golden
+    assert cleanup_chain(text, tuple(swapped)) == alt_golden
+    assert std_golden != alt_golden
+
+    # the Column side honors the same adapter-config order
+    std_adapter = SiteAdapter(name="std")  # None -> standard chain
+    alt_adapter = SiteAdapter(name="alt", cleanup_chain=tuple(swapped))
+    df = spark.createDataFrame([(text,)], "text string").select(
+        std_adapter.cleanup("text").alias("std"),
+        alt_adapter.cleanup("text").alias("alt"),
+    )
+    row = df.collect()[0]
+    assert row["std"] == std_golden
+    assert row["alt"] == alt_golden
+
+
+def test_footnote_chain_matches_reference_formats(spark):
+    """augustino.net's extra step: footnote links collapse to their
+    label BEFORE whitespace normalization. Formats from the
+    reference's own NOTE (getPageContent.ts:138-141); the label is
+    the 2nd capturing group, mirroring the JS callback's props[1]."""
+    from crawler_spark.adapters import AUGUSTINO
+    from crawler_spark.functions.text import FOOTNOTE_CLEANUP_CHAIN, cleanup_chain
+
+    cases = [
+        ("xem [\\[3\\]](#footnote-link) nhé", "xem [3] nhé"),
+        ("xem [**\\[7\\]**](#footnote-link) xong", "xem [7] xong"),
+    ]
+    for src, want in cases:
+        assert cleanup_chain(src, FOOTNOTE_CLEANUP_CHAIN) == want
+    # the standard chain does NOT collapse footnotes (remove_md_links
+    # has already run before the label step would matter)
+    assert AUGUSTINO.cleanup_chain == FOOTNOTE_CLEANUP_CHAIN
+
+    df = spark.createDataFrame([(c[0],) for c in cases], "text string").select(
+        AUGUSTINO.cleanup("text").alias("out")
+    )
+    assert [r["out"] for r in df.collect()] == [c[1] for c in cases]
+
+
+def test_verse_chain_skips_structural_steps(spark):
+    """ktcgkpv.org's verse chain has no imgs/links/hr steps: an image
+    ref must SURVIVE it but vanish under the standard chain."""
+    from crawler_spark.adapters import KTCGKPV_VERSES
+    from crawler_spark.functions.text import (
+        STANDARD_CLEANUP_CHAIN,
+        VERSE_CLEANUP_CHAIN,
+        cleanup_chain,
+    )
+
+    text = "Câu ![alt](http://img) với  hai   khoảng"
+    verse_out = cleanup_chain(text, VERSE_CLEANUP_CHAIN)
+    std_out = cleanup_chain(text, STANDARD_CLEANUP_CHAIN)
+    assert "![alt](http://img)" in verse_out
+    assert "![alt]" not in std_out
+    df = spark.createDataFrame([(text,)], "text string").select(
+        KTCGKPV_VERSES.cleanup("text").alias("out")
+    )
+    assert df.collect()[0]["out"] == verse_out

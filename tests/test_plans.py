@@ -13,7 +13,17 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
+    # registry entry, or a component function folded into a suite
+    # (the 50-entry driver budget retired some standalone keys; the
+    # functions stay importable and individually plan-gated)
+    import crawler_spark.queries as Q
+
+    fn = QUERIES.get(name) or getattr(Q, name)
+    df = fn(spark, SF_DIR)
+    return plan_str(spark, df)
+
+
+def plan_str(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -34,13 +44,9 @@ def test_q06_broadcasts_all_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q03_distributed_topk(spark):
-    plan = plan_of(spark, "q03_priority_order")
-    assert "TakeOrderedAndProject" in plan
-
-
-def test_q09_distributed_topk(spark):
-    plan = plan_of(spark, "q09_wordcount_topk")
+@pytest.mark.parametrize("name", ["q03_priority_order", "q09_wordcount_topk"])
+def test_distributed_topk(spark, name):
+    plan = plan_of(spark, name)
     assert "TakeOrderedAndProject" in plan
 
 
@@ -80,8 +86,7 @@ def _allowed_single_partition(name: str, plan: str) -> bool:
         or name
         in {
             "q36_correlated_avg",  # single-row global aggregate
-            "q10_rollup",  # grand-total row
-            "q33_cube",
+            "q10_grouping_sets",  # grand-total rows (rollup + cube)
         }
     )
 
@@ -99,6 +104,57 @@ def test_q22_single_pass_signatures(spark):
     shuffle instead of four at 100 TB."""
     plan = plan_of(spark, "q22_minhash_lsh_pairs")
     assert "Union" not in plan
+
+
+def test_lsh_pair_shuffle_carries_no_signatures(spark):
+    """The banded-candidate join and the pair-dedup exchange must
+    carry bare ids, never the k-long signature arrays: sig_a/sig_b at
+    k=128 are ~2 KB/row, and at 10^9 docs the band-collision fan-out
+    turns that into terabytes of shuffle for re-derivable data
+    (VERDICT r3). Signatures re-join ONCE, keyed on a single doc id,
+    after the dedup — so any exchange keyed on (band, bh) or on both
+    pair ids must be signature-free."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.similarity import minhash_pairs
+
+    docs = spark.range(64).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{i}_"), F.col("id") % 7) for i in range(12)]
+        ).alias("text"),
+    )
+    # disable broadcast at plan time so the shuffle exchanges this
+    # gate inspects actually appear (at 10^9 docs neither side fits)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(spark, minhash_pairs(docs, "doc_id", "text", k=16, bands=4))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    checked = 0
+    for blk in plan.split("\n\n"):
+        args = next(
+            (l for l in blk.splitlines() if l.startswith("Arguments: hashpartitioning")),
+            None,
+        )
+        if args is None:
+            continue
+        keys = args.split("hashpartitioning(", 1)[1]
+        if "band" in keys or ("doc_a" in keys and "doc_b" in keys):
+            checked += 1
+            assert "sig" not in blk, blk
+    assert checked >= 2, plan  # the band join + the pair dedup
+
+
+def test_q26_ivf_assignment_has_no_window(spark):
+    """IVF nearest-centroid assignment must be a partial-aggregable
+    max(struct) groupBy, not a row_number window — the window's
+    sort-based exchange keyed on vec_id is pure waste at 10^9 vectors
+    (VERDICT r3)."""
+    plan = plan_of(spark, "q26_ann_cells")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_brute_force_guard_trips(spark):

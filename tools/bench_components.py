@@ -49,27 +49,26 @@ def main() -> None:
     edges = chains.union(merges).union(hub).persist()
     n_edges = edges.count()
 
-    best = None
-    for _ in range(trials):
-        t0 = time.time()
-        comp = connected_components(edges)
-        n_comp = comp.select("comp").distinct().count()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-
-    print(
-        json.dumps(
-            {
-                "metric": "connected_components_edges_per_sec",
-                "n_nodes": n_nodes,
-                "n_edges": n_edges,
-                "n_components": n_comp,
-                "cores": cores,
-                "best_sec": round(best, 2),
-                "edges_per_sec": round(n_edges / best, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "connected_components_edges_per_sec",
+        "n_nodes": n_nodes,
+        "n_edges": n_edges,
+        "cores": cores,
+    }
+    # r4: map-side union-find pre-contraction vs the plain global loop
+    for mode, pre in (("pre_contract", True), ("plain", False)):
+        best = None
+        for _ in range(trials):
+            t0 = time.time()
+            comp = connected_components(edges, pre_contract=pre)
+            n_comp = comp.select("comp").distinct().count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out["n_components"] = n_comp
+        out[f"best_sec_{mode}"] = round(best, 2)
+        out[f"edges_per_sec_{mode}"] = round(n_edges / best, 1)
+    out["speedup"] = round(out["best_sec_plain"] / out["best_sec_pre_contract"], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,19 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     only = set(sys.argv[1:])
+    # registry entries, plus — for explicitly-named components that were
+    # folded into a suite (50-entry driver budget) — the module-level
+    # function and its Q{NN}_SQL, so every variant stays individually
+    # checkable: `python tools/check_oracle.py q39_ivf_cells`
+    import crawler_spark.queries as Q
+
+    checks = dict(QUERIES)
+    sqls = dict(ORACLE_SQL)
+    for name in only - set(QUERIES):
+        checks[name] = getattr(Q, name)
+        sql = getattr(Q, f"Q{name[1:3]}_SQL", None)
+        if sql is not None:
+            sqls[name] = sql
     spark = get_spark("oracle_check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -41,17 +54,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     failures = []
-    for name, fn in QUERIES.items():
+    for name, fn in checks.items():
         if only and name not in only:
             continue
-        if name not in ORACLE_SQL:
+        if name not in sqls:
             # driver records a rows-only check for oracle-less queries
             n = fn(spark, SF_DIR).count()
             print(f"ROWS {name}: {n} rows (no oracle by design)")
             continue
         try:
             got = norm(fn(spark, SF_DIR).toPandas())
-            want = norm(con.sql(ORACLE_SQL[name]).df())
+            want = norm(con.sql(sqls[name]).df())
         except Exception as e:
             print(f"FAIL {name}: ERROR {type(e).__name__}: {str(e)[:300]}")
             failures.append(name)
