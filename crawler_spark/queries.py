@@ -2761,8 +2761,23 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                mode = doc_id % 4
-                if mode == 3:
+                mode = doc_id % 5
+                if mode == 4:
+                    # scanned-document shape: CCITT G4 bilevel XObject
+                    # (ITU-T T.6 via functions/ccitt.py), gray→RGB
+                    from crawler_spark.functions.ccitt import encode_g4
+
+                    bil = arr[:, :, 0] >= 128
+                    parms = b"<< /K -1 /Columns %d /Rows %d >>" % (w, h)
+                    doc = make_pdf_with_images(
+                        [{"data": encode_g4(bil), "w": w, "h": h,
+                          "filter": "CCITTFaxDecode", "colorspace": "DeviceGray",
+                          "bpc": 1, "decode_parms": parms}]
+                    )
+                    gray = np.where(bil, 0, 255).astype(np.uint8)
+                    exp_ph = im.phash64(np.repeat(gray[:, :, None], 3, axis=2))
+                    fmt = "ccitt"
+                elif mode == 3:
                     spec = {"data": encode_jpeg(arr), "w": w, "h": h,
                             "filter": "DCTDecode"}
                     doc = make_pdf_with_images([spec], encrypt="aes-128")
@@ -2807,7 +2822,9 @@ SELECT doc_id,
        0 AS img_idx,
        (16 + (doc_id % 3) * 8)::INT AS w,
        (16 + ((doc_id * 5) % 3) * 8)::INT AS h,
-       CASE WHEN doc_id % 4 = 2 THEN 'raw' ELSE 'jpg' END AS fmt,
+       CASE WHEN doc_id % 5 = 2 THEN 'raw'
+            WHEN doc_id % 5 = 4 THEN 'ccitt'
+            ELSE 'jpg' END AS fmt,
        true AS ok
 FROM documents WHERE doc_id < 30
 """

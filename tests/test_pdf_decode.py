@@ -8,6 +8,7 @@ items feed the reference's assembly/cleanup pipeline unchanged."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.pdf import assemble_pdf_text_py
@@ -748,3 +749,50 @@ def test_pdf_image_extraction_corruption_contained():
             extract_pdf_images(bytes(pdf[:cut]))
         except Exception as e:  # noqa: BLE001
             assert not isinstance(e, (MemoryError, RecursionError))
+
+
+# ---------------------------------------------------------------------------
+# composite CID fonts (VERDICT r3 #5): Type0 / Identity-H /
+# CIDFontType2 with 2-byte CID codes — the subset-export shape of
+# CJK/Vietnamese PDFs (reference reads these through pdfjs,
+# src/lib/processPDf.ts:13-97). Two resolution routes: a 2-byte
+# /ToUnicode CMap, and — when absent — reversing the embedded
+# TrueType cmap table under /CIDToGIDMap /Identity.
+# ---------------------------------------------------------------------------
+
+VIET = "Thiên Chúa là Đấng từ bi và nhân hậu"
+
+
+def test_ttf_cmap_parse_roundtrip():
+    from crawler_spark.operators.pdf_decode import (
+        _ttf_cmap_unicode_to_gid,
+        make_ttf_with_cmap,
+    )
+
+    m = {"A": 1, "B": 2, "C": 3, "ệ": 9, "ồ": 10, "Đ": 40}
+    assert _ttf_cmap_unicode_to_gid(make_ttf_with_cmap(m)) == {
+        ord(k): v for k, v in m.items()
+    }
+
+
+@pytest.mark.parametrize("tounicode", [False, True])
+def test_cid_font_vietnamese_exact(tounicode):
+    from crawler_spark.operators.pdf_decode import make_pdf_cid
+
+    pages = [[(700.0, VIET[:24]), (680.0, VIET[24:].lstrip())]]
+    pdf = make_pdf_cid(pages, tounicode=tounicode)
+    # 2-byte CID hex codes in the content stream, not the text bytes
+    assert VIET.encode("utf-16-be") not in pdf
+    items = extract_pdf_items(pdf)
+    assert " ".join(i["str"] for i in items) == VIET
+
+
+def test_cid_font_without_identity_map_skipped():
+    """A stream-form /CIDToGIDMap (out of subset) must yield NO text
+    rather than wrong glyph-index garbage."""
+    from crawler_spark.operators.pdf_decode import make_pdf_cid
+
+    pdf = make_pdf_cid([[(700.0, "abc")]], tounicode=False)
+    pdf = pdf.replace(b"/CIDToGIDMap /Identity", b"/CIDToGIDMap 99 0 R")
+    items = extract_pdf_items(pdf)
+    assert all(i["str"] == "" for i in items) or not items
