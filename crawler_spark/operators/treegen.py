@@ -68,16 +68,24 @@ _SENT_SCHEMA = T.StructType(
 
 
 def build_sentence_tables(
-    pages: DataFrame, chapter_num_col=None
+    pages: DataFrame, chapter_num_col=None, cleanup_chain=None
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """pages(url, doc_id, document_number, depth, body) →
-    (sentences, footnotes, headings)."""
+    (sentences, footnotes, headings).
+
+    ``cleanup_chain``: ordered step names for the markdown cleanup
+    (``SiteAdapter.cleanup_chain`` — the reference's per-site
+    cleanupMdProcessor step array); None = the standard chain."""
+    from crawler_spark.functions.text import STANDARD_CLEANUP_CHAIN
+
     ch = chapter_num_col if chapter_num_col is not None else default_chapter_num()
     base = pages.select(
         "doc_id",
         F.col("document_number").cast("int").alias("doc_num"),
         ch.cast("int").alias("chapter_num"),
-        cleanup_md_col(F.col("body")).alias("cleaned"),
+        cleanup_md_col(
+            F.col("body"), cleanup_chain or STANDARD_CLEANUP_CHAIN
+        ).alias("cleaned"),
     )
 
     headings = base.select(

@@ -72,6 +72,7 @@ class CrawlEngine:
     default_budget: int = 2
     compact_every: int = 8  # frontier delta-chain bound (MoR upserts)
     site_filter: Any = None  # SiteAdapter frontier predicate (Column)
+    cleanup_chain: Any = None  # SiteAdapter cleanup step order (None = standard)
     priority_desc: bool = False  # O2 descending variant
     salted_fetch: bool | str = False  # True | False | "auto" (budget-cap heuristic)
     use_bloom: bool = False
@@ -413,7 +414,9 @@ class CrawlEngine:
             .filter((F.col("depth") == 1) | (~F.col("has_chapters")))
             .select("url", "doc_id", "document_number", "depth", "body")
         )
-        sentences, footnotes, headings = build_sentence_tables(content)
+        sentences, footnotes, headings = build_sentence_tables(
+            content, cleanup_chain=self.cleanup_chain
+        )
         self.store.commit("sentences", sentences, lineage={"op": "treegen"})
         self.store.commit("footnotes", footnotes, lineage={"op": "treegen"})
         self.store.commit("headings", headings, lineage={"op": "treegen"})

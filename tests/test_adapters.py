@@ -150,3 +150,29 @@ def test_verse_chain_skips_structural_steps(spark):
         KTCGKPV_VERSES.cleanup("text").alias("out")
     )
     assert df.collect()[0]["out"] == verse_out
+
+
+def test_engine_treegen_honors_adapter_chain(spark):
+    """The engine's sentence/heading build consumes the adapter's
+    cleanup chain: the same page body cleans differently under the
+    standard vs a swapped (asterisk-before-whitespace) order, and
+    build_sentence_tables reflects the configured order."""
+    from crawler_spark.functions.text import STANDARD_CLEANUP_CHAIN
+    from crawler_spark.operators.treegen import build_sentence_tables
+
+    body = "# Tiêu đề\n\nvà * quan trọng * hơn."
+    pages = spark.createDataFrame(
+        [("u1", "d1", 1, 1, body)],
+        "url string, doc_id string, document_number int, depth int, body string",
+    )
+    swapped = list(STANDARD_CLEANUP_CHAIN)
+    i = swapped.index("normalize_whitespace")
+    j = swapped.index("normalize_asterisk")
+    swapped[i], swapped[j] = swapped[j], swapped[i]
+
+    std_sent, _, _ = build_sentence_tables(pages)
+    alt_sent, _, _ = build_sentence_tables(pages, cleanup_chain=tuple(swapped))
+    std_txt = " ".join(r["text"] for r in std_sent.orderBy("sentence_num").collect())
+    alt_txt = " ".join(r["text"] for r in alt_sent.orderBy("sentence_num").collect())
+    assert "*quan trọng*" in std_txt
+    assert std_txt != alt_txt
