@@ -220,6 +220,56 @@ def _transitions(line: np.ndarray) -> list[int]:
     return list(np.nonzero(padded[1:] != padded[:-1])[0])
 
 
+def _encode_2d_row(bw: _Bits, cur: list[int], ref: list[int], w: int) -> None:
+    """Emit one 2-D-coded row (T.4 §4.2.1.3 / T.6 §2.2) against the
+    reference line's transition list."""
+    a0 = -1
+    color = False  # white
+    while a0 < w:
+        # a1: next change in current line strictly after a0
+        a1 = w
+        for k in range(len(cur)):
+            if cur[k] > a0:
+                a1 = cur[k]
+                break
+        # b1: first change on ref line > a0 with color opposite to
+        # a0's color (i.e., a white→black change when color is
+        # white). ref transitions alternate W→B (even), B→W (odd).
+        b1 = w
+        b2 = w
+        for k in range(len(ref)):
+            if ref[k] > a0 and (k % 2 == 0) == (not color):
+                b1 = ref[k]
+                b2 = ref[k + 1] if k + 1 < len(ref) else w
+                break
+        if b2 < a1:  # pass mode
+            bw.put(*_MODE_P)
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:  # vertical mode
+            if d == 0:
+                bw.put(*_MODE_V0)
+            elif d > 0:
+                bw.put(*_MODE_VR[d])
+            else:
+                bw.put(*_MODE_VL[-d])
+            a0 = a1
+            color = not color
+            continue
+        # horizontal mode: two runs from a0 (row start counts from 0)
+        a2 = w
+        for k in range(len(cur)):
+            if cur[k] > a1:
+                a2 = cur[k]
+                break
+        start = 0 if a0 < 0 else a0
+        bw.put(*_MODE_H)
+        _put_run(bw, a1 - start, color)
+        _put_run(bw, a2 - a1, not color)
+        a0 = a2
+
+
 def encode_g4(img: np.ndarray, byte_align: bool = False) -> bytes:
     """T.6 2-D (MMR) encode of a bool/0-1 array (True/1 = black)."""
     img = np.asarray(img).astype(bool)
@@ -228,51 +278,7 @@ def encode_g4(img: np.ndarray, byte_align: bool = False) -> bytes:
     ref: list[int] = []  # imaginary all-white line above row 0
     for y in range(h):
         cur = _transitions(img[y])
-        a0 = -1
-        color = False  # white
-        while a0 < w:
-            # a1: next change in current line strictly after a0
-            a1 = w
-            for k in range(len(cur)):
-                if cur[k] > a0:
-                    a1 = cur[k]
-                    break
-            # b1: first change on ref line > a0 with color opposite to
-            # a0's color (i.e., a white→black change when color is
-            # white). ref transitions alternate W→B (even), B→W (odd).
-            b1 = w
-            b2 = w
-            for k in range(len(ref)):
-                if ref[k] > a0 and (k % 2 == 0) == (not color):
-                    b1 = ref[k]
-                    b2 = ref[k + 1] if k + 1 < len(ref) else w
-                    break
-            if b2 < a1:  # pass mode
-                bw.put(*_MODE_P)
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:  # vertical mode
-                if d == 0:
-                    bw.put(*_MODE_V0)
-                elif d > 0:
-                    bw.put(*_MODE_VR[d])
-                else:
-                    bw.put(*_MODE_VL[-d])
-                a0 = a1
-                color = not color
-                continue
-            # horizontal mode: two runs from a0 (row start counts from 0)
-            a2 = w
-            for k in range(len(cur)):
-                if cur[k] > a1:
-                    a2 = cur[k]
-                    break
-            start = 0 if a0 < 0 else a0
-            bw.put(*_MODE_H)
-            _put_run(bw, a1 - start, color)
-            _put_run(bw, a2 - a1, not color)
-            a0 = a2
+        _encode_2d_row(bw, cur, ref, w)
         if byte_align:
             bw.byte_align_w()
         ref = cur
@@ -295,70 +301,80 @@ def decode_g4(
     out = np.full((rows, w), 255, dtype=np.uint8)
     ref: list[int] = []
     for y in range(rows):
-        cur: list[int] = []
-        a0 = -1
-        color = False
-        while a0 < w:
-            # classify the next mode code (prefix-free, max 7 bits)
-            if br.get(1):  # '1' → V0
-                mode = ("V", 0)
-            else:
-                if br.get(1):  # '01x'
-                    mode = ("V", 1 if br.get(1) else -1)
-                elif br.get(1):  # '001' → horizontal
-                    mode = ("H", 0)
-                elif br.get(1):  # '0001' → pass
-                    mode = ("P", 0)
-                else:
-                    # '00001x...' → V±2 / V±3 or invalid
-                    if br.get(1):  # 000011 / 000010
-                        mode = ("V", 2 if br.get(1) else -2)
-                    elif br.get(1):  # 0000011 / 0000010
-                        mode = ("V", 3 if br.get(1) else -3)
-                    else:
-                        raise ValueError("invalid T.6 mode code (EOL/ext?)")
-            # b1/b2 relative to a0 and current color
-            b1 = w
-            b2 = w
-            for k in range(len(ref)):
-                if ref[k] > a0 and (k % 2 == 0) == (not color):
-                    b1 = ref[k]
-                    b2 = ref[k + 1] if k + 1 < len(ref) else w
-                    break
-            kind, d = mode
-            if kind == "P":
-                a0 = b2
-            elif kind == "V":
-                a1 = b1 + d
-                if a1 < 0 or a1 > w:
-                    raise ValueError("T.6 vertical move out of line")
-                cur.append(a1)
-                a0 = a1
-                color = not color
-            else:  # horizontal: two coded runs
-                start = 0 if a0 < 0 else a0
-                r1 = _read_run(br, color)
-                r2 = _read_run(br, not color)
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 > w:
-                    raise ValueError("T.6 horizontal runs overflow line")
-                cur.append(a1)
-                cur.append(a2)
-                a0 = a2
-        # paint the row from its transitions
-        line = np.zeros(w, dtype=bool)
-        for i in range(0, len(cur) - 1, 2):
-            line[cur[i] : cur[i + 1]] = True
-        if len(cur) % 2 == 1:
-            line[cur[-1] :] = True
-        out[y, line] = 0
+        cur = _decode_2d_row(br, ref, w)
+        _paint_row(out, y, cur, w)
         if byte_align:
             br.byte_align_r()
         ref = cur
     if black_is_1:
         out = 255 - out
     return out
+
+
+def _paint_row(out: np.ndarray, y: int, cur: list[int], w: int) -> None:
+    line = np.zeros(w, dtype=bool)
+    for i in range(0, len(cur) - 1, 2):
+        line[cur[i] : cur[i + 1]] = True
+    if len(cur) % 2 == 1:
+        line[cur[-1] :] = True
+    out[y, line] = 0
+
+
+def _decode_2d_row(br: _Bits, ref: list[int], w: int) -> list[int]:
+    """Decode one 2-D-coded row against the reference transition list
+    (shared by T.6 G4 and the 2-D rows of T.4 mixed G3)."""
+    cur: list[int] = []
+    a0 = -1
+    color = False
+    while a0 < w:
+        # classify the next mode code (prefix-free, max 7 bits)
+        if br.get(1):  # '1' → V0
+            mode = ("V", 0)
+        else:
+            if br.get(1):  # '01x'
+                mode = ("V", 1 if br.get(1) else -1)
+            elif br.get(1):  # '001' → horizontal
+                mode = ("H", 0)
+            elif br.get(1):  # '0001' → pass
+                mode = ("P", 0)
+            else:
+                # '00001x...' → V±2 / V±3 or invalid
+                if br.get(1):  # 000011 / 000010
+                    mode = ("V", 2 if br.get(1) else -2)
+                elif br.get(1):  # 0000011 / 0000010
+                    mode = ("V", 3 if br.get(1) else -3)
+                else:
+                    raise ValueError("invalid T.6 mode code (EOL/ext?)")
+        # b1/b2 relative to a0 and current color
+        b1 = w
+        b2 = w
+        for k in range(len(ref)):
+            if ref[k] > a0 and (k % 2 == 0) == (not color):
+                b1 = ref[k]
+                b2 = ref[k + 1] if k + 1 < len(ref) else w
+                break
+        kind, d = mode
+        if kind == "P":
+            a0 = b2
+        elif kind == "V":
+            a1 = b1 + d
+            if a1 < 0 or a1 > w:
+                raise ValueError("T.6 vertical move out of line")
+            cur.append(a1)
+            a0 = a1
+            color = not color
+        else:  # horizontal: two coded runs
+            start = 0 if a0 < 0 else a0
+            r1 = _read_run(br, color)
+            r2 = _read_run(br, not color)
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 > w:
+                raise ValueError("T.6 horizontal runs overflow line")
+            cur.append(a1)
+            cur.append(a2)
+            a0 = a2
+    return cur
 
 
 def encode_mh(img: np.ndarray, byte_align: bool = True) -> bytes:
@@ -410,6 +426,98 @@ def decode_mh(
     return out
 
 
+def _encode_1d_row(bw: _Bits, cur: list[int], w: int) -> None:
+    """Emit one 1-D MH-coded row from its transition list (runs
+    alternate starting white; a black-first line emits a zero-length
+    white run)."""
+    pos = 0
+    black = False
+    for t in cur + [w]:
+        _put_run(bw, t - pos, black)
+        pos = t
+        black = not black
+
+
+def _decode_1d_row(br: _Bits, w: int) -> list[int]:
+    """Decode one 1-D MH row to its transition list."""
+    cur: list[int] = []
+    pos = 0
+    black = False
+    while pos < w:
+        run = _read_run(br, black)
+        if pos + run > w:
+            raise ValueError("T.4 run overflows line")
+        pos += run
+        if pos < w:
+            cur.append(pos)
+        black = not black
+    return cur
+
+
+_EOL = (0b000000000001, 12)
+
+
+def _read_eol(br: _Bits) -> None:
+    """Consume fill bits (0s) + the 000000000001 EOL sequence."""
+    zeros = 0
+    while True:
+        if br.get(1):
+            if zeros >= 11:
+                return
+            raise ValueError("T.4: expected EOL, got stray 1 bit")
+        zeros += 1
+        if zeros > 64 + 11:
+            raise ValueError("T.4: EOL not found (runaway fill)")
+
+
+def encode_g3_mixed(img: np.ndarray, k: int = 4) -> bytes:
+    """T.4 mixed 2-D (PDF CCITT K>0): every line is preceded by EOL +
+    a tag bit (1 = the following line is 1-D MH, 0 = 2-D vs the
+    previous line); every K-th line is coded 1-D, the K-1 between are
+    2-D — the G3 fax error-resilience format."""
+    if k <= 0:
+        raise ValueError("K must be positive for mixed G3")
+    img = np.asarray(img).astype(bool)
+    h, w = img.shape
+    bw = _Bits()
+    ref: list[int] = []
+    for y in range(h):
+        one_d = (y % k) == 0
+        bw.put(*_EOL)
+        bw.put(1 if one_d else 0, 1)
+        cur = _transitions(img[y])
+        if one_d:
+            _encode_1d_row(bw, cur, w)
+        else:
+            _encode_2d_row(bw, cur, ref, w)
+        ref = cur
+    return bw.flush()
+
+
+def decode_g3_mixed(
+    data: bytes, columns: int, rows: int, black_is_1: bool = False
+) -> np.ndarray:
+    """T.4 mixed 2-D decode (PDF CCITT K>0). The tag bit after each
+    EOL says how the line is coded, so the K magnitude itself is not
+    needed to decode."""
+    br = _Bits(data)
+    w = columns
+    out = np.full((rows, w), 255, dtype=np.uint8)
+    ref: list[int] = []
+    for y in range(rows):
+        _read_eol(br)
+        one_d = bool(br.get(1))
+        if one_d:
+            cur = _decode_1d_row(br, w)
+        else:
+            cur = _decode_2d_row(br, ref, w)
+        _paint_row(out, y, cur, w)
+        ref = cur
+    if black_is_1:
+        out = 255 - out
+    return out
+
+
 def decode_ccittfax(
     data: bytes,
     k: int,
@@ -418,10 +526,11 @@ def decode_ccittfax(
     black_is_1: bool = False,
     byte_align: bool = False,
 ) -> np.ndarray:
-    """PDF /CCITTFaxDecode dispatch: K<0 → T.6 (G4), K=0 → T.4 1-D;
-    K>0 (mixed G3 2-D) is out of scope and raises."""
+    """PDF /CCITTFaxDecode dispatch: K<0 → T.6 (G4), K=0 → T.4 1-D,
+    K>0 → T.4 mixed 2-D (EOL + tag-bit framed; EncodedByteAlign is a
+    no-op there — EOLs self-align)."""
     if k < 0:
         return decode_g4(data, columns, rows, black_is_1, byte_align)
     if k == 0:
         return decode_mh(data, columns, rows, black_is_1, byte_align)
-    raise ValueError("CCITT K>0 (mixed G3 2-D) unsupported")
+    return decode_g3_mixed(data, columns, rows, black_is_1)

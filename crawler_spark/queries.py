@@ -2761,16 +2761,22 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                mode = doc_id % 5
-                if mode == 4:
-                    # scanned-document shape: CCITT G4 bilevel XObject
-                    # (ITU-T T.6 via functions/ccitt.py), gray→RGB
-                    from crawler_spark.functions.ccitt import encode_g4
+                mode = doc_id % 6
+                if mode >= 4:
+                    # scanned-document shapes: CCITT bilevel XObjects
+                    # (ITU-T T.4/T.6 via functions/ccitt.py), gray→RGB;
+                    # mode 4 = G4 (K=-1), mode 5 = mixed G3 (K=4)
+                    from crawler_spark.functions.ccitt import (
+                        encode_g3_mixed,
+                        encode_g4,
+                    )
 
                     bil = arr[:, :, 0] >= 128
-                    parms = b"<< /K -1 /Columns %d /Rows %d >>" % (w, h)
+                    kval = -1 if mode == 4 else 4
+                    data = encode_g4(bil) if mode == 4 else encode_g3_mixed(bil, 4)
+                    parms = b"<< /K %d /Columns %d /Rows %d >>" % (kval, w, h)
                     doc = make_pdf_with_images(
-                        [{"data": encode_g4(bil), "w": w, "h": h,
+                        [{"data": data, "w": w, "h": h,
                           "filter": "CCITTFaxDecode", "colorspace": "DeviceGray",
                           "bpc": 1, "decode_parms": parms}]
                     )
@@ -2822,8 +2828,8 @@ SELECT doc_id,
        0 AS img_idx,
        (16 + (doc_id % 3) * 8)::INT AS w,
        (16 + ((doc_id * 5) % 3) * 8)::INT AS h,
-       CASE WHEN doc_id % 5 = 2 THEN 'raw'
-            WHEN doc_id % 5 = 4 THEN 'ccitt'
+       CASE WHEN doc_id % 6 = 2 THEN 'raw'
+            WHEN doc_id % 6 >= 4 THEN 'ccitt'
             ELSE 'jpg' END AS fmt,
        true AS ok
 FROM documents WHERE doc_id < 30

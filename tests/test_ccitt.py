@@ -40,7 +40,7 @@ def test_run_tables_prefix_free():
 def test_spec_vectors():
     """Hand-derived bit patterns from the T.4/T.6 coding rules:
     - all-white G4 row = one V0 bit ('1'); 3 rows pad to 0xE0
-    - MH row [4 white][4 black] = 1011 (W4) + 011 (B3+1? no: B4=011)
+    - MH row [4 white][4 black] = 1011 (white-4) + 011 (black-4)
       -> 1011011 + pad = 0xB6
     - G4 single black pixel at col 3 of 8: H(001) W3(1000) B1(010),
       then V0 on the trailing white edge -> 00110000 101 -> 0x30 0xA0
@@ -95,8 +95,33 @@ def test_black_is_1_and_k_dispatch():
     flipped = decode_ccittfax(encode_g4(img), k=-1, columns=6, rows=6, black_is_1=True)
     normal = decode_ccittfax(encode_g4(img), k=-1, columns=6, rows=6)
     assert np.array_equal(flipped, 255 - normal)
-    with pytest.raises(ValueError, match="K>0"):
-        decode_ccittfax(b"", k=1, columns=6, rows=6)
+    # K>0 dispatches to mixed G3 (r4)
+    from crawler_spark.functions.ccitt import encode_g3_mixed
+
+    g3 = decode_ccittfax(encode_g3_mixed(img, k=2), k=2, columns=6, rows=6)
+    assert np.array_equal(g3, normal)
+    with pytest.raises(ValueError):
+        decode_ccittfax(b"\x00\x01\x02", k=2, columns=6, rows=6)
+
+
+def test_g3_mixed_roundtrip_and_framing():
+    """Mixed G3 (K>0): EOL + tag-bit framing, 1-D anchor rows every K,
+    2-D rows between — round-trips exactly for k=1,2,4 and black-first
+    lines (zero-length leading white run)."""
+    from crawler_spark.functions.ccitt import decode_g3_mixed, encode_g3_mixed
+
+    rng = np.random.default_rng(19)
+    for k in (1, 2, 4):
+        for _ in range(6):
+            h = int(rng.integers(1, 30))
+            w = int(rng.integers(1, 70))
+            img = rng.random((h, w)) < 0.5
+            img[:, 0] = True  # black-first edge
+            back = decode_g3_mixed(encode_g3_mixed(img, k=k), w, h)
+            assert np.array_equal(back == 0, img), k
+    data = encode_g3_mixed(np.eye(8, dtype=bool), k=4)
+    # framing starts with an EOL (000000000001) in the first 2 bytes
+    assert data[0] == 0 and (data[1] & 0b11110000) == 0b00010000
 
 
 def test_truncated_stream_raises():
@@ -132,14 +157,23 @@ def test_ccitt_xobject_extraction_pinned_phash():
     assert enc_rows[0]["phash"] == exp and enc_rows[0]["ok"]
 
 
-def test_g3_mixed_quarantines_not_garbage():
-    """A K>0 stream must surface as an ok=False row, never pixels."""
-    parms = b"<< /K 4 /Columns 8 /Rows 8 >>"
-    rows = extract_pdf_images(
-        make_pdf_with_images(
-            [{"data": b"\x00\x01\x02", "w": 8, "h": 8,
-              "filter": "CCITTFaxDecode", "colorspace": "DeviceGray",
-              "bpc": 1, "decode_parms": parms}]
-        )
-    )
+def test_g3_mixed_xobject_decodes_and_garbage_quarantines():
+    """K>0 XObjects decode for real (r4); a corrupt stream still
+    surfaces as an ok=False row, never pixels."""
+    from crawler_spark.functions.ccitt import encode_g3_mixed
+
+    rng = np.random.default_rng(23)
+    img = np.kron(rng.random((4, 6)) < 0.5, np.ones((4, 4), bool))
+    h, w = img.shape
+    gray = np.where(img, 0, 255).astype(np.uint8)
+    exp = phash64(np.repeat(gray[:, :, None], 3, axis=2))
+    parms = b"<< /K 4 /Columns %d /Rows %d >>" % (w, h)
+    spec = {"data": encode_g3_mixed(img, k=4), "w": w, "h": h,
+            "filter": "CCITTFaxDecode", "colorspace": "DeviceGray",
+            "bpc": 1, "decode_parms": parms}
+    rows = extract_pdf_images(make_pdf_with_images([spec]))
+    assert rows == [{"idx": 0, "w": w, "h": h, "fmt": "ccitt",
+                     "phash": exp, "ok": True}]
+    bad = dict(spec, data=b"\x00\x01\x02")
+    rows = extract_pdf_images(make_pdf_with_images([bad]))
     assert len(rows) == 1 and rows[0]["ok"] is False
