@@ -4,7 +4,9 @@
 ``queries()`` exposes one callable per implemented operator family from
 SURVEY.md §2 plus the training-data dedup/similarity/ANN/text-analysis
 and multimodal ops (exactly 50 entries — the driver's CORRECTNESS
-budget; all but q43 have DuckDB oracles). Closely-related variants are
+budget; ALL 50 have DuckDB value oracles as of r4 — q43 switched from
+engine-native HLL to the repo's own cross-engine-deterministic
+HyperLogLog sketch, so even the approximate op hash-matches). Closely-related variants are
 value-checked through suite entries that union the variants with a
 ``variant`` discriminator and mirror it in the oracle SQL (see the
 "Registry consolidation" section of ``crawler_spark/queries.py``), so

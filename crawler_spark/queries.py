@@ -1590,18 +1590,126 @@ GROUP BY 1, 2
 """
 
 # ---------------------------------------------------------------------------
-# q43 — approximate distinct (HLL) — frontier-size monitoring op.
-# No SQL oracle: HLL sketches differ between engines; the driver's
-# rows-only check applies (documented weaker tier).
+# q43 — approximate distinct via the repo's OWN deterministic HLL
+# sketch (r4). Engine-native approx_count_distinct sketches differ
+# between engines, which forced a rows-only driver check through r3;
+# this formulation computes the HyperLogLog registers from md5 hashes
+# with pure string/integer SQL that evaluates IDENTICALLY in Spark and
+# DuckDB (p=8 → 256 buckets from the first 2 hex digits; rho = 25 -
+# bit_length of the next 24 hash bits via `trim(LEADING '0' FROM
+# bin(v))` — same semantics both engines), so the estimate — and the
+# raw register digests — hash-match exactly. Cross-engine determinism
+# rules the formulation: every float op is IEEE +,×,/ on doubles
+# (Spark decimal-literal arithmetic is cast away), and the
+# LinearCounting small-range correction's ln(m/zeros) — whose last-ulp
+# libm behavior would differ between the JVM and DuckDB — is a
+# 256-entry constant table computed ONCE in Python and embedded in
+# both SQL texts. Exact count and relative error ride along, so the
+# driver row also verifies the sketch's accuracy at each sf. The
+# engine's frontier monitoring keeps Spark's native
+# approx_count_distinct; this is its value-checked twin.
 # ---------------------------------------------------------------------------
+
+# portable SQL fragments (identical text runs in Spark SQL and DuckDB)
+_HLL_HEX = "(instr('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+_HLL_BUCKET = f"({_HLL_HEX.format(i=1)} * 16 + {_HLL_HEX.format(i=2)})"
+_HLL_V24 = "(" + " + ".join(
+    f"{_HLL_HEX.format(i=i)} * {16 ** (8 - i)}" for i in range(3, 9)
+) + ")"
+_HLL_RHO = f"(25 - length(trim(LEADING '0' FROM bin({_HLL_V24}))))"
+_HLL_ALPHA_M2 = "(cast(0.7213 AS double) / (1 + cast(1.079 AS double) / 256)) * 65536"
+# 256 * ln(256/zeros) for zeros = 1..256, pinned in Python
+_HLL_LN = "__LN__"
+_HLL_RAW = (
+    f"({_HLL_ALPHA_M2} / "
+    "((sum_present + (256 - n_present) * 16777216) / 16777216.0))"
+)
+
+
+def _hll_est_sql(ln_array: str) -> str:
+    """Raw HLL with the table-driven LinearCounting branch (E ≤ 2.5m
+    and zero registers present → m·ln(m/zeros))."""
+    zeros = "(256 - n_present)"
+    return (
+        f"CASE WHEN {_HLL_RAW} <= 640 AND {zeros} > 0 "
+        f"THEN {ln_array} ELSE {_HLL_RAW} END"
+    )
 
 
 def q43_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).cast("bigint").alias("approx_users"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    hashed = e.select(
+        "event_type", F.expr("md5(cast(user_id AS string))").alias("h")
     )
+    regs = (
+        hashed.select(
+            "event_type",
+            F.expr(_HLL_BUCKET).alias("bucket"),
+            F.expr(_HLL_RHO).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("cast(round(pow(2, 24 - m)) AS bigint)")).alias("sum_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    ln_arr = (
+        f"element_at(cast(array({_HLL_LN}) AS array<double>), "
+        "cast(256 - n_present AS int))"
+    )
+    est_sql = _hll_est_sql(ln_arr).replace(_HLL_LN, _HLL_LN_CONSTS)
+    exact = _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            (F.col("sum_present") + (256 - F.col("n_present")) * 16777216)
+            .cast("bigint")
+            .alias("hll_sum"),
+            (256 - F.col("n_present")).cast("bigint").alias("hll_zero_regs"),
+            F.expr(f"round({est_sql}, 2)").alias("hll_est"),
+            "exact_users",
+            F.expr(f"round(abs({est_sql} - exact_users) / exact_users, 3)").alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+_HLL_LN_CONSTS = "1419.565425786768, 1242.119747563422, 1138.3206798877318, 1064.674069340076, 1007.5493202036383, 960.8750016643859, 921.4124276286078, 887.22839111673, 857.0759339886959, 830.1036419802923, 805.7042359503852, 783.4293234410399, 762.9383902766147, 743.9667494052618, 726.3045743046022, 709.782712893384, 694.2628097083767, 679.6302557653498, 665.7890471201592, 652.6579637569463, 640.1676817295717, 628.2585577270391, 616.8789065089056, 605.983645217694, 595.5332146205086, 585.4927120532686, 575.8311880896597, 566.5210711819158, 557.5376933102307, 548.8588960812563, 540.4647014385705, 532.337034670038, 524.459490051349, 516.8171314850307, 509.3963220454781, 502.1845775420038, 495.17044014984657, 488.3433688968132, 481.6936443775785, 475.2122855336003, 468.8909767104652, 462.7220035062257, 456.69819616921603, 450.8128795036931, 445.0598284055661, 439.43322828555966, 433.927639748993, 428.5379669943479, 423.25942947044757, 418.0875363971626, 413.0180638093406, 408.0470338299226, 403.1706959174248, 398.3855098663137, 393.68813036725544, 389.07539295856975, 384.54430122112313, 380.09201508688466, 375.7158401469038, 371.41321785791024, 367.18171655840035, 363.01902321522454, 358.9229358305356, 354.891356446692, 350.9222846934849, 347.01381182800304, 343.16411522268066, 339.3714532616847, 335.6341606098696, 331.95064382213206, 328.31937726419125, 324.73889931865784, 321.20780885277986, 317.72476192650055, 314.28846872147255, 310.8976906734672, 307.5512377922249, 304.2479661542325, 300.9867755552105, 297.7666073102543, 294.58644219062364, 291.4452984871192, 288.34223019083896, 285.27632528287967, 282.246704125247, 279.25251794587, 276.2929474111946, 273.36720128034716, 270.4745151353402, 267.61415018222016, 264.7853921184544, 261.98755006221364, 259.2199555395345, 256.48196152564697, 253.77294153702954, 251.0922887710019, 248.43941528990197, 245.81375124710155, 243.214744152313, 240.64185817381662, 238.09457347540558, 235.5723855859946, 233.07480479998122, 230.60135560657662, 228.15157614644204, 225.7250176940788, 223.32124416451998, 220.93983164296773, 218.58036793610722, 216.24245214390942, 213.92569425081047, 211.62971473522379, 209.3541441964088, 207.09862299777714, 204.86280092577599, 202.64633686353864, 200.44889847854245, 198.27016192355782, 196.10981155021645, 193.96753963456422, 191.84304611400228, 189.73603833505433, 187.64623081142915, 185.57334499187854, 183.5171090373789, 181.4772576071896, 179.45353165336863, 177.445678223346, 175.45345027017993, 173.4766064701389, 171.5149110472732, 169.56813360465705, 167.63604896199902, 165.71843699933467, 163.81508250653008, 161.92577503833868, 160.050308774768, 158.1884823865236, 156.34009890531092, 154.50496559878607, 152.6828938499569, 150.87369904084525, 149.07720044023174, 147.29322109531182, 145.52158772710095, 143.76213062943384, 142.0146835714115, 140.27908370315455, 138.55517146473045, 136.84279049812653, 135.14178756214736, 133.45201245012123, 131.7733179103045, 130.10555956887896, 128.44859585544086, 126.80228793088651, 125.16649961760115, 123.54109733186449, 121.92595001838873, 120.32092908690832, 118.72590835074546, 117.14076396727765, 115.56537438023685, 113.99962026377321, 112.44338446821936, 110.89655196749294, 109.3590098080787, 107.83064705953369, 106.31135476646118, 104.80102590190099, 103.29955532208706, 101.80683972252402, 100.32277759533658, 98.84726918784855, 97.3802164623484, 95.92152305700114, 94.47109424786774, 93.02883691199419, 91.59465949153473, 90.16847195887415, 88.75018578271658, 87.3397138951084, 85.93697065936423, 84.54187183886766, 83.15433456671686, 81.77427731618849, 80.4016198719938, 79.03628330230099, 77.67818993149953, 76.32726331368353, 74.98342820683077, 73.6466105476559, 72.3167374271173, 70.993737066556, 69.67753879444881, 68.36807302375556, 67.06527122984292, 65.769065928967, 64.47939065729794, 63.19617995047061, 61.919369323644595, 60.64889525205958, 59.38469515207044, 58.126707362648595, 56.8748711273355, 55.629126576635215, 54.3894147108335, 53.1556773832306, 51.92785728377637, 50.70589792309603, 49.48974361689499, 48.27933947073279, 47.07463136515517, 45.875565941173996, 44.68209058608631, 43.49415341962174, 42.31170328041035, 41.13468971276122, 39.96306295374377, 38.796773920563425, 37.635774198223295, 36.48001602746445, 35.329452292977585, 34.18403651187778, 33.04372282243644, 31.908465973062807, 30.77822131152893, 29.65294477443114, 28.53259287688263, 27.41712270242998, 26.30649189318885, 25.200658640192643, 24.09958167394865, 23.003220255196453, 21.911534165863305, 20.824483700211815, 19.742029656174388, 18.66413332687046, 17.590756492301242, 16.521861411218218, 15.457410813160315, 14.397367890656284, 13.34169629158761, 12.29036011170833, 11.243323887317908, 10.200552588083143, 9.162011610005834, 8.12766676853255, 7.097484291802821, 6.0714308140329125, 5.049473369031315, 4.031579383843613, 3.017716672522796, 2.007853430022625, 1.0019582262108966, 0.0"
+
+_Q43_DUCK_LN = (
+    "((["
+    + _HLL_LN_CONSTS
+    + "])::DOUBLE[])[256 - n_present]"
+)
+_Q43_EST = _hll_est_sql(_HLL_LN).replace(_HLL_LN, _Q43_DUCK_LN)
+
+Q43_SQL = f"""
+WITH hashed AS (
+  SELECT event_type, md5(user_id::VARCHAR) AS h FROM events),
+regs AS (
+  SELECT event_type, {_HLL_BUCKET} AS bucket, max({_HLL_RHO}) AS m
+  FROM hashed GROUP BY 1, 2),
+per_type AS (
+  SELECT event_type,
+         sum(cast(round(pow(2, 24 - m)) AS BIGINT)) AS sum_present,
+         count(*) AS n_present
+  FROM regs GROUP BY 1),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
+  FROM events GROUP BY 1)
+SELECT p.event_type,
+       (sum_present + (256 - n_present) * 16777216)::BIGINT AS hll_sum,
+       (256 - n_present)::BIGINT AS hll_zero_regs,
+       round({_Q43_EST}, 2) AS hll_est,
+       exact_users,
+       round(abs({_Q43_EST} - exact_users) / exact_users, 3) AS rel_err
+FROM per_type p JOIN exact USING (event_type)
+"""
 
 
 QUERIES.update(
@@ -1632,7 +1740,7 @@ ORACLE_SQL.update(
         "q40_asof_join": Q40_SQL,
         "q41_range_join": Q41_SQL,
         "q42_sliding_windows": Q42_SQL,
-        # q43 intentionally has no oracle (approximate op)
+        "q43_approx_distinct": Q43_SQL,  # r4: own deterministic HLL
     }
 )
 
