@@ -2869,28 +2869,38 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                mode = doc_id % 6
+                mode = doc_id % 7
                 if mode >= 4:
-                    # scanned-document shapes: CCITT bilevel XObjects
-                    # (ITU-T T.4/T.6 via functions/ccitt.py), gray→RGB;
-                    # mode 4 = G4 (K=-1), mode 5 = mixed G3 (K=4)
+                    # scanned-document shapes: bilevel XObjects, gray→RGB;
+                    # mode 4 = CCITT G4 (K=-1), mode 5 = mixed G3 (K=4)
+                    # (ITU-T T.4/T.6, functions/ccitt.py), mode 6 =
+                    # JBIG2 MMR generic region (T.88, functions/jbig2.py)
                     from crawler_spark.functions.ccitt import (
                         encode_g3_mixed,
                         encode_g4,
                     )
+                    from crawler_spark.functions.jbig2 import encode_jbig2_mmr
 
                     bil = arr[:, :, 0] >= 128
-                    kval = -1 if mode == 4 else 4
-                    data = encode_g4(bil) if mode == 4 else encode_g3_mixed(bil, 4)
-                    parms = b"<< /K %d /Columns %d /Rows %d >>" % (kval, w, h)
-                    doc = make_pdf_with_images(
-                        [{"data": data, "w": w, "h": h,
-                          "filter": "CCITTFaxDecode", "colorspace": "DeviceGray",
-                          "bpc": 1, "decode_parms": parms}]
-                    )
+                    if mode == 6:
+                        spec = {"data": encode_jbig2_mmr(bil), "w": w, "h": h,
+                                "filter": "JBIG2Decode",
+                                "colorspace": "DeviceGray", "bpc": 1}
+                        fmt = "jbig2"
+                    else:
+                        kval = -1 if mode == 4 else 4
+                        data = (
+                            encode_g4(bil) if mode == 4 else encode_g3_mixed(bil, 4)
+                        )
+                        parms = b"<< /K %d /Columns %d /Rows %d >>" % (kval, w, h)
+                        spec = {"data": data, "w": w, "h": h,
+                                "filter": "CCITTFaxDecode",
+                                "colorspace": "DeviceGray", "bpc": 1,
+                                "decode_parms": parms}
+                        fmt = "ccitt"
+                    doc = make_pdf_with_images([spec])
                     gray = np.where(bil, 0, 255).astype(np.uint8)
                     exp_ph = im.phash64(np.repeat(gray[:, :, None], 3, axis=2))
-                    fmt = "ccitt"
                 elif mode == 3:
                     spec = {"data": encode_jpeg(arr), "w": w, "h": h,
                             "filter": "DCTDecode"}
@@ -2936,8 +2946,9 @@ SELECT doc_id,
        0 AS img_idx,
        (16 + (doc_id % 3) * 8)::INT AS w,
        (16 + ((doc_id * 5) % 3) * 8)::INT AS h,
-       CASE WHEN doc_id % 6 = 2 THEN 'raw'
-            WHEN doc_id % 6 >= 4 THEN 'ccitt'
+       CASE WHEN doc_id % 7 = 2 THEN 'raw'
+            WHEN doc_id % 7 IN (4, 5) THEN 'ccitt'
+            WHEN doc_id % 7 = 6 THEN 'jbig2'
             ELSE 'jpg' END AS fmt,
        true AS ok
 FROM documents WHERE doc_id < 30

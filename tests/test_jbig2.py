@@ -1,0 +1,91 @@
+"""JBIG2 MMR generic-region subset (ITU-T T.88, functions/jbig2.py)
+and its /JBIG2Decode XObject integration. MMR coding in JBIG2 IS T.6,
+so the region payload rides the repo's G4 codec; everything outside
+the subset (arithmetic coding, symbol dictionaries, Globals) must
+quarantine, never emit garbage pixels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crawler_spark.functions.images import phash64
+from crawler_spark.functions.jbig2 import (
+    decode_jbig2_embedded,
+    encode_jbig2_mmr,
+)
+from crawler_spark.operators.pdf_decode import (
+    extract_pdf_images,
+    make_pdf_with_images,
+)
+
+
+def _scan_like(rng, h, w):
+    img = rng.random((max(1, h // 4), max(1, w // 8))) < 0.4
+    img = np.kron(img, np.ones((4, 8), bool))[:h, :w]
+    if img.shape != (h, w):
+        img = np.pad(img, ((0, h - img.shape[0]), (0, w - img.shape[1])))
+    return img
+
+
+def test_embedded_roundtrip():
+    rng = np.random.default_rng(3)
+    for trial in range(10):
+        h = int(rng.integers(1, 50))
+        w = int(rng.integers(1, 100))
+        img = _scan_like(rng, h, w)
+        back = decode_jbig2_embedded(encode_jbig2_mmr(img))
+        assert back.shape == (h, w)
+        assert np.array_equal(back == 0, img), trial
+
+
+def test_unsupported_segment_kinds_raise():
+    # symbol dictionary (type 0) — out of subset
+    import struct
+
+    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jbig2_embedded(seg)
+    # arithmetic generic region (MMR bit clear)
+    data = bytearray(encode_jbig2_mmr(np.eye(8, dtype=bool)))
+    # generic flags byte sits right after the 2nd segment's region info
+    # (header 11 bytes + page-info 19 + header 11 + region-info 17)
+    data[11 + 19 + 11 + 17] = 0x00
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jbig2_embedded(bytes(data))
+    # globals streams
+    with pytest.raises(ValueError, match="Globals"):
+        decode_jbig2_embedded(b"", globals_data=b"x")
+
+
+def test_jbig2_xobject_extraction_pinned_phash():
+    rng = np.random.default_rng(29)
+    img = _scan_like(rng, 24, 40)
+    h, w = img.shape
+    gray = np.where(img, 0, 255).astype(np.uint8)
+    exp = phash64(np.repeat(gray[:, :, None], 3, axis=2))
+    spec = {
+        "data": encode_jbig2_mmr(img), "w": w, "h": h,
+        "filter": "JBIG2Decode", "colorspace": "DeviceGray", "bpc": 1,
+    }
+    rows = extract_pdf_images(make_pdf_with_images([spec]))
+    assert rows == [
+        {"idx": 0, "w": w, "h": h, "fmt": "jbig2", "phash": exp, "ok": True}
+    ]
+    # under a filter chain + encryption too
+    enc = extract_pdf_images(
+        make_pdf_with_images(
+            [dict(spec, prefix=["FlateDecode"])], encrypt="rc4-128"
+        )
+    )
+    assert enc[0]["phash"] == exp and enc[0]["ok"]
+
+
+def test_jbig2_globals_param_quarantines():
+    spec = {
+        "data": b"\x00\x01", "w": 8, "h": 8, "filter": "JBIG2Decode",
+        "colorspace": "DeviceGray", "bpc": 1,
+        "decode_parms": b"<< /JBIG2Globals 99 0 R >>",
+    }
+    rows = extract_pdf_images(make_pdf_with_images([spec]))
+    assert len(rows) == 1 and rows[0]["ok"] is False
