@@ -1,4 +1,4 @@
-"""JBIG2 (ITU-T T.88) — the MMR generic-region subset.
+"""JBIG2 (ITU-T T.88) — the generic-region subset (MMR + MQ-arithmetic).
 
 Scanned-document PDFs carry JBIG2 in the EMBEDDED format (segment
 stream, no file header; ISO 32000-1 §7.4.7). This module decodes the
@@ -11,11 +11,17 @@ referred-to segment count + retain bits, referred segment numbers,
 page association, data length. Region info per §7.4.1 (w, h, x, y
 u32s + combination operator byte).
 
+Generic regions decode BOTH ways (T.88 §6.2): MMR=1 payloads through
+the G4 codec, and MMR=0 arithmetic payloads through the repo's MQ
+coder (``functions/mq.py``) with the GB template-0 context model
+(pixel template sorted by (y, x), MSB-first — pdf.js's canonical
+ordering) honoring the segment's adaptive (AT) pixel positions.
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
-the row as ok=False, never garbage pixels): arithmetic-coded generic
-regions (MQ coder), symbol dictionaries / text regions, refinement,
+the row as ok=False, never garbage pixels): GB templates 1-3, TPGDON
+typical-prediction, symbol dictionaries / text regions, refinement,
 halftone, /JBIG2Globals streams. These are documented residue; the
-MMR path covers MMR-emitting scanners end to end.
+generic-region paths cover full-page scanned images end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -28,6 +34,65 @@ import struct
 import numpy as np
 
 from crawler_spark.functions.ccitt import decode_g4, encode_g4
+from crawler_spark.functions.mq import MQDecoder, MQEncoder
+
+# GB template 0 fixed pixels as (dy, dx), plus 4 AT slots (T.88
+# §6.2.5.3); context bits assemble in (y, x) sorted order, MSB first
+_TMPL0_FIXED = [
+    (-2, -1), (-2, 0), (-2, 1),
+    (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
+    (0, -4), (0, -3), (0, -2), (0, -1),
+]
+_TMPL0_AT_NOMINAL = [(3, -1), (-3, -1), (2, -2), (-2, -2)]  # (x, y) pairs
+
+
+def _tmpl0_offsets(at_pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    pts = list(_TMPL0_FIXED) + [(y, x) for x, y in at_pairs]
+    return sorted(pts)
+
+
+def decode_generic_arith(
+    data: bytes, w: int, h: int, at_pairs: list[tuple[int, int]]
+) -> np.ndarray:
+    """MQ-coded generic region, template 0, TPGDON off → bool bitmap
+    (True = black). Per-pixel Python loop — fixture/document scale;
+    the Spark boundary batches whole PDFs per task."""
+    offs = _tmpl0_offsets(at_pairs)
+    mq = MQDecoder(data)
+    bm = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            cx = 0
+            for dy, dx in offs:
+                yy, xx = y + dy, x + dx
+                bit = (
+                    int(bm[yy, xx])
+                    if 0 <= yy < h and 0 <= xx < w
+                    else 0
+                )
+                cx = (cx << 1) | bit
+            bm[y, x] = mq.decode(cx)
+    return bm.astype(bool)
+
+
+def encode_generic_arith(
+    img: np.ndarray, at_pairs: list[tuple[int, int]] | None = None
+) -> bytes:
+    """Encoder twin of :func:`decode_generic_arith` (fixtures)."""
+    at_pairs = at_pairs or _TMPL0_AT_NOMINAL
+    offs = _tmpl0_offsets(at_pairs)
+    img = np.asarray(img).astype(np.uint8)
+    h, w = img.shape
+    mq = MQEncoder()
+    for y in range(h):
+        for x in range(w):
+            cx = 0
+            for dy, dx in offs:
+                yy, xx = y + dy, x + dx
+                bit = int(img[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
+                cx = (cx << 1) | bit
+            mq.encode(int(img[y, x]), cx)
+    return mq.flush()
 
 # segment types (T.88 §7.3)
 _PAGE_INFO = 48
@@ -74,9 +139,9 @@ def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
 def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.ndarray:
     """Embedded-format JBIG2 → (h, w) uint8 grayscale, 0=black.
 
-    Supports page-info + MMR immediate generic regions composited onto
-    the page (OR combination — black wins). Raises on any segment kind
-    outside the subset."""
+    Supports page-info + immediate generic regions (MMR or
+    MQ-arithmetic template 0) composited onto the page (OR combination
+    — black wins). Raises on any segment kind outside the subset."""
     if globals_data:
         raise ValueError("JBIG2Globals (symbol dictionaries) unsupported")
     pos = 0
@@ -100,11 +165,22 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
             # region info = 17 bytes (4 u32 + combination op byte)
             gflags = body[17]
-            if not gflags & 1:
-                raise ValueError("JBIG2 arithmetic generic region unsupported")
             if gflags & 8:
-                raise ValueError("JBIG2 TPGDON with MMR is invalid")
-            region = decode_g4(body[18:], columns=w, rows=h) == 0  # True=black
+                raise ValueError("JBIG2 TPGDON unsupported")
+            if gflags & 1:  # MMR payload = T.6
+                region = decode_g4(body[18:], columns=w, rows=h) == 0
+            else:
+                template = (gflags >> 1) & 3
+                if template != 0:
+                    raise ValueError(f"JBIG2 GB template {template} unsupported")
+                at = [
+                    (
+                        int.from_bytes(body[18 + 2 * k : 19 + 2 * k], "big", signed=True),
+                        int.from_bytes(body[19 + 2 * k : 20 + 2 * k], "big", signed=True),
+                    )
+                    for k in range(4)
+                ]
+                region = decode_generic_arith(body[26:], w, h, at)
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
@@ -120,6 +196,16 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
 def encode_jbig2_mmr(img: np.ndarray) -> bytes:
     """Fixture encoder: one page-info segment + one immediate lossless
     MMR generic region covering the page (embedded format)."""
+    return _encode_jbig2(img, mmr=True)
+
+
+def encode_jbig2_arith(img: np.ndarray) -> bytes:
+    """Fixture encoder: arithmetic (MQ, template 0, nominal ATs)
+    immediate lossless generic region."""
+    return _encode_jbig2(img, mmr=False)
+
+
+def _encode_jbig2(img: np.ndarray, mmr: bool) -> bytes:
     img = np.asarray(img).astype(bool)
     h, w = img.shape
     out = bytearray()
@@ -134,7 +220,12 @@ def encode_jbig2_mmr(img: np.ndarray) -> bytes:
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
     segment(0, _PAGE_INFO, 1, page_info)
     region_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00"  # OR composite
-    gflags = b"\x01"  # MMR=1, template 0, no TPGDON
-    body = region_info + gflags + encode_g4(img)
+    if mmr:
+        body = region_info + b"\x01" + encode_g4(img)
+    else:
+        ats = b"".join(
+            struct.pack(">bb", x, y) for x, y in _TMPL0_AT_NOMINAL
+        )
+        body = region_info + b"\x00" + ats + encode_generic_arith(img)
     segment(1, _IMM_LOSSLESS_GENERIC, 1, body)
     return bytes(out)

@@ -46,12 +46,16 @@ def test_unsupported_segment_kinds_raise():
     seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 0)
     with pytest.raises(ValueError, match="unsupported"):
         decode_jbig2_embedded(seg)
-    # arithmetic generic region (MMR bit clear)
+    # GB template 1-3 (out of subset; arithmetic template 0 IS supported)
     data = bytearray(encode_jbig2_mmr(np.eye(8, dtype=bool)))
     # generic flags byte sits right after the 2nd segment's region info
     # (header 11 bytes + page-info 19 + header 11 + region-info 17)
-    data[11 + 19 + 11 + 17] = 0x00
-    with pytest.raises(ValueError, match="arithmetic"):
+    data[11 + 19 + 11 + 17] = 0x02  # MMR=0, template=1
+    with pytest.raises(ValueError, match="template 1"):
+        decode_jbig2_embedded(bytes(data))
+    # TPGDON
+    data[11 + 19 + 11 + 17] = 0x09  # MMR=1 + TPGDON
+    with pytest.raises(ValueError, match="TPGDON"):
         decode_jbig2_embedded(bytes(data))
     # globals streams
     with pytest.raises(ValueError, match="Globals"):
@@ -89,3 +93,63 @@ def test_jbig2_globals_param_quarantines():
     }
     rows = extract_pdf_images(make_pdf_with_images([spec]))
     assert len(rows) == 1 and rows[0]["ok"] is False
+
+
+def test_mq_coder_roundtrip_fuzz():
+    """The MQ coder pair (functions/mq.py, T.88 Annex E): encoder and
+    decoder share only the Table E.1 state machine, so agreement over
+    varied lengths / context counts / biases pins both sides."""
+    import random
+
+    from crawler_spark.functions.mq import MQDecoder, MQEncoder
+
+    rnd = random.Random(7)
+    for _ in range(25):
+        n = rnd.randrange(1, 2000)
+        ncx = rnd.choice([1, 3, 16, 256])
+        bias = rnd.random()
+        bits = [
+            (1 if rnd.random() < bias else 0, rnd.randrange(ncx))
+            for _ in range(n)
+        ]
+        enc = MQEncoder()
+        for d, cx in bits:
+            enc.encode(d, cx)
+        dec = MQDecoder(enc.flush())
+        assert all(dec.decode(cx) == d for d, cx in bits)
+
+
+def test_arithmetic_generic_region_roundtrip():
+    from crawler_spark.functions.jbig2 import encode_jbig2_arith
+
+    rng = np.random.default_rng(31)
+    for trial in range(8):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 80))
+        img = _scan_like(rng, h, w)
+        back = decode_jbig2_embedded(encode_jbig2_arith(img))
+        assert np.array_equal(back == 0, img), trial
+    # arithmetic beats MMR on structured scans (adaptive contexts)
+    img = _scan_like(rng, 96, 128)
+    from crawler_spark.functions.jbig2 import encode_jbig2_mmr as mmr
+
+    assert len(encode_jbig2_arith(img)) < len(mmr(img))
+
+
+def test_arithmetic_jbig2_xobject():
+    from crawler_spark.functions.jbig2 import encode_jbig2_arith
+
+    rng = np.random.default_rng(37)
+    img = _scan_like(rng, 24, 32)
+    h, w = img.shape
+    gray = np.where(img, 0, 255).astype(np.uint8)
+    exp = phash64(np.repeat(gray[:, :, None], 3, axis=2))
+    rows = extract_pdf_images(
+        make_pdf_with_images(
+            [{"data": encode_jbig2_arith(img), "w": w, "h": h,
+              "filter": "JBIG2Decode", "colorspace": "DeviceGray", "bpc": 1}]
+        )
+    )
+    assert rows == [
+        {"idx": 0, "w": w, "h": h, "fmt": "jbig2", "phash": exp, "ok": True}
+    ]
