@@ -13,15 +13,19 @@ u32s + combination operator byte).
 
 Generic regions decode BOTH ways (T.88 §6.2): MMR=1 payloads through
 the G4 codec, and MMR=0 arithmetic payloads through the repo's MQ
-coder (``functions/mq.py``) with the GB template-0 context model
+coder (``functions/mq.py``) with the GB template 0-3 context models
 (pixel template sorted by (y, x), MSB-first — pdf.js's canonical
-ordering) honoring the segment's adaptive (AT) pixel positions.
+ordering) honoring the segment's adaptive (AT) pixel positions and
+TPGDON typical prediction.
+
+Arithmetic regions support all four GB templates and TPGDON typical
+prediction (per-row SLTP bits against the template's pseudo-context).
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
-the row as ok=False, never garbage pixels): GB templates 1-3, TPGDON
-typical-prediction, symbol dictionaries / text regions, refinement,
-halftone, /JBIG2Globals streams. These are documented residue; the
-generic-region paths cover full-page scanned images end to end.
+the row as ok=False, never garbage pixels): symbol dictionaries /
+text regions, refinement, halftone, striped pages, /JBIG2Globals
+streams. These are documented residue; the generic-region paths cover
+full-page scanned images end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -36,31 +40,71 @@ import numpy as np
 from crawler_spark.functions.ccitt import decode_g4, encode_g4
 from crawler_spark.functions.mq import MQDecoder, MQEncoder
 
-# GB template 0 fixed pixels as (dy, dx), plus 4 AT slots (T.88
-# §6.2.5.3); context bits assemble in (y, x) sorted order, MSB first
-_TMPL0_FIXED = [
-    (-2, -1), (-2, 0), (-2, 1),
-    (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
-    (0, -4), (0, -3), (0, -2), (0, -1),
-]
-_TMPL0_AT_NOMINAL = [(3, -1), (-3, -1), (2, -2), (-2, -2)]  # (x, y) pairs
+# GB templates 0-3 (T.88 §6.2.5.3): fixed pixels as (dy, dx) + AT
+# slots; context bits assemble in (y, x) sorted order, MSB first.
+# Template 0 carries 4 AT pixels, templates 1-3 carry 1.
+_GB_FIXED = {
+    0: [
+        (-2, -1), (-2, 0), (-2, 1),
+        (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
+        (0, -4), (0, -3), (0, -2), (0, -1),
+    ],
+    1: [
+        (-2, -1), (-2, 0), (-2, 1), (-2, 2),
+        (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
+        (0, -3), (0, -2), (0, -1),
+    ],
+    2: [
+        (-2, -1), (-2, 0), (-2, 1),
+        (-1, -2), (-1, -1), (-1, 0), (-1, 1),
+        (0, -2), (0, -1),
+    ],
+    3: [
+        (-1, -3), (-1, -2), (-1, -1), (-1, 0), (-1, 1),
+        (0, -4), (0, -3), (0, -2), (0, -1),
+    ],
+}
+_GB_AT_NOMINAL = {  # (x, y) pairs
+    0: [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    1: [(3, -1)],
+    2: [(2, -1)],
+    3: [(2, -1)],
+}
+_GB_AT_COUNT = {0: 4, 1: 1, 2: 1, 3: 1}
+# TPGDON pseudo-contexts per template (T.88 §6.2.5.7)
+_GB_TPGD_CX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 
 
-def _tmpl0_offsets(at_pairs: list[tuple[int, int]]) -> list[tuple[int, int]]:
-    pts = list(_TMPL0_FIXED) + [(y, x) for x, y in at_pairs]
+def _gb_offsets(
+    template: int, at_pairs: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    pts = list(_GB_FIXED[template]) + [(y, x) for x, y in at_pairs]
     return sorted(pts)
 
 
 def decode_generic_arith(
-    data: bytes, w: int, h: int, at_pairs: list[tuple[int, int]]
+    data: bytes,
+    w: int,
+    h: int,
+    at_pairs: list[tuple[int, int]],
+    template: int = 0,
+    tpgdon: bool = False,
 ) -> np.ndarray:
-    """MQ-coded generic region, template 0, TPGDON off → bool bitmap
-    (True = black). Per-pixel Python loop — fixture/document scale;
-    the Spark boundary batches whole PDFs per task."""
-    offs = _tmpl0_offsets(at_pairs)
+    """MQ-coded generic region (GB templates 0-3, optional TPGDON
+    typical prediction) → bool bitmap (True = black). Per-pixel Python
+    loop — fixture/document scale; the Spark boundary batches whole
+    PDFs per task."""
+    offs = _gb_offsets(template, at_pairs)
     mq = MQDecoder(data)
     bm = np.zeros((h, w), dtype=np.uint8)
+    ltp = 0
     for y in range(h):
+        if tpgdon:
+            ltp ^= mq.decode(_GB_TPGD_CX[template])
+            if ltp:  # typical row: copy the previous row
+                if y:
+                    bm[y] = bm[y - 1]
+                continue
         for x in range(w):
             cx = 0
             for dy, dx in offs:
@@ -76,15 +120,25 @@ def decode_generic_arith(
 
 
 def encode_generic_arith(
-    img: np.ndarray, at_pairs: list[tuple[int, int]] | None = None
+    img: np.ndarray,
+    at_pairs: list[tuple[int, int]] | None = None,
+    template: int = 0,
+    tpgdon: bool = False,
 ) -> bytes:
     """Encoder twin of :func:`decode_generic_arith` (fixtures)."""
-    at_pairs = at_pairs or _TMPL0_AT_NOMINAL
-    offs = _tmpl0_offsets(at_pairs)
+    at_pairs = at_pairs or _GB_AT_NOMINAL[template]
+    offs = _gb_offsets(template, at_pairs)
     img = np.asarray(img).astype(np.uint8)
     h, w = img.shape
     mq = MQEncoder()
+    ltp = 0
     for y in range(h):
+        if tpgdon:
+            typical = 1 if y and np.array_equal(img[y], img[y - 1]) else 0
+            mq.encode(ltp ^ typical, _GB_TPGD_CX[template])
+            ltp = typical
+            if typical:
+                continue
         for x in range(w):
             cx = 0
             for dy, dx in offs:
@@ -165,22 +219,24 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
             # region info = 17 bytes (4 u32 + combination op byte)
             gflags = body[17]
-            if gflags & 8:
-                raise ValueError("JBIG2 TPGDON unsupported")
             if gflags & 1:  # MMR payload = T.6
+                if gflags & 8:
+                    raise ValueError("JBIG2 TPGDON with MMR is invalid")
                 region = decode_g4(body[18:], columns=w, rows=h) == 0
             else:
                 template = (gflags >> 1) & 3
-                if template != 0:
-                    raise ValueError(f"JBIG2 GB template {template} unsupported")
+                tpgdon = bool(gflags & 8)
+                n_at = _GB_AT_COUNT[template]
                 at = [
                     (
                         int.from_bytes(body[18 + 2 * k : 19 + 2 * k], "big", signed=True),
                         int.from_bytes(body[19 + 2 * k : 20 + 2 * k], "big", signed=True),
                     )
-                    for k in range(4)
+                    for k in range(n_at)
                 ]
-                region = decode_generic_arith(body[26:], w, h, at)
+                region = decode_generic_arith(
+                    body[18 + 2 * n_at :], w, h, at, template, tpgdon
+                )
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
@@ -199,13 +255,17 @@ def encode_jbig2_mmr(img: np.ndarray) -> bytes:
     return _encode_jbig2(img, mmr=True)
 
 
-def encode_jbig2_arith(img: np.ndarray) -> bytes:
-    """Fixture encoder: arithmetic (MQ, template 0, nominal ATs)
-    immediate lossless generic region."""
-    return _encode_jbig2(img, mmr=False)
+def encode_jbig2_arith(
+    img: np.ndarray, template: int = 0, tpgdon: bool = False
+) -> bytes:
+    """Fixture encoder: arithmetic (MQ, nominal ATs) immediate
+    lossless generic region with the given GB template / TPGDON."""
+    return _encode_jbig2(img, mmr=False, template=template, tpgdon=tpgdon)
 
 
-def _encode_jbig2(img: np.ndarray, mmr: bool) -> bytes:
+def _encode_jbig2(
+    img: np.ndarray, mmr: bool, template: int = 0, tpgdon: bool = False
+) -> bytes:
     img = np.asarray(img).astype(bool)
     h, w = img.shape
     out = bytearray()
@@ -223,9 +283,15 @@ def _encode_jbig2(img: np.ndarray, mmr: bool) -> bytes:
     if mmr:
         body = region_info + b"\x01" + encode_g4(img)
     else:
+        gflags = (template << 1) | (8 if tpgdon else 0)
         ats = b"".join(
-            struct.pack(">bb", x, y) for x, y in _TMPL0_AT_NOMINAL
+            struct.pack(">bb", x, y) for x, y in _GB_AT_NOMINAL[template]
         )
-        body = region_info + b"\x00" + ats + encode_generic_arith(img)
+        body = (
+            region_info
+            + bytes([gflags])
+            + ats
+            + encode_generic_arith(img, template=template, tpgdon=tpgdon)
+        )
     segment(1, _IMM_LOSSLESS_GENERIC, 1, body)
     return bytes(out)

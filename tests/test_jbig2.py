@@ -46,14 +46,10 @@ def test_unsupported_segment_kinds_raise():
     seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 0)
     with pytest.raises(ValueError, match="unsupported"):
         decode_jbig2_embedded(seg)
-    # GB template 1-3 (out of subset; arithmetic template 0 IS supported)
+    # TPGDON with MMR is invalid per spec
     data = bytearray(encode_jbig2_mmr(np.eye(8, dtype=bool)))
     # generic flags byte sits right after the 2nd segment's region info
     # (header 11 bytes + page-info 19 + header 11 + region-info 17)
-    data[11 + 19 + 11 + 17] = 0x02  # MMR=0, template=1
-    with pytest.raises(ValueError, match="template 1"):
-        decode_jbig2_embedded(bytes(data))
-    # TPGDON
     data[11 + 19 + 11 + 17] = 0x09  # MMR=1 + TPGDON
     with pytest.raises(ValueError, match="TPGDON"):
         decode_jbig2_embedded(bytes(data))
@@ -120,15 +116,26 @@ def test_mq_coder_roundtrip_fuzz():
 
 
 def test_arithmetic_generic_region_roundtrip():
+    """All four GB templates, with and without TPGDON."""
     from crawler_spark.functions.jbig2 import encode_jbig2_arith
 
     rng = np.random.default_rng(31)
-    for trial in range(8):
-        h = int(rng.integers(1, 40))
-        w = int(rng.integers(1, 80))
-        img = _scan_like(rng, h, w)
-        back = decode_jbig2_embedded(encode_jbig2_arith(img))
-        assert np.array_equal(back == 0, img), trial
+    for template in (0, 1, 2, 3):
+        for tpgdon in (False, True):
+            for _ in range(3):
+                h = int(rng.integers(2, 40))
+                w = int(rng.integers(2, 80))
+                img = _scan_like(rng, h, w)
+                back = decode_jbig2_embedded(
+                    encode_jbig2_arith(img, template, tpgdon)
+                )
+                assert np.array_equal(back == 0, img), (template, tpgdon)
+    # TPGDON shrinks repeated-row content (per-row copy bit)
+    img = np.zeros((64, 64), bool)
+    img[10:50, 8:40] = True
+    assert len(encode_jbig2_arith(img, 0, True)) < len(
+        encode_jbig2_arith(img, 0, False)
+    )
     # arithmetic beats MMR on structured scans (adaptive contexts)
     img = _scan_like(rng, 96, 128)
     from crawler_spark.functions.jbig2 import encode_jbig2_mmr as mmr
