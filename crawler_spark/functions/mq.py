@@ -217,3 +217,110 @@ class MQEncoder:
             self.out.append(self.b)
         self.b = None
         return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic integer decoding procedure IAx (T.88 Annex A.2) and the
+# symbol-ID variant IAID (A.3) — the building blocks JBIG2 symbol
+# dictionaries and text regions decode their parameters with. Each
+# procedure owns a private context space (PREV-indexed states inside
+# the shared MQ coder), so callers allocate one context-id BASE per
+# procedure instance; ids never collide with the 16-bit pixel
+# contexts because callers offset them past 1 << 16.
+# ---------------------------------------------------------------------------
+
+_IA_RANGES = [  # (leading-1 count, value bits, offset)
+    (0, 2, 0),
+    (1, 4, 4),
+    (2, 6, 20),
+    (3, 8, 84),
+    (4, 12, 340),
+    (5, 32, 4436),
+]
+
+OOB = object()  # out-of-band marker (A.2: S=1, V=0)
+
+
+class IntArithCodec:
+    """One IAx procedure instance over a shared MQ coder. ``base``
+    offsets this instance's 512-entry PREV context space."""
+
+    def __init__(self, base: int) -> None:
+        self.base = base
+
+    def _next_prev(self, prev: int, bit: int) -> int:
+        return (
+            ((prev << 1) | bit)
+            if prev < 256
+            else ((((prev << 1) | bit) & 511) | 256)
+        )
+
+    def decode(self, mq: "MQDecoder"):
+        prev = 1
+        s = mq.decode(self.base + prev)
+        prev = self._next_prev(prev, s)
+        n_lead = 0
+        while n_lead < 5:
+            bit = mq.decode(self.base + prev)
+            prev = self._next_prev(prev, bit)
+            if not bit:
+                break
+            n_lead += 1
+        _lead, nbits, offset = _IA_RANGES[n_lead]
+        v = 0
+        for _ in range(nbits):
+            bit = mq.decode(self.base + prev)
+            prev = self._next_prev(prev, bit)
+            v = (v << 1) | bit
+        v += offset
+        if s and v == 0:
+            return OOB
+        return -v if s else v
+
+    def encode(self, mq: "MQEncoder", value) -> None:
+        prev = 1
+        if value is OOB:
+            s, v = 1, 0
+        else:
+            s = 1 if value < 0 else 0
+            v = -value if value < 0 else value
+        mq.encode(s, self.base + prev)
+        prev = self._next_prev(prev, s)
+        for n_lead, (_l, nbits, offset) in enumerate(_IA_RANGES):
+            top = offset + (1 << nbits)
+            if v < top or n_lead == len(_IA_RANGES) - 1:
+                break
+        for _ in range(n_lead):
+            mq.encode(1, self.base + prev)
+            prev = self._next_prev(prev, 1)
+        if n_lead < 5:
+            mq.encode(0, self.base + prev)
+            prev = self._next_prev(prev, 0)
+        _l, nbits, offset = _IA_RANGES[n_lead]
+        rem = v - offset
+        for k in range(nbits - 1, -1, -1):
+            bit = (rem >> k) & 1
+            mq.encode(bit, self.base + prev)
+            prev = self._next_prev(prev, bit)
+
+
+class SymbolIDCodec:
+    """IAID (A.3): fixed-width symbol-id tree over ``code_len`` bits."""
+
+    def __init__(self, base: int, code_len: int) -> None:
+        self.base = base
+        self.code_len = code_len
+
+    def decode(self, mq: "MQDecoder") -> int:
+        prev = 1
+        for _ in range(self.code_len):
+            bit = mq.decode(self.base + prev)
+            prev = (prev << 1) | bit
+        return prev - (1 << self.code_len)
+
+    def encode(self, mq: "MQEncoder", sym_id: int) -> None:
+        prev = 1
+        for k in range(self.code_len - 1, -1, -1):
+            bit = (sym_id >> k) & 1
+            mq.encode(bit, self.base + prev)
+            prev = (prev << 1) | bit

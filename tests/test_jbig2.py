@@ -160,3 +160,48 @@ def test_arithmetic_jbig2_xobject():
     assert rows == [
         {"idx": 0, "w": w, "h": h, "fmt": "jbig2", "phash": exp, "ok": True}
     ]
+
+
+def test_int_arith_codecs_roundtrip():
+    """IAx (T.88 A.2) and IAID (A.3) over the shared MQ coder — the
+    parameter codecs symbol dictionaries / text regions are built
+    from. Mixed magnitudes across all six value classes + OOB."""
+    import random
+
+    from crawler_spark.functions.mq import (
+        OOB,
+        IntArithCodec,
+        MQDecoder,
+        MQEncoder,
+        SymbolIDCodec,
+    )
+
+    rnd = random.Random(11)
+    for _ in range(12):
+        n = rnd.randrange(1, 300)
+        vals = []
+        for _ in range(n):
+            r = rnd.random()
+            if r < 0.05:
+                vals.append(OOB)
+            elif r < 0.4:
+                vals.append(rnd.randrange(-3, 4))
+            elif r < 0.7:
+                vals.append(rnd.randrange(-100, 101))
+            elif r < 0.9:
+                vals.append(rnd.randrange(-5000, 5001))
+            else:
+                vals.append(rnd.randrange(-(10**8), 10**8))
+        code_len = rnd.choice([1, 3, 6])
+        ids = [rnd.randrange(1 << code_len) for _ in range(n)]
+        enc = MQEncoder()
+        ia, iaid = IntArithCodec(1 << 17), SymbolIDCodec(1 << 18, code_len)
+        for v, sid in zip(vals, ids):
+            ia.encode(enc, v)
+            iaid.encode(enc, sid)
+        dec = MQDecoder(enc.flush())
+        da, did = IntArithCodec(1 << 17), SymbolIDCodec(1 << 18, code_len)
+        for v, sid in zip(vals, ids):
+            got = da.decode(dec)
+            assert (got is OOB) == (v is OOB) and (got is OOB or got == v)
+            assert did.decode(dec) == sid
