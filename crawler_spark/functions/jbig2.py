@@ -20,12 +20,16 @@ TPGDON typical prediction.
 
 Arithmetic regions support all four GB templates and TPGDON typical
 prediction (per-row SLTP bits against the template's pseudo-context).
+Symbol dictionaries and text regions decode too (arithmetic,
+no-refinement subset): glyph bitmaps decode once into a dictionary and
+the text region places dictionary ids at (S, T) coordinates — the
+shape JBIG2 encoders emit for TEXT pages, where the format wins big.
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
-the row as ok=False, never garbage pixels): symbol dictionaries /
-text regions, refinement, halftone, striped pages, /JBIG2Globals
-streams. These are documented residue; the generic-region paths cover
-full-page scanned images end to end.
+the row as ok=False, never garbage pixels): Huffman-coded variants,
+refinement/aggregation, transposed text regions, halftone regions,
+striped pages, /JBIG2Globals streams. These are documented residue;
+the generic + text paths cover scanned pages end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -94,13 +98,29 @@ def decode_generic_arith(
     typical prediction) → bool bitmap (True = black). Per-pixel Python
     loop — fixture/document scale; the Spark boundary batches whole
     PDFs per task."""
+    return _generic_decode_with(MQDecoder(data), w, h, at_pairs, template, tpgdon)
+
+
+def _generic_decode_with(
+    mq: MQDecoder,
+    w: int,
+    h: int,
+    at_pairs: list[tuple[int, int]],
+    template: int = 0,
+    tpgdon: bool = False,
+    cx_base: int = 0,
+) -> np.ndarray:
+    """Generic-region decode continuing an EXISTING MQ coder — symbol
+    dictionaries decode each glyph bitmap inline in one shared
+    arithmetic stream (T.88 §6.5.5). ``cx_base`` offsets the pixel
+    context space when the caller multiplexes integer codecs on the
+    same coder."""
     offs = _gb_offsets(template, at_pairs)
-    mq = MQDecoder(data)
     bm = np.zeros((h, w), dtype=np.uint8)
     ltp = 0
     for y in range(h):
         if tpgdon:
-            ltp ^= mq.decode(_GB_TPGD_CX[template])
+            ltp ^= mq.decode(cx_base + _GB_TPGD_CX[template])
             if ltp:  # typical row: copy the previous row
                 if y:
                     bm[y] = bm[y - 1]
@@ -115,7 +135,7 @@ def decode_generic_arith(
                     else 0
                 )
                 cx = (cx << 1) | bit
-            bm[y, x] = mq.decode(cx)
+            bm[y, x] = mq.decode(cx_base + cx)
     return bm.astype(bool)
 
 
@@ -126,16 +146,28 @@ def encode_generic_arith(
     tpgdon: bool = False,
 ) -> bytes:
     """Encoder twin of :func:`decode_generic_arith` (fixtures)."""
+    mq = MQEncoder()
+    _generic_encode_with(mq, img, at_pairs, template, tpgdon)
+    return mq.flush()
+
+
+def _generic_encode_with(
+    mq: MQEncoder,
+    img: np.ndarray,
+    at_pairs: list[tuple[int, int]] | None = None,
+    template: int = 0,
+    tpgdon: bool = False,
+    cx_base: int = 0,
+) -> None:
     at_pairs = at_pairs or _GB_AT_NOMINAL[template]
     offs = _gb_offsets(template, at_pairs)
     img = np.asarray(img).astype(np.uint8)
     h, w = img.shape
-    mq = MQEncoder()
     ltp = 0
     for y in range(h):
         if tpgdon:
             typical = 1 if y and np.array_equal(img[y], img[y - 1]) else 0
-            mq.encode(ltp ^ typical, _GB_TPGD_CX[template])
+            mq.encode(ltp ^ typical, cx_base + _GB_TPGD_CX[template])
             ltp = typical
             if typical:
                 continue
@@ -145,10 +177,224 @@ def encode_generic_arith(
                 yy, xx = y + dy, x + dx
                 bit = int(img[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
                 cx = (cx << 1) | bit
-            mq.encode(int(img[y, x]), cx)
+            mq.encode(int(img[y, x]), cx_base + cx)
+
+# ---------------------------------------------------------------------------
+# Symbol dictionary (T.88 §6.5) + text region (§6.4) — the arithmetic
+# no-refinement subset (SDHUFF=0, REFAGG=0, SBHUFF=0, REFINE=0,
+# TRANSPOSED=0). This is how JBIG2 encoders compress TEXT pages: each
+# distinct glyph bitmap is decoded once into a dictionary, then the
+# text region places dictionary ids at (S, T) coordinates decoded with
+# the IAx integer codecs — all procedures multiplex one MQ stream.
+# Context-space layout on the shared coder: pixel contexts at base 0,
+# IADH/IADW/IAEX/IAAI/IADT/IAFS/IADS/IAIT each get a 512-entry block
+# past 1 << 16, IAID above those.
+# ---------------------------------------------------------------------------
+
+_IA_BASE = 1 << 17
+
+
+def _ia_blocks():
+    from crawler_spark.functions.mq import IntArithCodec
+
+    names = ["dh", "dw", "ex", "ai", "dt", "fs", "ds", "it"]
+    return {n: IntArithCodec(_IA_BASE + 512 * k) for k, n in enumerate(names)}
+
+
+def decode_symbol_dict(
+    data: bytes,
+    n_new: int,
+    n_ex: int,
+    template: int,
+    at_pairs: list[tuple[int, int]],
+    input_syms: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """§6.5.5 arithmetic symbol dictionary → exported glyph bitmaps."""
+    from crawler_spark.functions.mq import OOB
+
+    mq = MQDecoder(data)
+    ia = _ia_blocks()
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    while len(newsyms) < n_new:
+        dh = ia["dh"].decode(mq)
+        if dh is OOB:
+            raise ValueError("JBIG2 symbol dict: OOB height delta")
+        hcheight += dh
+        symwidth = 0
+        while True:
+            dw = ia["dw"].decode(mq)
+            if dw is OOB:
+                break
+            symwidth += dw
+            if symwidth <= 0 or hcheight <= 0 or len(newsyms) >= n_new:
+                raise ValueError("JBIG2 symbol dict: bad symbol size/count")
+            newsyms.append(
+                _generic_decode_with(mq, symwidth, hcheight, at_pairs, template)
+            )
+    # §6.5.10 export flags: alternating EXFLAG run lengths over
+    # (input symbols ++ new symbols), starting not-exported
+    pool = list(input_syms or []) + newsyms
+    exported: list[np.ndarray] = []
+    exflag = 0
+    i = 0
+    while i < len(pool):
+        run = ia["ex"].decode(mq)
+        if run is OOB or run < 0:
+            raise ValueError("JBIG2 symbol dict: bad export run")
+        if exflag:
+            exported.extend(pool[i : i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise ValueError("JBIG2 symbol dict: export count mismatch")
+    return exported
+
+
+def encode_symbol_dict(
+    syms: list[np.ndarray], template: int = 0
+) -> bytes:
+    """Fixture twin of :func:`decode_symbol_dict`: one height class
+    per distinct height (ascending), all symbols exported."""
+    from crawler_spark.functions.mq import OOB
+
+    mq = MQEncoder()
+    ia = _ia_blocks()
+    order = sorted(range(len(syms)), key=lambda k: syms[k].shape[0])
+    hcheight = 0
+    at = _GB_AT_NOMINAL[template]
+    k = 0
+    while k < len(order):
+        h = syms[order[k]].shape[0]
+        ia["dh"].encode(mq, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while k < len(order) and syms[order[k]].shape[0] == h:
+            w = syms[order[k]].shape[1]
+            ia["dw"].encode(mq, w - symwidth)
+            symwidth = w
+            _generic_encode_with(mq, syms[order[k]], at, template)
+            k += 1
+        ia["dw"].encode(mq, OOB)
+    # export all: run of 0 not-exported, then run of n exported
+    ia["ex"].encode(mq, 0)
+    ia["ex"].encode(mq, len(syms))
+    return mq.flush(), [order.index(i) for i in range(len(syms))]
+
+
+def decode_text_region(
+    data: bytes,
+    w: int,
+    h: int,
+    n_instances: int,
+    log_strips: int,
+    ref_corner: int,
+    ds_offset: int,
+    syms: list[np.ndarray],
+) -> np.ndarray:
+    """§6.4.5 arithmetic text region (no refinement, not transposed,
+    OR composition) → bool bitmap."""
+    from crawler_spark.functions.mq import OOB, SymbolIDCodec
+
+    mq = MQDecoder(data)
+    ia = _ia_blocks()
+    code_len = max(1, (len(syms) - 1).bit_length())
+    iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
+    strips = 1 << log_strips
+    page = np.zeros((h, w), dtype=bool)
+    stript = -(ia["dt"].decode(mq)) * strips
+    firsts = 0
+    placed = 0
+    while placed < n_instances:
+        dt = ia["dt"].decode(mq)
+        if dt is OOB:
+            raise ValueError("JBIG2 text region: OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                firsts += ia["fs"].decode(mq)
+                curs = firsts
+                first = False
+            else:
+                ds = ia["ds"].decode(mq)
+                if ds is OOB:
+                    break
+                curs += ds + ds_offset
+            curt = ia["it"].decode(mq) if strips > 1 else 0
+            t = stript + curt
+            sym = syms[iaid.decode(mq)]
+            hs, ws = sym.shape
+            # REFCORNER: 0=BOTTOMLEFT 1=TOPLEFT 2=BOTTOMRIGHT 3=TOPRIGHT
+            y0 = t if ref_corner in (1, 3) else t - hs + 1
+            x0 = curs if ref_corner in (0, 1) else curs - ws + 1
+            if y0 < 0 or x0 < 0 or y0 + hs > h or x0 + ws > w:
+                raise ValueError("JBIG2 text region: symbol out of bounds")
+            page[y0 : y0 + hs, x0 : x0 + ws] |= sym
+            curs += ws - 1
+            placed += 1
+            if placed == n_instances:
+                break
+    return page
+
+
+def encode_text_region(
+    placements: list[tuple[int, int, int]],
+    syms: list[np.ndarray],
+    sym_order: list[int],
+    log_strips: int = 0,
+    ds_offset: int = 0,
+) -> bytes:
+    """Fixture twin: ``placements`` = (x, y, sym_idx) with TOPLEFT
+    corners, sorted by (strip, x)."""
+    from crawler_spark.functions.mq import OOB, SymbolIDCodec
+
+    mq = MQEncoder()
+    ia = _ia_blocks()
+    code_len = max(1, (len(syms) - 1).bit_length())
+    iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
+    strips = 1 << log_strips
+    by_strip: dict[int, list[tuple[int, int, int]]] = {}
+    for x, y, si in placements:
+        by_strip.setdefault(y // strips * strips, []).append((x, y, si))
+    stript = 0
+    firsts = 0
+    first_strip = True
+    for st in sorted(by_strip):
+        if first_strip:
+            ia["dt"].encode(mq, -(-st // strips) if st < 0 else 0)
+            stript = 0 if st >= 0 else st
+            # simplest: emit initial STRIPT=0 then delta to st
+            ia["dt"].encode(mq, (st - stript) // strips)
+            stript = st
+            first_strip = False
+        else:
+            ia["dt"].encode(mq, (st - stript) // strips)
+            stript = st
+        first = True
+        curs = 0
+        for x, y, si in sorted(by_strip[st]):
+            if first:
+                ia["fs"].encode(mq, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                ia["ds"].encode(mq, x - curs - ds_offset)
+                curs = x
+            if strips > 1:
+                ia["it"].encode(mq, y - st)
+            iaid.encode(mq, sym_order[si])
+            curs += syms[si].shape[1] - 1
+        ia["ds"].encode(mq, OOB)
     return mq.flush()
 
+
 # segment types (T.88 §7.3)
+_SYMBOL_DICT = 0
+_IMM_TEXT = 6
+_IMM_LOSSLESS_TEXT = 7
 _PAGE_INFO = 48
 _IMM_GENERIC = 38
 _IMM_LOSSLESS_GENERIC = 39
@@ -201,6 +447,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
     pos = 0
     page_w = page_h = None
     page: np.ndarray | None = None
+    dicts: dict[int, list[np.ndarray]] = {}  # segment number → exported syms
     while pos < len(data):
         hdr, pos = _parse_segment_header(data, pos)
         body = data[pos : pos + hdr["length"]]
@@ -237,6 +484,57 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
                 region = decode_generic_arith(
                     body[18 + 2 * n_at :], w, h, at, template, tpgdon
                 )
+            if y + h > page.shape[0] or x + w > page.shape[1]:
+                raise ValueError("JBIG2 region exceeds page")
+            page[y : y + h, x : x + w] |= region
+        elif t == _SYMBOL_DICT:
+            (sdflags,) = struct.unpack_from(">H", body, 0)
+            if sdflags & 1:
+                raise ValueError("JBIG2 Huffman symbol dict unsupported")
+            if sdflags & 2:
+                raise ValueError("JBIG2 refinement/aggregation unsupported")
+            template = (sdflags >> 10) & 3
+            n_at = _GB_AT_COUNT[template]
+            at = [
+                (
+                    int.from_bytes(body[2 + 2 * k : 3 + 2 * k], "big", signed=True),
+                    int.from_bytes(body[3 + 2 * k : 4 + 2 * k], "big", signed=True),
+                )
+                for k in range(n_at)
+            ]
+            off = 2 + 2 * n_at
+            n_ex, n_new = struct.unpack_from(">II", body, off)
+            inputs: list[np.ndarray] = []
+            for r in hdr["refs"]:
+                inputs.extend(dicts.get(r, []))
+            dicts[hdr["number"]] = decode_symbol_dict(
+                body[off + 8 :], n_new, n_ex, template, at, inputs
+            )
+        elif t in (_IMM_TEXT, _IMM_LOSSLESS_TEXT):
+            if page is None:
+                raise ValueError("JBIG2 region before page info")
+            w, h, x, y = struct.unpack_from(">IIII", body, 0)
+            (tflags,) = struct.unpack_from(">H", body, 17)
+            if tflags & 1:
+                raise ValueError("JBIG2 Huffman text region unsupported")
+            if tflags & 2:
+                raise ValueError("JBIG2 refinement text region unsupported")
+            if tflags & (1 << 6):
+                raise ValueError("JBIG2 transposed text region unsupported")
+            log_strips = (tflags >> 2) & 3
+            ref_corner = (tflags >> 4) & 3
+            ds_offset = (tflags >> 10) & 0x1F
+            if ds_offset > 15:
+                ds_offset -= 32  # 5-bit signed
+            (n_inst,) = struct.unpack_from(">I", body, 19)
+            syms: list[np.ndarray] = []
+            for r in hdr["refs"]:
+                syms.extend(dicts.get(r, []))
+            if not syms:
+                raise ValueError("JBIG2 text region with no symbols")
+            region = decode_text_region(
+                body[23:], w, h, n_inst, log_strips, ref_corner, ds_offset, syms
+            )
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
@@ -294,4 +592,48 @@ def _encode_jbig2(
             + encode_generic_arith(img, template=template, tpgdon=tpgdon)
         )
     segment(1, _IMM_LOSSLESS_GENERIC, 1, body)
+    return bytes(out)
+
+
+def encode_jbig2_text(
+    syms: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    page_wh: tuple[int, int],
+) -> bytes:
+    """Fixture: page info + arithmetic symbol dictionary + one
+    immediate lossless text region placing ``(x, y, sym_idx)`` glyphs
+    (TOPLEFT corners) — the embedded-format shape JBIG2 encoders emit
+    for text pages."""
+    w, h = page_wh
+    out = bytearray()
+
+    def segment(num, seg_type, page, body, refs=()):
+        out.extend(struct.pack(">IB", num, seg_type))
+        out.append(len(refs) << 5)
+        for r in refs:
+            out.append(r)
+        out.append(page)
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(body)
+
+    segment(0, _PAGE_INFO, 1, struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
+    sd_data, sym_order = encode_symbol_dict(syms)
+    ats = b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GB_AT_NOMINAL[0])
+    sd_body = (
+        struct.pack(">H", 0)  # SDHUFF=0, REFAGG=0, template 0
+        + ats
+        + struct.pack(">II", len(syms), len(syms))
+        + sd_data
+    )
+    segment(1, _SYMBOL_DICT, 1, sd_body)
+    tr_data = encode_text_region(placements, syms, sym_order, log_strips=0)
+    tflags = (1 << 4)  # TOPLEFT refcorner, strips=1, OR, dsoffset 0
+    tr_body = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + b"\x00"
+        + struct.pack(">H", tflags)
+        + struct.pack(">I", len(placements))
+        + tr_data
+    )
+    segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
     return bytes(out)

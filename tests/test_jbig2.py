@@ -40,10 +40,10 @@ def test_embedded_roundtrip():
 
 
 def test_unsupported_segment_kinds_raise():
-    # symbol dictionary (type 0) — out of subset
+    # halftone region (type 22) — out of subset
     import struct
 
-    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(">I", 0)
+    seg = struct.pack(">IB", 0, 22) + b"\x00\x01" + struct.pack(">I", 0)
     with pytest.raises(ValueError, match="unsupported"):
         decode_jbig2_embedded(seg)
     # TPGDON with MMR is invalid per spec
@@ -205,3 +205,65 @@ def test_int_arith_codecs_roundtrip():
             got = da.decode(dec)
             assert (got is OOB) == (v is OOB) and (got is OOB or got == v)
             assert did.decode(dec) == sid
+
+
+def test_text_page_symbol_dict_roundtrip():
+    """The TEXT shape real JBIG2 encoders emit: glyphs decode once
+    into a symbol dictionary, the text region places dictionary ids at
+    (S, T) — all parameter streams (IADH/IADW/IAEX/IAFS/IADS/IAID)
+    multiplex one MQ stream with the glyph bitmaps."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(5)
+    syms = [
+        rng.random((int(rng.integers(3, 9)), int(rng.integers(2, 8)))) < 0.5
+        for _ in range(6)
+    ]
+    placements = [(5, 2, 0), (20, 2, 1), (40, 2, 2),
+                  (5, 15, 3), (30, 15, 4), (60, 15, 5),
+                  (5, 28, 0), (20, 28, 0), (40, 28, 5)]  # reuse = the point
+    W, H = 80, 40
+    page = decode_jbig2_embedded(encode_jbig2_text(syms, placements, (W, H)))
+    want = np.full((H, W), 255, np.uint8)
+    for x, y, si in placements:
+        h, w = syms[si].shape
+        want[y : y + h, x : x + w][syms[si]] = 0
+    assert np.array_equal(page, want)
+
+
+def test_text_page_xobject_extraction():
+    from crawler_spark.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(41)
+    syms = [rng.random((6, 5)) < 0.5 for _ in range(3)]
+    placements = [(4, 3, 0), (14, 3, 1), (24, 3, 2), (4, 14, 2)]
+    W, H = 40, 24
+    data = encode_jbig2_text(syms, placements, (W, H))
+    want = np.full((H, W), 255, np.uint8)
+    for x, y, si in placements:
+        h, w = syms[si].shape
+        want[y : y + h, x : x + w][syms[si]] = 0
+    exp = phash64(np.repeat(want[:, :, None], 3, axis=2))
+    rows = extract_pdf_images(
+        make_pdf_with_images(
+            [{"data": data, "w": W, "h": H, "filter": "JBIG2Decode",
+              "colorspace": "DeviceGray", "bpc": 1}]
+        )
+    )
+    assert rows == [
+        {"idx": 0, "w": W, "h": H, "fmt": "jbig2", "phash": exp, "ok": True}
+    ]
+
+
+def test_huffman_symbol_dict_quarantines():
+    from crawler_spark.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(43)
+    data = bytearray(
+        encode_jbig2_text([rng.random((4, 4)) < 0.5], [(2, 2, 0)], (12, 12))
+    )
+    # symbol-dict flags u16 sits after page-info segment (11+19 bytes)
+    # + its own header (11 bytes)
+    data[11 + 19 + 11 + 1] |= 0x01  # SDHUFF=1
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jbig2_embedded(bytes(data))
