@@ -25,11 +25,18 @@ no-refinement subset): glyph bitmaps decode once into a dictionary and
 the text region places dictionary ids at (S, T) coordinates — the
 shape JBIG2 encoders emit for TEXT pages, where the format wins big.
 
+/JBIG2Globals streams decode too: the PDF image extractor resolves
+the referenced stream and its segments (shared symbol dictionaries)
+run first into the same segment state the page stream then reads.
+
+Text regions place in both orientations (TRANSPOSED=0/1, all four
+REFCORNERs on the non-transposed path).
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): Huffman-coded variants,
-refinement/aggregation, transposed text regions, halftone regions,
-striped pages, /JBIG2Globals streams. These are documented residue;
-the generic + text paths cover scanned pages end to end.
+refinement/aggregation, halftone regions, striped pages. These are
+documented residue; the generic + text paths cover scanned pages end
+to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -291,9 +298,13 @@ def decode_text_region(
     ref_corner: int,
     ds_offset: int,
     syms: list[np.ndarray],
+    transposed: bool = False,
 ) -> np.ndarray:
-    """§6.4.5 arithmetic text region (no refinement, not transposed,
-    OR composition) → bool bitmap."""
+    """§6.4.5 arithmetic text region (no refinement, OR composition)
+    → bool bitmap. TRANSPOSED=1 swaps which of (S, T) supplies x vs y
+    — S runs down the page and CURS advances by symbol HEIGHT — while
+    REFCORNER keeps its screen-space meaning (TOP/BOTTOM = rows,
+    LEFT/RIGHT = columns), per §6.4.5 step 3(c)(viii-xi)."""
     from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
     mq = MQDecoder(data)
@@ -327,12 +338,13 @@ def decode_text_region(
             sym = syms[iaid.decode(mq)]
             hs, ws = sym.shape
             # REFCORNER: 0=BOTTOMLEFT 1=TOPLEFT 2=BOTTOMRIGHT 3=TOPRIGHT
-            y0 = t if ref_corner in (1, 3) else t - hs + 1
-            x0 = curs if ref_corner in (0, 1) else curs - ws + 1
+            row_ref, col_ref = (curs, t) if transposed else (t, curs)
+            y0 = row_ref if ref_corner in (1, 3) else row_ref - hs + 1
+            x0 = col_ref if ref_corner in (0, 1) else col_ref - ws + 1
             if y0 < 0 or x0 < 0 or y0 + hs > h or x0 + ws > w:
                 raise ValueError("JBIG2 text region: symbol out of bounds")
             page[y0 : y0 + hs, x0 : x0 + ws] |= sym
-            curs += ws - 1
+            curs += (hs if transposed else ws) - 1
             placed += 1
             if placed == n_instances:
                 break
@@ -345,9 +357,11 @@ def encode_text_region(
     sym_order: list[int],
     log_strips: int = 0,
     ds_offset: int = 0,
+    transposed: bool = False,
 ) -> bytes:
     """Fixture twin: ``placements`` = (x, y, sym_idx) with TOPLEFT
-    corners, sorted by (strip, x)."""
+    corners, sorted by (strip, x). TRANSPOSED=1 strips are vertical
+    (T = column) and S runs down rows."""
     from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
     mq = MQEncoder()
@@ -357,6 +371,8 @@ def encode_text_region(
     strips = 1 << log_strips
     by_strip: dict[int, list[tuple[int, int, int]]] = {}
     for x, y, si in placements:
+        if transposed:
+            x, y = y, x  # (S, T) = (row, column)
         by_strip.setdefault(y // strips * strips, []).append((x, y, si))
     stript = 0
     firsts = 0
@@ -386,7 +402,7 @@ def encode_text_region(
             if strips > 1:
                 ia["it"].encode(mq, y - st)
             iaid.encode(mq, sym_order[si])
-            curs += syms[si].shape[1] - 1
+            curs += syms[si].shape[0 if transposed else 1] - 1
         ia["ds"].encode(mq, OOB)
     return mq.flush()
 
@@ -404,6 +420,8 @@ _END_OF_FILE = 51
 
 def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
     """One embedded-format segment header → (header dict, data start)."""
+    if pos + 5 > len(data):
+        raise ValueError("JBIG2 truncated segment header")
     num, flags = struct.unpack_from(">IB", data, pos)
     pos += 5
     seg_type = flags & 0x3F
@@ -441,13 +459,24 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
 
     Supports page-info + immediate generic regions (MMR or
     MQ-arithmetic template 0) composited onto the page (OR combination
-    — black wins). Raises on any segment kind outside the subset."""
+    — black wins). A /JBIG2Globals stream (ISO 32000-1 §7.4.7: shared
+    segments, typically symbol dictionaries, referenced by every page's
+    image stream) is processed first into the same segment state.
+    Raises on any segment kind outside the subset."""
+    state: dict = {"page": None, "dicts": {}}
     if globals_data:
-        raise ValueError("JBIG2Globals (symbol dictionaries) unsupported")
+        _run_segments(globals_data, state)
+    _run_segments(data, state)
+    page = state["page"]
+    if page is None:
+        raise ValueError("JBIG2: no page info segment")
+    return np.where(page, 0, 255).astype(np.uint8)
+
+
+def _run_segments(data: bytes, state: dict) -> None:
     pos = 0
-    page_w = page_h = None
-    page: np.ndarray | None = None
-    dicts: dict[int, list[np.ndarray]] = {}  # segment number → exported syms
+    page: np.ndarray | None = state["page"]
+    dicts: dict[int, list[np.ndarray]] = state["dicts"]  # seg number → syms
     while pos < len(data):
         hdr, pos = _parse_segment_header(data, pos)
         body = data[pos : pos + hdr["length"]]
@@ -519,8 +548,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
                 raise ValueError("JBIG2 Huffman text region unsupported")
             if tflags & 2:
                 raise ValueError("JBIG2 refinement text region unsupported")
-            if tflags & (1 << 6):
-                raise ValueError("JBIG2 transposed text region unsupported")
+            transposed = bool(tflags & (1 << 6))
             log_strips = (tflags >> 2) & 3
             ref_corner = (tflags >> 4) & 3
             ds_offset = (tflags >> 10) & 0x1F
@@ -533,7 +561,8 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
             if not syms:
                 raise ValueError("JBIG2 text region with no symbols")
             region = decode_text_region(
-                body[23:], w, h, n_inst, log_strips, ref_corner, ds_offset, syms
+                body[23:], w, h, n_inst, log_strips, ref_corner, ds_offset,
+                syms, transposed,
             )
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
@@ -542,9 +571,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
             continue
         else:
             raise ValueError(f"JBIG2 segment type {t} unsupported")
-    if page is None:
-        raise ValueError("JBIG2: no page info segment")
-    return np.where(page, 0, 255).astype(np.uint8)
+    state["page"] = page
 
 
 def encode_jbig2_mmr(img: np.ndarray) -> bytes:
@@ -599,6 +626,7 @@ def encode_jbig2_text(
     syms: list[np.ndarray],
     placements: list[tuple[int, int, int]],
     page_wh: tuple[int, int],
+    transposed: bool = False,
 ) -> bytes:
     """Fixture: page info + arithmetic symbol dictionary + one
     immediate lossless text region placing ``(x, y, sym_idx)`` glyphs
@@ -626,8 +654,11 @@ def encode_jbig2_text(
         + sd_data
     )
     segment(1, _SYMBOL_DICT, 1, sd_body)
-    tr_data = encode_text_region(placements, syms, sym_order, log_strips=0)
-    tflags = (1 << 4)  # TOPLEFT refcorner, strips=1, OR, dsoffset 0
+    tr_data = encode_text_region(
+        placements, syms, sym_order, log_strips=0, transposed=transposed
+    )
+    tflags = (1 << 4) | (1 << 6 if transposed else 0)
+    # TOPLEFT refcorner, strips=1, OR, dsoffset 0
     tr_body = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"
@@ -637,3 +668,33 @@ def encode_jbig2_text(
     )
     segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
     return bytes(out)
+
+
+def encode_jbig2_text_globals(
+    syms: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    page_wh: tuple[int, int],
+) -> tuple[bytes, bytes]:
+    """Fixture twin of :func:`encode_jbig2_text` in the /JBIG2Globals
+    split PDF producers emit for multi-page scans: (globals stream
+    holding the shared symbol dictionary, page stream holding page
+    info + the text region referring back to it). Globals segments use
+    page association 0 per T.88 §7.2.6."""
+    full = encode_jbig2_text(syms, placements, page_wh)
+    # reuse the single-stream encoder, then split its three segments
+    segs = []
+    pos = 0
+    while pos < len(full):
+        hdr, dstart = _parse_segment_header(full, pos)
+        segs.append((hdr, full[pos : dstart + hdr["length"]]))
+        pos = dstart + hdr["length"]
+    dict_seg = next(raw for h, raw in segs if h["type"] == _SYMBOL_DICT)
+    # globals segments carry page association 0: patch the page byte
+    # (short form: u32 num, flags, 1-byte ref count+retain, refs, page)
+    g = bytearray(dict_seg)
+    n_refs = g[5] >> 5
+    g[6 + n_refs] = 0
+    page_stream = b"".join(
+        raw for h, raw in segs if h["type"] != _SYMBOL_DICT
+    )
+    return bytes(g), page_stream

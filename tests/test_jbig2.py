@@ -1,8 +1,8 @@
-"""JBIG2 MMR generic-region subset (ITU-T T.88, functions/jbig2.py)
-and its /JBIG2Decode XObject integration. MMR coding in JBIG2 IS T.6,
-so the region payload rides the repo's G4 codec; everything outside
-the subset (arithmetic coding, symbol dictionaries, Globals) must
-quarantine, never emit garbage pixels."""
+"""JBIG2 subsets (ITU-T T.88, functions/jbig2.py) and the
+/JBIG2Decode XObject integration: MMR + arithmetic generic regions,
+symbol dictionaries, text regions (both orientations), /JBIG2Globals
+streams. Everything outside the subset must quarantine, never emit
+garbage pixels."""
 
 from __future__ import annotations
 
@@ -53,8 +53,8 @@ def test_unsupported_segment_kinds_raise():
     data[11 + 19 + 11 + 17] = 0x09  # MMR=1 + TPGDON
     with pytest.raises(ValueError, match="TPGDON"):
         decode_jbig2_embedded(bytes(data))
-    # globals streams
-    with pytest.raises(ValueError, match="Globals"):
+    # truncated globals stream
+    with pytest.raises(ValueError, match="truncated"):
         decode_jbig2_embedded(b"", globals_data=b"x")
 
 
@@ -267,3 +267,95 @@ def test_huffman_symbol_dict_quarantines():
     data[11 + 19 + 11 + 1] |= 0x01  # SDHUFF=1
     with pytest.raises(ValueError, match="Huffman"):
         decode_jbig2_embedded(bytes(data))
+
+
+def test_jbig2_globals_stream_resolves():
+    """/JBIG2Globals (ISO 32000-1 §7.4.7): the shared symbol
+    dictionary lives in a separate stream object; the page stream's
+    text region refers back to it. Decode must match the single-stream
+    encoding bit for bit, clear and encrypted."""
+    from crawler_spark.functions.jbig2 import (
+        encode_jbig2_text,
+        encode_jbig2_text_globals,
+    )
+
+    rng = np.random.default_rng(47)
+    syms = [rng.random((6, 5)) < 0.5 for _ in range(4)]
+    placements = [(2, 3, 0), (10, 3, 1), (20, 3, 2), (2, 12, 3), (12, 12, 0)]
+    W, H = 30, 20
+    ref = decode_jbig2_embedded(encode_jbig2_text(syms, placements, (W, H)))
+    g, p = encode_jbig2_text_globals(syms, placements, (W, H))
+    assert np.array_equal(decode_jbig2_embedded(p, g), ref)
+    # the page stream alone must fail (dict lives in globals), so a
+    # dangling /JBIG2Globals can never silently decode
+    with pytest.raises(ValueError):
+        decode_jbig2_embedded(p)
+    exp = phash64(np.repeat(ref[:, :, None], 3, axis=2))
+    spec = {"data": p, "w": W, "h": H, "filter": "JBIG2Decode",
+            "colorspace": "DeviceGray", "bpc": 1, "jbig2_globals": g}
+    for encrypt in (None, "aes-128"):
+        rows = extract_pdf_images(make_pdf_with_images([spec], encrypt=encrypt))
+        assert rows == [
+            {"idx": 0, "w": W, "h": H, "fmt": "jbig2", "phash": exp, "ok": True}
+        ], encrypt
+
+
+def test_text_region_transposed_roundtrip():
+    """TRANSPOSED=1 (T.88 §6.4.5 step 3(c)): S runs down rows, strips
+    are vertical, CURS advances by symbol height — the same page must
+    come back either way."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(53)
+    syms = [
+        rng.random((int(rng.integers(3, 9)), int(rng.integers(2, 8)))) < 0.5
+        for _ in range(5)
+    ]
+    placements = [(2, 3, 0), (2, 14, 1), (2, 25, 3), (14, 3, 2),
+                  (14, 16, 4), (26, 3, 0), (26, 20, 2)]
+    W, H = 40, 36
+    want = np.full((H, W), 255, np.uint8)
+    for x, y, si in placements:
+        h, w = syms[si].shape
+        want[y : y + h, x : x + w][syms[si]] = 0
+    for transposed in (False, True):
+        page = decode_jbig2_embedded(
+            encode_jbig2_text(syms, placements, (W, H), transposed=transposed)
+        )
+        assert np.array_equal(page, want), transposed
+
+
+def test_text_region_refcorners_both_orientations():
+    """All four REFCORNERs keep screen-space meaning in both
+    orientations: encoding the corner-adjusted coordinate and decoding
+    with that corner must reproduce the TOPLEFT page."""
+    from crawler_spark.functions.jbig2 import (
+        decode_text_region,
+        encode_symbol_dict,
+        encode_text_region,
+    )
+
+    rng = np.random.default_rng(59)
+    syms = [rng.random((5, 4)) < 0.5, rng.random((7, 6)) < 0.5]
+    _sd, sym_order = encode_symbol_dict(syms)
+    base = [(3, 2, 0), (15, 2, 1), (3, 14, 1), (18, 13, 0)]
+    W, H = 30, 24
+    want = np.zeros((H, W), bool)
+    for x, y, si in base:
+        h, w = syms[si].shape
+        want[y : y + h, x : x + w] |= syms[si]
+    for corner in range(4):  # 0=BL 1=TL 2=BR 3=TR
+        for transposed in (False, True):
+            adj = []
+            for x, y, si in base:
+                h, w = syms[si].shape
+                cx = x if corner in (0, 1) else x + w - 1
+                cy = y if corner in (1, 3) else y + h - 1
+                adj.append((cx, cy, si))
+            data = encode_text_region(
+                adj, syms, sym_order, transposed=transposed
+            )
+            page = decode_text_region(
+                data, W, H, len(adj), 0, corner, 0, syms, transposed
+            )
+            assert np.array_equal(page, want), (corner, transposed)
