@@ -776,20 +776,25 @@ def test_ttf_cmap_parse_roundtrip():
 
 
 @pytest.mark.parametrize("tounicode", [False, True])
-def test_cid_font_vietnamese_exact(tounicode):
+@pytest.mark.parametrize("gid_stream", [False, True])
+def test_cid_font_vietnamese_exact(tounicode, gid_stream):
+    """Identity and stream-form /CIDToGIDMap both recover exact text.
+    The stream fixture shifts every GID by +7, so an identity shortcut
+    would decode garbage — passing proves the CID→GID indirection is
+    actually applied (ISO 32000-1 §9.7.4.2)."""
     from crawler_spark.operators.pdf_decode import make_pdf_cid
 
     pages = [[(700.0, VIET[:24]), (680.0, VIET[24:].lstrip())]]
-    pdf = make_pdf_cid(pages, tounicode=tounicode)
+    pdf = make_pdf_cid(pages, tounicode=tounicode, gid_stream=gid_stream)
     # 2-byte CID hex codes in the content stream, not the text bytes
     assert VIET.encode("utf-16-be") not in pdf
     items = extract_pdf_items(pdf)
     assert " ".join(i["str"] for i in items) == VIET
 
 
-def test_cid_font_without_identity_map_skipped():
-    """A stream-form /CIDToGIDMap (out of subset) must yield NO text
-    rather than wrong glyph-index garbage."""
+def test_cid_font_with_dangling_gid_map_skipped():
+    """A /CIDToGIDMap stream reference that does not resolve must
+    yield NO text rather than wrong glyph-index garbage."""
     from crawler_spark.operators.pdf_decode import make_pdf_cid
 
     pdf = make_pdf_cid([[(700.0, "abc")]], tounicode=False)
