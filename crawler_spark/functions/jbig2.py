@@ -30,10 +30,15 @@ the referenced stream and its segments (shared symbol dictionaries)
 run first into the same segment state the page stream then reads.
 
 Text regions place in both orientations (TRANSPOSED=0/1, all four
-REFCORNERs on the non-transposed path).
+REFCORNERs). Huffman-coded variants decode too (SDHUFF=1 symbol
+dictionaries with MMR or uncompressed height-class collective
+bitmaps, SBHUFF=1 text regions over the Annex-B standard tables and
+the §7.4.3.1.7 runcode symbol-id scheme — see
+``functions/jbig2_huffman.py`` for the table provenance gates).
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
-the row as ok=False, never garbage pixels): Huffman-coded variants,
+the row as ok=False, never garbage pixels): custom Huffman tables
+(table segments / selection 3) and the B.7/B.10 selections,
 refinement/aggregation, halftone regions, striped pages. These are
 documented residue; the generic + text paths cover scanned pages end
 to end.
@@ -407,6 +412,174 @@ def encode_text_region(
     return mq.flush()
 
 
+# ---------------------------------------------------------------------------
+# Huffman-coded variants (SDHUFF=1 / SBHUFF=1, T.88 §6.5.9, §7.4.3.1.7)
+# over the Annex-B standard tables in functions/jbig2_huffman.py.
+# Symbol bitmaps arrive as one height-class COLLECTIVE bitmap (MMR via
+# the T.6 codec, or uncompressed byte-aligned rows) sliced by the
+# decoded widths; text regions read parameters as MSB-first prefix
+# codes and symbol ids through the §7.4.3.1.7 runcode scheme.
+# ---------------------------------------------------------------------------
+
+
+def decode_symbol_dict_huffman(
+    data: bytes,
+    n_new: int,
+    n_ex: int,
+    dh_sel: int,
+    dw_sel: int,
+    bm_sel: int,
+    input_syms: list[np.ndarray] | None = None,
+) -> list[np.ndarray]:
+    """§6.5 with SDHUFF=1, REFAGG=0 → exported glyph bitmaps."""
+    from crawler_spark.functions.jbig2_huffman import (
+        OOB as HOOB,
+        BitReader,
+        STANDARD_TABLES,
+    )
+
+    if dh_sel not in (0, 1) or dw_sel not in (0, 1) or bm_sel != 0:
+        raise ValueError("JBIG2 Huffman symbol dict: custom table selection")
+    dh_t = STANDARD_TABLES[4 if dh_sel == 0 else 5]
+    dw_t = STANDARD_TABLES[2 if dw_sel == 0 else 3]
+    bm_t = STANDARD_TABLES[1]
+    ex_t = STANDARD_TABLES[1]
+    r = BitReader(data)
+    newsyms: list[np.ndarray] = []
+    hcheight = 0
+    while len(newsyms) < n_new:
+        dh = dh_t.decode(r)
+        if dh is HOOB:
+            raise ValueError("JBIG2 Huffman symbol dict: OOB height delta")
+        hcheight += dh
+        symwidth = 0
+        widths: list[int] = []
+        while True:
+            dw = dw_t.decode(r)
+            if dw is HOOB:
+                break
+            symwidth += dw
+            if (
+                symwidth <= 0
+                or hcheight <= 0
+                or len(newsyms) + len(widths) >= n_new
+            ):
+                raise ValueError("JBIG2 Huffman symbol dict: bad size/count")
+            widths.append(symwidth)
+        if not widths:
+            continue
+        bmsize = bm_t.decode(r)
+        totwidth = sum(widths)
+        if bmsize == 0:  # uncompressed, rows byte-padded (§6.5.9)
+            stride = (totwidth + 7) // 8
+            raw = r.take_bytes(stride * hcheight)
+            bits = (
+                np.unpackbits(
+                    np.frombuffer(raw, np.uint8).reshape(hcheight, stride),
+                    axis=1,
+                )[:, :totwidth]
+                .astype(bool)
+            )
+        else:
+            bits = decode_g4(r.take_bytes(bmsize), columns=totwidth,
+                             rows=hcheight) == 0
+        x = 0
+        for wd in widths:
+            newsyms.append(bits[:, x : x + wd])
+            x += wd
+    # §6.5.10 export flags, runs via Table B.1 when SDHUFF=1
+    pool = list(input_syms or []) + newsyms
+    exported: list[np.ndarray] = []
+    exflag = 0
+    i = 0
+    while i < len(pool):
+        run = ex_t.decode(r)
+        if exflag:
+            exported.extend(pool[i : i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise ValueError("JBIG2 Huffman symbol dict: export count mismatch")
+    return exported
+
+
+def decode_text_region_huffman(
+    data: bytes,
+    w: int,
+    h: int,
+    n_instances: int,
+    log_strips: int,
+    ref_corner: int,
+    ds_offset: int,
+    syms: list[np.ndarray],
+    transposed: bool,
+    fs_sel: int,
+    ds_sel: int,
+    dt_sel: int,
+) -> np.ndarray:
+    """§6.4.5 with SBHUFF=1 (no refinement). ``data`` starts at the
+    §7.4.3.1.7 symbol-ID runcode table."""
+    from crawler_spark.functions.jbig2_huffman import (
+        OOB as HOOB,
+        BitReader,
+        STANDARD_TABLES,
+        decode_symbol_id_lengths,
+        symbol_id_table,
+    )
+
+    try:
+        fs_t = STANDARD_TABLES[{0: 6, 1: 7}[fs_sel]]
+        ds_t = STANDARD_TABLES[{0: 8, 1: 9, 2: 10}[ds_sel]]
+        dt_t = STANDARD_TABLES[{0: 11, 1: 12, 2: 13}[dt_sel]]
+    except KeyError:
+        raise ValueError(
+            "JBIG2 Huffman text region: unavailable table selection "
+            f"(fs={fs_sel} ds={ds_sel} dt={dt_sel})"
+        ) from None
+    r = BitReader(data)
+    sym_t = symbol_id_table(decode_symbol_id_lengths(r, len(syms)))
+    r.byte_align()  # §7.4.3.1.7: skip remaining bits of the last byte
+    strips = 1 << log_strips
+    page = np.zeros((h, w), dtype=bool)
+    stript = -dt_t.decode(r) * strips
+    firsts = 0
+    placed = 0
+    while placed < n_instances:
+        dt = dt_t.decode(r)
+        if dt is HOOB:
+            raise ValueError("JBIG2 Huffman text region: OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                firsts += fs_t.decode(r)
+                curs = firsts
+                first = False
+            else:
+                ds = ds_t.decode(r)
+                if ds is HOOB:
+                    break
+                curs += ds + ds_offset
+            curt = r.read_bits(log_strips) if strips > 1 else 0
+            t = stript + curt
+            sym = syms[sym_t.decode(r)]
+            hs, ws = sym.shape
+            row_ref, col_ref = (curs, t) if transposed else (t, curs)
+            y0 = row_ref if ref_corner in (1, 3) else row_ref - hs + 1
+            x0 = col_ref if ref_corner in (0, 1) else col_ref - ws + 1
+            if y0 < 0 or x0 < 0 or y0 + hs > h or x0 + ws > w:
+                raise ValueError(
+                    "JBIG2 Huffman text region: symbol out of bounds"
+                )
+            page[y0 : y0 + hs, x0 : x0 + ws] |= sym
+            curs += (hs if transposed else ws) - 1
+            placed += 1
+            if placed == n_instances:
+                break
+    return page
+
+
 # segment types (T.88 §7.3)
 _SYMBOL_DICT = 0
 _IMM_TEXT = 6
@@ -518,10 +691,19 @@ def _run_segments(data: bytes, state: dict) -> None:
             page[y : y + h, x : x + w] |= region
         elif t == _SYMBOL_DICT:
             (sdflags,) = struct.unpack_from(">H", body, 0)
-            if sdflags & 1:
-                raise ValueError("JBIG2 Huffman symbol dict unsupported")
             if sdflags & 2:
                 raise ValueError("JBIG2 refinement/aggregation unsupported")
+            inputs: list[np.ndarray] = []
+            for r in hdr["refs"]:
+                inputs.extend(dicts.get(r, []))
+            if sdflags & 1:  # SDHUFF=1: no AT pixels follow the flags
+                n_ex, n_new = struct.unpack_from(">II", body, 2)
+                dicts[hdr["number"]] = decode_symbol_dict_huffman(
+                    body[10:], n_new, n_ex,
+                    (sdflags >> 2) & 3, (sdflags >> 4) & 3,
+                    (sdflags >> 6) & 1, inputs,
+                )
+                continue
             template = (sdflags >> 10) & 3
             n_at = _GB_AT_COUNT[template]
             at = [
@@ -533,9 +715,6 @@ def _run_segments(data: bytes, state: dict) -> None:
             ]
             off = 2 + 2 * n_at
             n_ex, n_new = struct.unpack_from(">II", body, off)
-            inputs: list[np.ndarray] = []
-            for r in hdr["refs"]:
-                inputs.extend(dicts.get(r, []))
             dicts[hdr["number"]] = decode_symbol_dict(
                 body[off + 8 :], n_new, n_ex, template, at, inputs
             )
@@ -544,26 +723,36 @@ def _run_segments(data: bytes, state: dict) -> None:
                 raise ValueError("JBIG2 region before page info")
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
             (tflags,) = struct.unpack_from(">H", body, 17)
-            if tflags & 1:
-                raise ValueError("JBIG2 Huffman text region unsupported")
             if tflags & 2:
                 raise ValueError("JBIG2 refinement text region unsupported")
+            sbhuff = bool(tflags & 1)
             transposed = bool(tflags & (1 << 6))
             log_strips = (tflags >> 2) & 3
             ref_corner = (tflags >> 4) & 3
             ds_offset = (tflags >> 10) & 0x1F
             if ds_offset > 15:
                 ds_offset -= 32  # 5-bit signed
-            (n_inst,) = struct.unpack_from(">I", body, 19)
             syms: list[np.ndarray] = []
             for r in hdr["refs"]:
                 syms.extend(dicts.get(r, []))
             if not syms:
                 raise ValueError("JBIG2 text region with no symbols")
-            region = decode_text_region(
-                body[23:], w, h, n_inst, log_strips, ref_corner, ds_offset,
-                syms, transposed,
-            )
+            if sbhuff:  # extra Huffman-flags halfword before n_inst
+                (hflags,) = struct.unpack_from(">H", body, 19)
+                if hflags & (1 << 14):  # custom RSIZE table
+                    raise ValueError("JBIG2 Huffman text region: custom RSIZE")
+                (n_inst,) = struct.unpack_from(">I", body, 21)
+                region = decode_text_region_huffman(
+                    body[25:], w, h, n_inst, log_strips, ref_corner,
+                    ds_offset, syms, transposed,
+                    hflags & 3, (hflags >> 2) & 3, (hflags >> 4) & 3,
+                )
+            else:
+                (n_inst,) = struct.unpack_from(">I", body, 19)
+                region = decode_text_region(
+                    body[23:], w, h, n_inst, log_strips, ref_corner,
+                    ds_offset, syms, transposed,
+                )
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
@@ -666,6 +855,115 @@ def encode_jbig2_text(
         + struct.pack(">I", len(placements))
         + tr_data
     )
+    segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
+    return bytes(out)
+
+
+def encode_jbig2_text_huffman(
+    syms: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    page_wh: tuple[int, int],
+    transposed: bool = False,
+) -> bytes:
+    """Fixture twin of :func:`encode_jbig2_text` for the SDHUFF=1 /
+    SBHUFF=1 form: height-class collective bitmaps ride MMR (T.6),
+    parameters ride the Annex-B standard tables (selections 0), symbol
+    ids ride the §7.4.3.1.7 runcode scheme with equal code lengths."""
+    from crawler_spark.functions.jbig2_huffman import (
+        OOB as HOOB,
+        BitWriter,
+        STANDARD_TABLES,
+        encode_symbol_id_lengths,
+        symbol_id_table,
+    )
+
+    w, h = page_wh
+    dh_t, dw_t, bm_t, ex_t = (STANDARD_TABLES[k] for k in (4, 2, 1, 1))
+    fs_t, ds_t, dt_t = (STANDARD_TABLES[k] for k in (6, 8, 11))
+    # symbol dictionary: classes by height, widths ascending within a
+    # class so the B.2 DW deltas stay non-negative
+    order = sorted(range(len(syms)), key=lambda k: syms[k].shape)
+    sym_order = [order.index(i) for i in range(len(syms))]
+    bw = BitWriter()
+    hcheight = 0
+    k = 0
+    while k < len(order):
+        ch = syms[order[k]].shape[0]
+        dh_t.encode(bw, ch - hcheight)
+        hcheight = ch
+        symwidth = 0
+        cls: list[np.ndarray] = []
+        while k < len(order) and syms[order[k]].shape[0] == ch:
+            ww = syms[order[k]].shape[1]
+            dw_t.encode(bw, ww - symwidth)
+            symwidth = ww
+            cls.append(syms[order[k]].astype(bool))
+            k += 1
+        dw_t.encode(bw, HOOB)
+        payload = encode_g4(np.hstack(cls))
+        bm_t.encode(bw, len(payload))
+        bw.put_bytes(payload)
+    ex_t.encode(bw, 0)
+    ex_t.encode(bw, len(syms))
+    sd_body = (
+        struct.pack(">H", 1)  # SDHUFF=1, selections 0 (B.4/B.2/B.1)
+        + struct.pack(">II", len(syms), len(syms))
+        + bw.flush()
+    )
+    # text region
+    code_len = max(1, (len(syms) - 1).bit_length())
+    tw = BitWriter()
+    encode_symbol_id_lengths(tw, [code_len] * len(syms))
+    tw.byte_align()
+    sym_t = symbol_id_table([code_len] * len(syms))
+    strips = 1
+    by_strip: dict[int, list[tuple[int, int, int]]] = {}
+    for x, y, si in placements:
+        if transposed:
+            x, y = y, x
+        by_strip.setdefault(y, []).append((x, y, si))
+    dt_t.encode(tw, 1)  # STRIPT starts at -1 strip (B.11 floor is 1)
+    stript = -strips
+    firsts = 0
+    for st in sorted(by_strip):
+        dt_t.encode(tw, (st - stript) // strips)
+        stript = st
+        first = True
+        curs = 0
+        for x, _y, si in sorted(by_strip[st]):
+            if first:
+                fs_t.encode(tw, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                ds_t.encode(tw, x - curs)
+                curs = x
+            sym_t.encode(tw, sym_order[si])
+            curs += syms[si].shape[0 if transposed else 1] - 1
+        ds_t.encode(tw, HOOB)
+    tflags = 1 | (1 << 4) | ((1 << 6) if transposed else 0)
+    tr_body = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + b"\x00"
+        + struct.pack(">H", tflags)
+        + struct.pack(">H", 0)  # huffman flags: selections 0
+        + struct.pack(">I", len(placements))
+        + tw.flush()
+    )
+    out = bytearray()
+
+    def segment(num, seg_type, page, body, refs=()):
+        out.extend(struct.pack(">IB", num, seg_type))
+        out.append(len(refs) << 5)
+        for rnum in refs:
+            out.append(rnum)
+        out.append(page)
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(body)
+
+    segment(0, _PAGE_INFO, 1, struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
+    segment(1, _SYMBOL_DICT, 1, sd_body)
     segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
     return bytes(out)
 

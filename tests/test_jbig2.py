@@ -255,7 +255,10 @@ def test_text_page_xobject_extraction():
     ]
 
 
-def test_huffman_symbol_dict_quarantines():
+def test_corrupt_huffman_flag_raises_not_garbage():
+    """Flipping SDHUFF on an arithmetic stream reinterprets the AT
+    bytes as Huffman counts — that must surface as ValueError (the
+    extractor quarantines), never as silently wrong glyphs."""
     from crawler_spark.functions.jbig2 import encode_jbig2_text
 
     rng = np.random.default_rng(43)
@@ -265,8 +268,94 @@ def test_huffman_symbol_dict_quarantines():
     # symbol-dict flags u16 sits after page-info segment (11+19 bytes)
     # + its own header (11 bytes)
     data[11 + 19 + 11 + 1] |= 0x01  # SDHUFF=1
-    with pytest.raises(ValueError, match="Huffman"):
+    with pytest.raises(ValueError):
         decode_jbig2_embedded(bytes(data))
+
+
+def test_huffman_standard_tables_complete():
+    """Annex-B gate: every shipped standard table forms a COMPLETE
+    prefix code (Kraft sum exactly 1) — the property transcription
+    errors break first. B.7/B.10 are deliberately absent (their
+    transcriptions failed this gate) and their selections raise."""
+    from crawler_spark.functions.jbig2_huffman import STANDARD_TABLES
+
+    assert sorted(STANDARD_TABLES) == [1, 2, 3, 4, 5, 6, 8, 9, 11, 12,
+                                       13, 14, 15]
+    for k, t in STANDARD_TABLES.items():
+        assert t.domain_complete(), k
+    # walking every code of every length must reach exactly the
+    # declared entries — no gaps, no unreachable prefixes
+    for k, t in STANDARD_TABLES.items():
+        maxlen = max(pl for pl, _ in t.codes)
+        reachable = 0
+        for pl, code in t.codes:
+            reachable += 1 << (maxlen - pl)
+        assert reachable == 1 << maxlen, k
+
+
+def test_huffman_text_page_roundtrip():
+    """SDHUFF=1 / SBHUFF=1: collective-bitmap symbol dict + standard-
+    table text region reproduce the arithmetic page exactly, both
+    orientations, and ride the XObject path."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_text_huffman
+
+    rng = np.random.default_rng(67)
+    syms = [
+        rng.random((int(rng.integers(3, 9)), int(rng.integers(2, 8)))) < 0.5
+        for _ in range(6)
+    ]
+    placements = [(5, 2, 0), (20, 2, 1), (40, 2, 2), (5, 15, 3),
+                  (30, 15, 4), (60, 15, 5), (5, 28, 0), (40, 28, 5)]
+    W, H = 80, 40
+    want = np.full((H, W), 255, np.uint8)
+    for x, y, si in placements:
+        h, w = syms[si].shape
+        want[y : y + h, x : x + w][syms[si]] = 0
+    for transposed in (False, True):
+        data = encode_jbig2_text_huffman(
+            syms, placements, (W, H), transposed=transposed
+        )
+        assert np.array_equal(decode_jbig2_embedded(data), want), transposed
+    data = encode_jbig2_text_huffman(syms, placements, (W, H))
+    exp = phash64(np.repeat(want[:, :, None], 3, axis=2))
+    rows = extract_pdf_images(
+        make_pdf_with_images(
+            [{"data": data, "w": W, "h": H, "filter": "JBIG2Decode",
+              "colorspace": "DeviceGray", "bpc": 1}]
+        )
+    )
+    assert rows == [
+        {"idx": 0, "w": W, "h": H, "fmt": "jbig2", "phash": exp, "ok": True}
+    ]
+
+
+def test_huffman_symbol_dict_uncompressed_bitmap():
+    """BMSIZE=0 (§6.5.9): the height-class collective bitmap is stored
+    uncompressed with byte-padded rows."""
+    from crawler_spark.functions.jbig2 import decode_symbol_dict_huffman
+    from crawler_spark.functions.jbig2_huffman import (
+        OOB as HOOB,
+        BitWriter,
+        STANDARD_TABLES,
+    )
+
+    rng = np.random.default_rng(71)
+    syms = [rng.random((5, 4)) < 0.5, rng.random((5, 9)) < 0.5]
+    dh_t, dw_t, bm_t, ex_t = (STANDARD_TABLES[k] for k in (4, 2, 1, 1))
+    bw = BitWriter()
+    dh_t.encode(bw, 5)
+    dw_t.encode(bw, 4)
+    dw_t.encode(bw, 5)  # widths 4, 9
+    dw_t.encode(bw, HOOB)
+    bm_t.encode(bw, 0)  # uncompressed
+    coll = np.hstack(syms)  # 5 x 13
+    rows_bytes = np.packbits(coll, axis=1)  # byte-padded rows
+    bw.put_bytes(rows_bytes.tobytes())
+    ex_t.encode(bw, 0)
+    ex_t.encode(bw, 2)
+    out = decode_symbol_dict_huffman(bw.flush(), 2, 2, 0, 0, 0)
+    assert len(out) == 2
+    assert np.array_equal(out[0], syms[0]) and np.array_equal(out[1], syms[1])
 
 
 def test_jbig2_globals_stream_resolves():
