@@ -36,12 +36,22 @@ bitmaps, SBHUFF=1 text regions over the Annex-B standard tables and
 the §7.4.3.1.7 runcode symbol-id scheme — see
 ``functions/jbig2_huffman.py`` for the table provenance gates).
 
+Generic refinement (T.88 §6.3) decodes in all three places it occurs:
+standalone immediate refinement region segments (types 41/42)
+re-coding the page content under their footprint through the external
+combination operator; SDREFAGG=1 symbol dictionaries whose new glyphs
+refine pool symbols (the REFAGGNINST=1 single-instance form); and
+SBREFINE=1 text regions with per-instance RI/RDW/RDH/RDX/RDY refined
+placements — both GR templates, GRAT pixels, and TPGRON typical
+prediction.
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): custom Huffman tables
 (table segments / selection 3) and the B.7/B.10 selections,
-refinement/aggregation, halftone regions, striped pages. These are
-documented residue; the generic + text paths cover scanned pages end
-to end.
+refinement under Huffman coding (SDHUFF/SBHUFF=1), REFAGGNINST>1
+aggregates, intermediate region segments, halftone regions, striped
+pages. These are documented residue; the generic + text + refinement
+paths cover scanned pages end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -192,6 +202,186 @@ def _generic_encode_with(
             mq.encode(int(img[y, x]), cx_base + cx)
 
 # ---------------------------------------------------------------------------
+# Generic refinement region decoding (T.88 §6.3): a bitmap is coded
+# relative to a REFERENCE bitmap shifted by (GRREFERENCEDX, DY). GR
+# template 0 reads 3 coding + 8 reference fixed pixels + one AT pixel
+# per plane (13 contexts bits); template 1 reads 4 + 6 fixed (10
+# bits). Context bits assemble coding-plane-first, each plane sorted
+# by (y, x) with its AT slot appended before the sort — the same
+# canonical ordering the generic templates use here. TPGRON typical
+# prediction (§6.3.5.6): rows flagged typical take each pixel from a
+# UNIFORM 3x3 reference neighborhood without decoding.
+# ---------------------------------------------------------------------------
+
+_GR_CODING = {  # fixed (dy, dx) in the bitmap being decoded
+    0: [(-1, 0), (-1, 1), (0, -1)],
+    1: [(-1, -1), (-1, 0), (-1, 1), (0, -1)],
+}
+_GR_REF = {  # fixed (dy, dx) in the reference bitmap
+    0: [(-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)],
+    1: [(-1, 0), (0, -1), (0, 0), (0, 1), (1, 0), (1, 1)],
+}
+_GR_AT_NOMINAL = [(-1, -1), (-1, -1)]  # (x, y): A1 coding, A2 reference
+# TPGRON pseudo-contexts per template (§6.3.5.6)
+_GR_TPGR_CX = {0: 0x0020, 1: 0x0008}
+_GR_BASE = 1 << 18  # context-id offset for GR states on a shared coder
+
+
+def _gr_offsets(template, at_pairs):
+    coding = list(_GR_CODING[template])
+    ref = list(_GR_REF[template])
+    if template == 0:
+        ax1, ay1 = at_pairs[0]
+        ax2, ay2 = at_pairs[1]
+        coding.append((ay1, ax1))
+        ref.append((ay2, ax2))
+    return sorted(coding), sorted(ref)
+
+
+def _refine_decode_with(
+    mq: MQDecoder,
+    w: int,
+    h: int,
+    ref: np.ndarray,
+    dx: int,
+    dy: int,
+    template: int = 0,
+    at_pairs: list[tuple[int, int]] | None = None,
+    tpgron: bool = False,
+) -> np.ndarray:
+    coding, refofs = _gr_offsets(template, at_pairs or _GR_AT_NOMINAL)
+    rh, rw = ref.shape
+    bm = np.zeros((h, w), dtype=np.uint8)
+
+    def refpix(yy: int, xx: int) -> int:
+        return int(ref[yy, xx]) if 0 <= yy < rh and 0 <= xx < rw else 0
+
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            ltp ^= mq.decode(_GR_BASE + _GR_TPGR_CX[template])
+        for x in range(w):
+            if ltp:
+                window = [
+                    refpix(y - dy + oy, x - dx + ox)
+                    for oy in (-1, 0, 1)
+                    for ox in (-1, 0, 1)
+                ]
+                if all(window):
+                    bm[y, x] = 1
+                    continue
+                if not any(window):
+                    continue
+            cx = 0
+            for oy, ox in coding:
+                yy, xx = y + oy, x + ox
+                bit = int(bm[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
+                cx = (cx << 1) | bit
+            for oy, ox in refofs:
+                cx = (cx << 1) | refpix(y - dy + oy, x - dx + ox)
+            bm[y, x] = mq.decode(_GR_BASE + cx)
+    return bm.astype(bool)
+
+
+def _refine_encode_with(
+    mq: MQEncoder,
+    img: np.ndarray,
+    ref: np.ndarray,
+    dx: int,
+    dy: int,
+    template: int = 0,
+    at_pairs: list[tuple[int, int]] | None = None,
+    tpgron: bool = False,
+) -> None:
+    coding, refofs = _gr_offsets(template, at_pairs or _GR_AT_NOMINAL)
+    img = np.asarray(img).astype(np.uint8)
+    ref = np.asarray(ref).astype(np.uint8)
+    h, w = img.shape
+    rh, rw = ref.shape
+
+    def refpix(yy: int, xx: int) -> int:
+        return int(ref[yy, xx]) if 0 <= yy < rh and 0 <= xx < rw else 0
+
+    def row_typical(y: int) -> bool:
+        # a row may be flagged typical only if every uniform-window
+        # pixel already equals its reference value
+        for x in range(w):
+            window = [
+                refpix(y - dy + oy, x - dx + ox)
+                for oy in (-1, 0, 1)
+                for ox in (-1, 0, 1)
+            ]
+            if all(window) and not img[y, x]:
+                return False
+            if not any(window) and img[y, x]:
+                return False
+        return True
+
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            typ = 1 if row_typical(y) else 0
+            mq.encode(ltp ^ typ, _GR_BASE + _GR_TPGR_CX[template])
+            ltp = typ
+        for x in range(w):
+            if ltp:
+                window = [
+                    refpix(y - dy + oy, x - dx + ox)
+                    for oy in (-1, 0, 1)
+                    for ox in (-1, 0, 1)
+                ]
+                if all(window) or not any(window):
+                    continue
+            cx = 0
+            for oy, ox in coding:
+                yy, xx = y + oy, x + ox
+                bit = int(img[yy, xx]) if 0 <= yy < h and 0 <= xx < w else 0
+                cx = (cx << 1) | bit
+            for oy, ox in refofs:
+                cx = (cx << 1) | refpix(y - dy + oy, x - dx + ox)
+            mq.encode(int(img[y, x]), _GR_BASE + cx)
+
+
+def encode_symbol_dict_refagg(
+    new_specs: list[tuple[np.ndarray, int, int, int]],
+    input_syms: list[np.ndarray],
+    rtemplate: int = 0,
+    rat_pairs: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Fixture twin of the SDREFAGG=1 path of
+    :func:`decode_symbol_dict`: each spec is ``(bitmap, ref_id, rdx,
+    rdy)`` — the new glyph rides a generic refinement of pool symbol
+    ``ref_id`` (inputs first, then already-encoded new symbols). One
+    height class per symbol; the input symbols stay unexported, all
+    new symbols export."""
+    from crawler_spark.functions.mq import OOB, SymbolIDCodec
+
+    mq = MQEncoder()
+    ia = _ia_blocks()
+    n_new = len(new_specs)
+    pool = list(input_syms)
+    code_len = max(1, (len(pool) + n_new - 1).bit_length())
+    iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
+    hcheight = 0
+    for bm, ref_id, rdx, rdy in new_specs:
+        h, w = bm.shape
+        ia["dh"].encode(mq, h - hcheight)
+        hcheight = h
+        ia["dw"].encode(mq, w)
+        ia["ai"].encode(mq, 1)
+        iaid.encode(mq, ref_id)
+        ia["rdx"].encode(mq, rdx)
+        ia["rdy"].encode(mq, rdy)
+        _refine_encode_with(mq, bm, pool[ref_id], rdx, rdy,
+                            rtemplate, rat_pairs)
+        pool.append(bm.astype(bool))
+        ia["dw"].encode(mq, OOB)
+    ia["ex"].encode(mq, len(input_syms))
+    ia["ex"].encode(mq, n_new)
+    return mq.flush()
+
+
+# ---------------------------------------------------------------------------
 # Symbol dictionary (T.88 §6.5) + text region (§6.4) — the arithmetic
 # no-refinement subset (SDHUFF=0, REFAGG=0, SBHUFF=0, REFINE=0,
 # TRANSPOSED=0). This is how JBIG2 encoders compress TEXT pages: each
@@ -209,7 +399,8 @@ _IA_BASE = 1 << 17
 def _ia_blocks():
     from crawler_spark.functions.mq import IntArithCodec
 
-    names = ["dh", "dw", "ex", "ai", "dt", "fs", "ds", "it"]
+    names = ["dh", "dw", "ex", "ai", "dt", "fs", "ds", "it",
+             "ri", "rdw", "rdh", "rdx", "rdy"]
     return {n: IntArithCodec(_IA_BASE + 512 * k) for k, n in enumerate(names)}
 
 
@@ -220,13 +411,22 @@ def decode_symbol_dict(
     template: int,
     at_pairs: list[tuple[int, int]],
     input_syms: list[np.ndarray] | None = None,
+    refagg: bool = False,
+    rtemplate: int = 0,
+    rat_pairs: list[tuple[int, int]] | None = None,
 ) -> list[np.ndarray]:
-    """§6.5.5 arithmetic symbol dictionary → exported glyph bitmaps."""
-    from crawler_spark.functions.mq import OOB
+    """§6.5.5 arithmetic symbol dictionary → exported glyph bitmaps.
+    With SDREFAGG=1 each new symbol decodes as a refinement of an
+    already-known symbol (REFAGGNINST=1 — the single-instance case;
+    true text-region aggregates raise)."""
+    from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
     mq = MQDecoder(data)
     ia = _ia_blocks()
     newsyms: list[np.ndarray] = []
+    inputs = list(input_syms or [])
+    code_len = max(1, (len(inputs) + n_new - 1).bit_length())
+    iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
     hcheight = 0
     while len(newsyms) < n_new:
         dh = ia["dh"].decode(mq)
@@ -241,9 +441,31 @@ def decode_symbol_dict(
             symwidth += dw
             if symwidth <= 0 or hcheight <= 0 or len(newsyms) >= n_new:
                 raise ValueError("JBIG2 symbol dict: bad symbol size/count")
-            newsyms.append(
-                _generic_decode_with(mq, symwidth, hcheight, at_pairs, template)
-            )
+            if refagg:  # §6.5.8.2
+                n_inst = ia["ai"].decode(mq)
+                if n_inst != 1:
+                    raise ValueError(
+                        "JBIG2 symbol dict: aggregate REFAGGNINST>1 "
+                        "unsupported"
+                    )
+                ref_id = iaid.decode(mq)
+                rdx = ia["rdx"].decode(mq)
+                rdy = ia["rdy"].decode(mq)
+                pool = inputs + newsyms
+                if not 0 <= ref_id < len(pool):
+                    raise ValueError("JBIG2 symbol dict: bad refinement id")
+                newsyms.append(
+                    _refine_decode_with(
+                        mq, symwidth, hcheight, pool[ref_id], rdx, rdy,
+                        rtemplate, rat_pairs,
+                    )
+                )
+            else:
+                newsyms.append(
+                    _generic_decode_with(
+                        mq, symwidth, hcheight, at_pairs, template
+                    )
+                )
     # §6.5.10 export flags: alternating EXFLAG run lengths over
     # (input symbols ++ new symbols), starting not-exported
     pool = list(input_syms or []) + newsyms
@@ -304,12 +526,18 @@ def decode_text_region(
     ds_offset: int,
     syms: list[np.ndarray],
     transposed: bool = False,
+    refine: bool = False,
+    rtemplate: int = 0,
+    rat_pairs: list[tuple[int, int]] | None = None,
 ) -> np.ndarray:
-    """§6.4.5 arithmetic text region (no refinement, OR composition)
-    → bool bitmap. TRANSPOSED=1 swaps which of (S, T) supplies x vs y
-    — S runs down the page and CURS advances by symbol HEIGHT — while
-    REFCORNER keeps its screen-space meaning (TOP/BOTTOM = rows,
-    LEFT/RIGHT = columns), per §6.4.5 step 3(c)(viii-xi)."""
+    """§6.4.5 arithmetic text region (OR composition) → bool bitmap.
+    TRANSPOSED=1 swaps which of (S, T) supplies x vs y — S runs down
+    the page and CURS advances by symbol HEIGHT — while REFCORNER
+    keeps its screen-space meaning (TOP/BOTTOM = rows, LEFT/RIGHT =
+    columns), per §6.4.5 step 3(c)(viii-xi). SBREFINE=1 decodes a
+    per-instance RI bit (IARI); a nonzero RI refines the dictionary
+    glyph into an instance-specific bitmap sized (w+RDW, h+RDH) with
+    reference offsets (RDW>>1)+RDX, (RDH>>1)+RDY per §6.4.11."""
     from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
     mq = MQDecoder(data)
@@ -341,6 +569,17 @@ def decode_text_region(
             curt = ia["it"].decode(mq) if strips > 1 else 0
             t = stript + curt
             sym = syms[iaid.decode(mq)]
+            if refine and ia["ri"].decode(mq):
+                rdw = ia["rdw"].decode(mq)
+                rdh = ia["rdh"].decode(mq)
+                rdx = ia["rdx"].decode(mq)
+                rdy = ia["rdy"].decode(mq)
+                if sym.shape[1] + rdw <= 0 or sym.shape[0] + rdh <= 0:
+                    raise ValueError("JBIG2 text region: bad refinement size")
+                sym = _refine_decode_with(
+                    mq, sym.shape[1] + rdw, sym.shape[0] + rdh, sym,
+                    (rdw >> 1) + rdx, (rdh >> 1) + rdy, rtemplate, rat_pairs,
+                )
             hs, ws = sym.shape
             # REFCORNER: 0=BOTTOMLEFT 1=TOPLEFT 2=BOTTOMRIGHT 3=TOPRIGHT
             row_ref, col_ref = (curs, t) if transposed else (t, curs)
@@ -363,10 +602,16 @@ def encode_text_region(
     log_strips: int = 0,
     ds_offset: int = 0,
     transposed: bool = False,
+    refinements: list | None = None,
+    rtemplate: int = 0,
+    rat_pairs: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Fixture twin: ``placements`` = (x, y, sym_idx) with TOPLEFT
     corners, sorted by (strip, x). TRANSPOSED=1 strips are vertical
-    (T = column) and S runs down rows."""
+    (T = column) and S runs down rows. ``refinements`` (SBREFINE=1)
+    aligns with ``placements``: None places the dictionary glyph
+    (RI=0); ``(bitmap, rdw, rdh, rdx, rdy)`` refines it into that
+    instance bitmap, whose shape must be the glyph's + (rdh, rdw)."""
     from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
     mq = MQEncoder()
@@ -374,11 +619,11 @@ def encode_text_region(
     code_len = max(1, (len(syms) - 1).bit_length())
     iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
     strips = 1 << log_strips
-    by_strip: dict[int, list[tuple[int, int, int]]] = {}
-    for x, y, si in placements:
+    by_strip: dict[int, list[tuple[int, int, int, int]]] = {}
+    for k, (x, y, si) in enumerate(placements):
         if transposed:
             x, y = y, x  # (S, T) = (row, column)
-        by_strip.setdefault(y // strips * strips, []).append((x, y, si))
+        by_strip.setdefault(y // strips * strips, []).append((x, y, si, k))
     stript = 0
     firsts = 0
     first_strip = True
@@ -395,7 +640,7 @@ def encode_text_region(
             stript = st
         first = True
         curs = 0
-        for x, y, si in sorted(by_strip[st]):
+        for x, y, si, k in sorted(by_strip[st]):
             if first:
                 ia["fs"].encode(mq, x - firsts)
                 firsts = x
@@ -407,7 +652,24 @@ def encode_text_region(
             if strips > 1:
                 ia["it"].encode(mq, y - st)
             iaid.encode(mq, sym_order[si])
-            curs += syms[si].shape[0 if transposed else 1] - 1
+            inst = syms[si]
+            if refinements is not None:
+                spec = refinements[k]
+                ia["ri"].encode(mq, 0 if spec is None else 1)
+                if spec is not None:
+                    inst, rdw, rdh, rdx, rdy = spec
+                    if inst.shape != (syms[si].shape[0] + rdh,
+                                      syms[si].shape[1] + rdw):
+                        raise ValueError("refinement shape mismatch")
+                    ia["rdw"].encode(mq, rdw)
+                    ia["rdh"].encode(mq, rdh)
+                    ia["rdx"].encode(mq, rdx)
+                    ia["rdy"].encode(mq, rdy)
+                    _refine_encode_with(
+                        mq, inst, syms[si], (rdw >> 1) + rdx,
+                        (rdh >> 1) + rdy, rtemplate, rat_pairs,
+                    )
+            curs += inst.shape[0 if transposed else 1] - 1
         ia["ds"].encode(mq, OOB)
     return mq.flush()
 
@@ -587,6 +849,9 @@ _IMM_LOSSLESS_TEXT = 7
 _PAGE_INFO = 48
 _IMM_GENERIC = 38
 _IMM_LOSSLESS_GENERIC = 39
+_INTERMEDIATE_REFINE = 40
+_IMM_REFINE = 41
+_IMM_LOSSLESS_REFINE = 42
 _END_OF_PAGE = 49
 _END_OF_FILE = 51
 
@@ -691,12 +956,16 @@ def _run_segments(data: bytes, state: dict) -> None:
             page[y : y + h, x : x + w] |= region
         elif t == _SYMBOL_DICT:
             (sdflags,) = struct.unpack_from(">H", body, 0)
-            if sdflags & 2:
-                raise ValueError("JBIG2 refinement/aggregation unsupported")
+            refagg = bool(sdflags & 2)
+            rtemplate = (sdflags >> 12) & 1
             inputs: list[np.ndarray] = []
             for r in hdr["refs"]:
                 inputs.extend(dicts.get(r, []))
             if sdflags & 1:  # SDHUFF=1: no AT pixels follow the flags
+                if refagg:
+                    raise ValueError(
+                        "JBIG2 Huffman symbol dict with refinement unsupported"
+                    )
                 n_ex, n_new = struct.unpack_from(">II", body, 2)
                 dicts[hdr["number"]] = decode_symbol_dict_huffman(
                     body[10:], n_new, n_ex,
@@ -714,17 +983,30 @@ def _run_segments(data: bytes, state: dict) -> None:
                 for k in range(n_at)
             ]
             off = 2 + 2 * n_at
+            rat: list[tuple[int, int]] | None = None
+            if refagg and rtemplate == 0:  # 2 refinement AT pairs
+                rat = [
+                    (
+                        int.from_bytes(body[off + 2 * k : off + 1 + 2 * k],
+                                       "big", signed=True),
+                        int.from_bytes(body[off + 1 + 2 * k : off + 2 + 2 * k],
+                                       "big", signed=True),
+                    )
+                    for k in range(2)
+                ]
+                off += 4
             n_ex, n_new = struct.unpack_from(">II", body, off)
             dicts[hdr["number"]] = decode_symbol_dict(
-                body[off + 8 :], n_new, n_ex, template, at, inputs
+                body[off + 8 :], n_new, n_ex, template, at, inputs,
+                refagg, rtemplate, rat,
             )
         elif t in (_IMM_TEXT, _IMM_LOSSLESS_TEXT):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
             (tflags,) = struct.unpack_from(">H", body, 17)
-            if tflags & 2:
-                raise ValueError("JBIG2 refinement text region unsupported")
+            refine = bool(tflags & 2)
+            rtemplate = (tflags >> 15) & 1
             sbhuff = bool(tflags & 1)
             transposed = bool(tflags & (1 << 6))
             log_strips = (tflags >> 2) & 3
@@ -738,6 +1020,10 @@ def _run_segments(data: bytes, state: dict) -> None:
             if not syms:
                 raise ValueError("JBIG2 text region with no symbols")
             if sbhuff:  # extra Huffman-flags halfword before n_inst
+                if refine:
+                    raise ValueError(
+                        "JBIG2 Huffman text region with refinement unsupported"
+                    )
                 (hflags,) = struct.unpack_from(">H", body, 19)
                 if hflags & (1 << 14):  # custom RSIZE table
                     raise ValueError("JBIG2 Huffman text region: custom RSIZE")
@@ -748,14 +1034,77 @@ def _run_segments(data: bytes, state: dict) -> None:
                     hflags & 3, (hflags >> 2) & 3, (hflags >> 4) & 3,
                 )
             else:
-                (n_inst,) = struct.unpack_from(">I", body, 19)
+                off = 19
+                rat: list[tuple[int, int]] | None = None
+                if refine and rtemplate == 0:  # SBRAT: 2 AT pairs
+                    rat = [
+                        (
+                            int.from_bytes(
+                                body[off + 2 * k : off + 1 + 2 * k],
+                                "big", signed=True),
+                            int.from_bytes(
+                                body[off + 1 + 2 * k : off + 2 + 2 * k],
+                                "big", signed=True),
+                        )
+                        for k in range(2)
+                    ]
+                    off += 4
+                (n_inst,) = struct.unpack_from(">I", body, off)
                 region = decode_text_region(
-                    body[23:], w, h, n_inst, log_strips, ref_corner,
-                    ds_offset, syms, transposed,
+                    body[off + 4 :], w, h, n_inst, log_strips, ref_corner,
+                    ds_offset, syms, transposed, refine, rtemplate, rat,
                 )
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
+        elif t in (_IMM_REFINE, _IMM_LOSSLESS_REFINE):
+            # §7.4.7: the region refines the page content under it
+            # (intermediate-region references are out of subset), then
+            # lands via the external combination operator — REPLACE is
+            # the shape refinement exists for.
+            if page is None:
+                raise ValueError("JBIG2 region before page info")
+            w, h, x, y = struct.unpack_from(">IIII", body, 0)
+            comb_op = body[16] & 7
+            rflags = body[17]
+            template = rflags & 1
+            tpgron = bool(rflags & 2)
+            off = 18
+            rat: list[tuple[int, int]] | None = None
+            if template == 0:
+                rat = [
+                    (
+                        int.from_bytes(body[off + 2 * k : off + 1 + 2 * k],
+                                       "big", signed=True),
+                        int.from_bytes(body[off + 1 + 2 * k : off + 2 + 2 * k],
+                                       "big", signed=True),
+                    )
+                    for k in range(2)
+                ]
+                off += 4
+            if hdr["refs"]:
+                raise ValueError(
+                    "JBIG2 refinement of intermediate regions unsupported"
+                )
+            if y + h > page.shape[0] or x + w > page.shape[1]:
+                raise ValueError("JBIG2 region exceeds page")
+            ref = page[y : y + h, x : x + w]
+            mq = MQDecoder(body[off:])
+            region = _refine_decode_with(
+                mq, w, h, ref, 0, 0, template, rat, tpgron
+            )
+            if comb_op == 0:
+                page[y : y + h, x : x + w] |= region
+            elif comb_op == 1:
+                page[y : y + h, x : x + w] &= region
+            elif comb_op == 2:
+                page[y : y + h, x : x + w] ^= region
+            elif comb_op == 3:
+                page[y : y + h, x : x + w] = ~(ref ^ region)
+            else:  # 4 = REPLACE
+                page[y : y + h, x : x + w] = region
+        elif t == _INTERMEDIATE_REFINE:
+            raise ValueError("JBIG2 intermediate refinement region unsupported")
         elif t in (_END_OF_PAGE, _END_OF_FILE):
             continue
         else:
@@ -816,11 +1165,13 @@ def encode_jbig2_text(
     placements: list[tuple[int, int, int]],
     page_wh: tuple[int, int],
     transposed: bool = False,
+    refinements: list | None = None,
 ) -> bytes:
     """Fixture: page info + arithmetic symbol dictionary + one
     immediate lossless text region placing ``(x, y, sym_idx)`` glyphs
     (TOPLEFT corners) — the embedded-format shape JBIG2 encoders emit
-    for text pages."""
+    for text pages. ``refinements`` (one entry per placement, None or
+    ``(bitmap, rdw, rdh, rdx, rdy)``) turns on SBREFINE."""
     w, h = page_wh
     out = bytearray()
 
@@ -844,18 +1195,132 @@ def encode_jbig2_text(
     )
     segment(1, _SYMBOL_DICT, 1, sd_body)
     tr_data = encode_text_region(
-        placements, syms, sym_order, log_strips=0, transposed=transposed
+        placements, syms, sym_order, log_strips=0, transposed=transposed,
+        refinements=refinements,
     )
     tflags = (1 << 4) | (1 << 6 if transposed else 0)
     # TOPLEFT refcorner, strips=1, OR, dsoffset 0
+    rat_bytes = b""
+    if refinements is not None:
+        tflags |= 2  # SBREFINE, SBRTEMPLATE=0 → nominal SBRAT follows
+        rat_bytes = b"".join(
+            struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL
+        )
     tr_body = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"
         + struct.pack(">H", tflags)
+        + rat_bytes
         + struct.pack(">I", len(placements))
         + tr_data
     )
     segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
+    return bytes(out)
+
+
+def encode_jbig2_text_refagg(
+    base_syms: list[np.ndarray],
+    refined_specs: list[tuple[np.ndarray, int, int, int]],
+    placements: list[tuple[int, int, int]],
+    page_wh: tuple[int, int],
+) -> bytes:
+    """Fixture for the SDREFAGG=1 dictionary chain: a generic symbol
+    dictionary (segment 1) feeds a refinement-aggregate dictionary
+    (segment 2, ``(bitmap, ref_id, rdx, rdy)`` specs over the base
+    pool) whose EXPORTED symbols a text region then places — the shape
+    encoders emit when glyphs are small corrections of a shared
+    prototype. ``placements`` index the refined symbols."""
+    w, h = page_wh
+    out = bytearray()
+
+    def segment(num, seg_type, page, body, refs=()):
+        out.extend(struct.pack(">IB", num, seg_type))
+        out.append(len(refs) << 5)
+        for r in refs:
+            out.append(r)
+        out.append(page)
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(body)
+
+    segment(0, _PAGE_INFO, 1, struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
+    sd_data, base_order = encode_symbol_dict(base_syms)
+    ats = b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GB_AT_NOMINAL[0])
+    sd_body = (
+        struct.pack(">H", 0)
+        + ats
+        + struct.pack(">II", len(base_syms), len(base_syms))
+        + sd_data
+    )
+    segment(1, _SYMBOL_DICT, 1, sd_body)
+    # the refagg dict sees base symbols in DECODE order; remap ref_ids
+    pool = [None] * len(base_syms)
+    for orig, dec in enumerate(base_order):
+        pool[dec] = base_syms[orig].astype(bool)
+    specs = [
+        (bm, base_order[rid], rdx, rdy) for bm, rid, rdx, rdy in refined_specs
+    ]
+    ra_data = encode_symbol_dict_refagg(specs, pool)
+    rats = b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL)
+    ra_body = (
+        struct.pack(">H", 2)  # SDHUFF=0, SDREFAGG=1, templates 0
+        + ats
+        + rats
+        + struct.pack(">II", len(refined_specs), len(refined_specs))
+        + ra_data
+    )
+    segment(2, _SYMBOL_DICT, 1, ra_body, refs=(1,))
+    refined = [bm.astype(bool) for bm, _, _, _ in refined_specs]
+    tr_data = encode_text_region(
+        placements, refined, list(range(len(refined))), log_strips=0
+    )
+    tr_body = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + b"\x00"
+        + struct.pack(">H", 1 << 4)
+        + struct.pack(">I", len(placements))
+        + tr_data
+    )
+    segment(3, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(2,))
+    return bytes(out)
+
+
+def encode_jbig2_refine_page(
+    base: np.ndarray,
+    refined: np.ndarray,
+    template: int = 0,
+    tpgron: bool = False,
+) -> bytes:
+    """Fixture: a generic region lays down ``base``, then an immediate
+    refinement region (type 41, REPLACE) recodes the same footprint as
+    ``refined`` relative to the page content — lossy-then-correction,
+    the two-pass shape T.88 §6.3 exists for."""
+    h, w = base.shape
+    assert refined.shape == (h, w)
+    out = bytearray(encode_jbig2_arith(base.astype(bool), template=0))
+    mq = MQEncoder()
+    _refine_encode_with(
+        mq, refined.astype(np.uint8), base.astype(np.uint8), 0, 0,
+        template, None, tpgron,
+    )
+    data = mq.flush()
+    rflags = template | (2 if tpgron else 0)
+    rats = (
+        b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL)
+        if template == 0
+        else b""
+    )
+    body = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + bytes([4])  # external combination: REPLACE
+        + bytes([rflags])
+        + rats
+        + data
+    )
+    out.extend(struct.pack(">IB", 2, _IMM_LOSSLESS_REFINE))
+    out.append(0)  # no refs
+    out.append(1)  # page 1
+    out.extend(struct.pack(">I", len(body)))
+    out.extend(body)
     return bytes(out)
 
 

@@ -414,6 +414,181 @@ def test_text_region_transposed_roundtrip():
         assert np.array_equal(page, want), transposed
 
 
+def test_generic_refinement_roundtrip():
+    """T.88 §6.3 generic refinement: both GR templates, reference
+    offsets, TPGRON typical prediction, and a non-nominal AT pair for
+    template 0 — encoder and decoder share only the context model, so
+    round-trip equality pins both sides."""
+    from crawler_spark.functions.jbig2 import (
+        _refine_decode_with,
+        _refine_encode_with,
+    )
+    from crawler_spark.functions.mq import MQDecoder, MQEncoder
+
+    rng = np.random.default_rng(73)
+    cases = []
+    for template in (0, 1):
+        for tpgron in (False, True):
+            for dx, dy in ((0, 0), (2, -1), (-3, 4)):
+                cases.append((template, tpgron, dx, dy, None))
+    cases.append((0, False, 0, 0, [(1, -2), (-2, 1)]))  # custom GRAT
+    for template, tpgron, dx, dy, at in cases:
+        h = int(rng.integers(3, 30))
+        w = int(rng.integers(3, 60))
+        ref = _scan_like(rng, h, w)
+        # the refinement target: the reference with sparse flips, the
+        # correlated shape the GR contexts are designed for
+        img = ref.copy()
+        flips = rng.random((h, w)) < 0.06
+        img ^= flips
+        enc = MQEncoder()
+        _refine_encode_with(
+            enc, img.astype(np.uint8), ref.astype(np.uint8), dx, dy,
+            template, at, tpgron,
+        )
+        dec = MQDecoder(enc.flush())
+        back = _refine_decode_with(dec, w, h, ref, dx, dy, template, at, tpgron)
+        assert np.array_equal(back, img), (template, tpgron, dx, dy)
+    # a refinement of a well-matched reference must be tiny compared
+    # to coding the bitmap generically — the reason §6.3 exists
+    from crawler_spark.functions.jbig2 import encode_generic_arith
+
+    ref = _scan_like(rng, 64, 96)
+    img = ref.copy()
+    img[10, 11] ^= True
+    enc = MQEncoder()
+    _refine_encode_with(enc, img.astype(np.uint8), ref.astype(np.uint8),
+                        0, 0, 0, None, True)
+    assert len(enc.flush()) < len(encode_generic_arith(img)) / 3
+
+
+def test_refagg_symbol_dict_page():
+    """SDREFAGG=1 (§6.5.8.2, REFAGGNINST=1): new dictionary symbols
+    decode as refinements of a referenced dictionary's glyphs — the
+    chain form real encoders emit when glyphs are small corrections of
+    a shared prototype. The text region places only the refined
+    exports."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_text_refagg
+
+    rng = np.random.default_rng(79)
+    base = [rng.random((6, 5)) < 0.5, rng.random((8, 7)) < 0.5]
+    refined_specs = []
+    for rid, (dh, dw) in ((0, (0, 0)), (1, (1, -1)), (0, (-1, 2))):
+        h = base[rid].shape[0] + dh
+        w = base[rid].shape[1] + dw
+        bm = np.zeros((h, w), bool)
+        ch, cw = min(h, base[rid].shape[0]), min(w, base[rid].shape[1])
+        bm[:ch, :cw] = base[rid][:ch, :cw]
+        bm ^= rng.random((h, w)) < 0.1
+        bm[0, 0] = True  # keep width/height exact under trailing zeros
+        bm[-1, -1] = True
+        refined_specs.append((bm, rid, 0, 0))
+    placements = [(2, 2, 0), (12, 2, 1), (24, 2, 2), (2, 14, 2)]
+    W, H = 36, 26
+    page = decode_jbig2_embedded(
+        encode_jbig2_text_refagg(base, refined_specs, placements, (W, H))
+    )
+    want = np.full((H, W), 255, np.uint8)
+    for x, y, si in placements:
+        bm = refined_specs[si][0]
+        h, w = bm.shape
+        want[y : y + h, x : x + w][bm] = 0
+    assert np.array_equal(page, want)
+
+
+def test_refined_text_region_page():
+    """SBREFINE=1 (§6.4.11): instances may refine their dictionary
+    glyph in place — RI=0 instances place the glyph unchanged, RI=1
+    instances decode per-instance RDW/RDH/RDX/RDY plus a refinement
+    bitmap, including size-changing deltas."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_text
+
+    rng = np.random.default_rng(83)
+    syms = [rng.random((6, 5)) < 0.5, rng.random((7, 6)) < 0.5]
+
+    def variant(si, rdw, rdh):
+        h = syms[si].shape[0] + rdh
+        w = syms[si].shape[1] + rdw
+        bm = np.zeros((h, w), bool)
+        ch, cw = min(h, syms[si].shape[0]), min(w, syms[si].shape[1])
+        bm[:ch, :cw] = syms[si][:ch, :cw]
+        bm ^= rng.random((h, w)) < 0.12
+        bm[0, 0] = bm[-1, -1] = True
+        return (bm, rdw, rdh, 0, 0)
+
+    placements = [(2, 2, 0), (12, 2, 1), (24, 2, 0), (2, 14, 1), (14, 14, 0)]
+    refinements = [None, variant(1, 1, -1), variant(0, 0, 0), None,
+                   variant(0, -1, 2)]
+    W, H = 36, 28
+    page = decode_jbig2_embedded(
+        encode_jbig2_text(syms, placements, (W, H), refinements=refinements)
+    )
+    want = np.full((H, W), 255, np.uint8)
+    for (x, y, si), spec in zip(placements, refinements):
+        bm = syms[si] if spec is None else spec[0]
+        h, w = bm.shape
+        want[y : y + h, x : x + w][bm] = 0
+    assert np.array_equal(page, want)
+
+
+def test_refinement_region_replaces_page():
+    """Immediate refinement regions (type 41/42) recode the page
+    content under their footprint — the lossy-then-correction two-pass
+    shape. REPLACE must land the corrected bitmap exactly; referring
+    to intermediate regions stays out of subset and raises."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_refine_page
+
+    rng = np.random.default_rng(89)
+    for template in (0, 1):
+        for tpgron in (False, True):
+            base = _scan_like(rng, 22, 34)
+            refined = base ^ (rng.random(base.shape) < 0.05)
+            page = decode_jbig2_embedded(
+                encode_jbig2_refine_page(base, refined, template, tpgron)
+            )
+            assert np.array_equal(page == 0, refined), (template, tpgron)
+    # intermediate refinement region (type 40) raises, never garbage
+    import struct
+
+    data = bytearray(encode_jbig2_refine_page(base, refined))
+    # flip the refinement segment's type byte by locating its header
+    # (segment number 2, type 42)
+    hdr = struct.pack(">IB", 2, 42)
+    pos = bytes(data).find(hdr)
+    assert pos > 0
+    data[pos + 4] = 40
+    with pytest.raises(ValueError, match="intermediate refinement"):
+        decode_jbig2_embedded(bytes(data))
+
+
+def test_refined_jbig2_xobject_extraction():
+    """The refinement paths ride the /JBIG2Decode XObject pipeline
+    end to end with a pinned phash."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_text_refagg
+
+    rng = np.random.default_rng(97)
+    base = [rng.random((8, 6)) < 0.5]
+    bm = base[0] ^ (rng.random(base[0].shape) < 0.15)
+    bm[0, 0] = bm[-1, -1] = True
+    placements = [(3, 3, 0), (14, 3, 0), (3, 14, 0)]
+    W, H = 26, 26
+    data = encode_jbig2_text_refagg(base, [(bm, 0, 0, 0)], placements, (W, H))
+    want = np.full((H, W), 255, np.uint8)
+    for x, y, _ in placements:
+        h, w = bm.shape
+        want[y : y + h, x : x + w][bm] = 0
+    exp = phash64(np.repeat(want[:, :, None], 3, axis=2))
+    rows = extract_pdf_images(
+        make_pdf_with_images(
+            [{"data": data, "w": W, "h": H, "filter": "JBIG2Decode",
+              "colorspace": "DeviceGray", "bpc": 1}]
+        )
+    )
+    assert rows == [
+        {"idx": 0, "w": W, "h": H, "fmt": "jbig2", "phash": exp, "ok": True}
+    ]
+
+
 def test_text_region_refcorners_both_orientations():
     """All four REFCORNERs keep screen-space meaning in both
     orientations: encoding the corner-adjusted coordinate and decoding
