@@ -45,13 +45,19 @@ SBREFINE=1 text regions with per-instance RI/RDW/RDH/RDX/RDY refined
 placements — both GR templates, GRAT pixels, and TPGRON typical
 prediction.
 
+Halftone regions (T.88 §6.6) and pattern dictionaries (§6.7) decode
+too: the pattern dictionary's collective bitmap (arithmetic with
+AT1 = (-HDPW, 0), or MMR), Annex-C.5 Gray-coded arithmetic grayscale
+bitplanes sharing one MQ stream, and skewed-grid pattern placement
+honoring HCOMBOP and the external combination operator.
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): custom Huffman tables
 (table segments / selection 3) and the B.7/B.10 selections,
 refinement under Huffman coding (SDHUFF/SBHUFF=1), REFAGGNINST>1
-aggregates, intermediate region segments, halftone regions, striped
-pages. These are documented residue; the generic + text + refinement
-paths cover scanned pages end to end.
+aggregates, intermediate region segments, MMR grayscale bitplanes,
+HENABLESKIP, striped pages. These are documented residue; the generic
++ text + refinement + halftone paths cover scanned pages end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -843,9 +849,125 @@ def decode_text_region_huffman(
 
 
 # segment types (T.88 §7.3)
+# ---------------------------------------------------------------------------
+# Halftone regions (T.88 §6.6) + pattern dictionaries (§6.7): the
+# region is a grid of grayscale values, each value indexing a pattern
+# cell. The pattern dictionary decodes as ONE collective bitmap of
+# GRAYMAX+1 side-by-side HDPW×HDPH cells with AT1 = (-HDPW, 0) so each
+# cell conditions on its neighbor; the grayscale image decodes as
+# Gray-coded bitplanes (Annex C.5, MSB first) sharing one MQ stream
+# and context set, then patterns land on the skewed grid
+# x = (HGX + mg·HRY + ng·HRX) >> 8, y = (HGY + mg·HRX − ng·HRY) >> 8
+# (all grid parameters in 1/256-pixel units).
+# ---------------------------------------------------------------------------
+
+
+def decode_pattern_dict(body: bytes) -> list[np.ndarray]:
+    """§6.7.5: pattern dictionary segment data → GRAYMAX+1 bitmaps."""
+    flags = body[0]
+    hdmmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = body[1], body[2]
+    (graymax,) = struct.unpack_from(">I", body, 3)
+    if hdpw == 0 or hdph == 0:
+        raise ValueError("JBIG2 pattern dict: zero pattern size")
+    cw = (graymax + 1) * hdpw
+    if hdmmr:
+        coll = decode_g4(body[7:], columns=cw, rows=hdph) == 0
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)][: _GB_AT_COUNT[template]]
+        coll = decode_generic_arith(body[7:], cw, hdph, at, template)
+    return [
+        coll[:, k * hdpw : (k + 1) * hdpw].astype(bool)
+        for k in range(graymax + 1)
+    ]
+
+
+def decode_gray_planes(
+    mq: MQDecoder, w: int, h: int, bits: int, template: int
+) -> np.ndarray:
+    """Annex C.5 arithmetic grayscale image: ``bits`` Gray-coded
+    bitplanes, MSB first, one shared MQ stream + context set →
+    int array of values."""
+    at = _GB_AT_NOMINAL[template][: _GB_AT_COUNT[template]]
+    value = np.zeros((h, w), dtype=np.int64)
+    prev = np.zeros((h, w), dtype=np.uint8)
+    for j in range(bits - 1, -1, -1):
+        plane = _generic_decode_with(mq, w, h, at, template).astype(np.uint8)
+        if j == bits - 1:
+            bit = plane
+        else:
+            bit = plane ^ prev
+        value = (value << 1) | bit
+        prev = bit
+    return value
+
+
+def _compose(dst: np.ndarray, src: np.ndarray, op: int) -> np.ndarray:
+    if op == 0:
+        return dst | src
+    if op == 1:
+        return dst & src
+    if op == 2:
+        return dst ^ src
+    if op == 3:
+        return ~(dst ^ src)
+    return src.copy()  # 4 = REPLACE
+
+
+def decode_halftone_region(
+    body: bytes, pats: list[np.ndarray]
+) -> tuple[np.ndarray, int, int, int]:
+    """§6.6.5 halftone region segment data → (bitmap, x, y, comb_op)."""
+    w, h, x, y = struct.unpack_from(">IIII", body, 0)
+    ext_op = body[16] & 7
+    hflags = body[17]
+    if hflags & 1:
+        raise ValueError("JBIG2 MMR halftone grayscale unsupported")
+    template = (hflags >> 1) & 3
+    if hflags & 8:
+        raise ValueError("JBIG2 halftone HENABLESKIP unsupported")
+    comb_op = (hflags >> 4) & 7
+    defpixel = (hflags >> 7) & 1
+    hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", body, 18)
+    hrx, hry = struct.unpack_from(">HH", body, 34)
+    region = np.full((h, w), bool(defpixel))
+    bits = max(len(pats) - 1, 0).bit_length()
+    mq = MQDecoder(body[38:])
+    gray = (
+        decode_gray_planes(mq, hgw, hgh, bits, template)
+        if bits
+        else np.zeros((hgh, hgw), dtype=np.int64)
+    )
+    if gray.max(initial=0) >= len(pats):
+        raise ValueError("JBIG2 halftone: gray value exceeds pattern count")
+    ph, pw = pats[0].shape
+    for mg in range(hgh):
+        for ng in range(hgw):
+            px = (hgx + mg * hry + ng * hrx) >> 8
+            py = (hgy + mg * hrx - ng * hry) >> 8
+            pat = pats[int(gray[mg, ng])]
+            # clip the cell to the region window
+            sy, sx = max(0, -py), max(0, -px)
+            ey = min(ph, h - py)
+            ex = min(pw, w - px)
+            if sy >= ey or sx >= ex:
+                continue
+            region[py + sy : py + ey, px + sx : px + ex] = _compose(
+                region[py + sy : py + ey, px + sx : px + ex],
+                pat[sy:ey, sx:ex],
+                comb_op,
+            )
+    return region, x, y, ext_op
+
+
 _SYMBOL_DICT = 0
 _IMM_TEXT = 6
 _IMM_LOSSLESS_TEXT = 7
+_PATTERN_DICT = 16
+_INTERMEDIATE_HALFTONE = 20
+_IMM_HALFTONE = 22
+_IMM_LOSSLESS_HALFTONE = 23
 _PAGE_INFO = 48
 _IMM_GENERIC = 38
 _IMM_LOSSLESS_GENERIC = 39
@@ -901,7 +1023,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
     segments, typically symbol dictionaries, referenced by every page's
     image stream) is processed first into the same segment state.
     Raises on any segment kind outside the subset."""
-    state: dict = {"page": None, "dicts": {}}
+    state: dict = {"page": None, "dicts": {}, "pats": {}}
     if globals_data:
         _run_segments(globals_data, state)
     _run_segments(data, state)
@@ -1057,6 +1179,25 @@ def _run_segments(data: bytes, state: dict) -> None:
             if y + h > page.shape[0] or x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
+        elif t == _PATTERN_DICT:
+            state["pats"][hdr["number"]] = decode_pattern_dict(body)
+        elif t in (_IMM_HALFTONE, _IMM_LOSSLESS_HALFTONE):
+            if page is None:
+                raise ValueError("JBIG2 region before page info")
+            pats: list[np.ndarray] = []
+            for r in hdr["refs"]:
+                pats.extend(state["pats"].get(r, []))
+            if not pats:
+                raise ValueError("JBIG2 halftone region with no patterns")
+            region, x, y, ext_op = decode_halftone_region(body, pats)
+            h, w = region.shape
+            if y + h > page.shape[0] or x + w > page.shape[1]:
+                raise ValueError("JBIG2 region exceeds page")
+            page[y : y + h, x : x + w] = _compose(
+                page[y : y + h, x : x + w], region, ext_op
+            )
+        elif t == _INTERMEDIATE_HALFTONE:
+            raise ValueError("JBIG2 intermediate halftone region unsupported")
         elif t in (_IMM_REFINE, _IMM_LOSSLESS_REFINE):
             # §7.4.7: the region refines the page content under it
             # (intermediate-region references are out of subset), then
@@ -1093,16 +1234,7 @@ def _run_segments(data: bytes, state: dict) -> None:
             region = _refine_decode_with(
                 mq, w, h, ref, 0, 0, template, rat, tpgron
             )
-            if comb_op == 0:
-                page[y : y + h, x : x + w] |= region
-            elif comb_op == 1:
-                page[y : y + h, x : x + w] &= region
-            elif comb_op == 2:
-                page[y : y + h, x : x + w] ^= region
-            elif comb_op == 3:
-                page[y : y + h, x : x + w] = ~(ref ^ region)
-            else:  # 4 = REPLACE
-                page[y : y + h, x : x + w] = region
+            page[y : y + h, x : x + w] = _compose(ref, region, comb_op)
         elif t == _INTERMEDIATE_REFINE:
             raise ValueError("JBIG2 intermediate refinement region unsupported")
         elif t in (_END_OF_PAGE, _END_OF_FILE):
@@ -1281,6 +1413,66 @@ def encode_jbig2_text_refagg(
         + tr_data
     )
     segment(3, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(2,))
+    return bytes(out)
+
+
+def encode_jbig2_halftone(
+    gray: np.ndarray,
+    patterns: list[np.ndarray],
+    template: int = 0,
+) -> bytes:
+    """Fixture: page info + pattern dictionary + one immediate
+    lossless halftone region. ``gray`` is the (HGH, HGW) grid of
+    pattern indices; ``patterns`` share one (ph, pw) shape. The grid
+    is axis-aligned (HRX = pw<<8, HRY = 0) so cell (mg, ng) lands at
+    (ng·pw, mg·pw)."""
+    gray = np.asarray(gray, dtype=np.int64)
+    hgh, hgw = gray.shape
+    ph, pw = patterns[0].shape
+    if any(p.shape != (ph, pw) for p in patterns):
+        raise ValueError("patterns must share one shape")
+    w = hgw * pw
+    h = (hgh - 1) * pw + ph
+    out = bytearray()
+
+    def segment(num, seg_type, page, body, refs=()):
+        out.extend(struct.pack(">IB", num, seg_type))
+        out.append(len(refs) << 5)
+        for r in refs:
+            out.append(r)
+        out.append(page)
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(body)
+
+    segment(0, _PAGE_INFO, 1, struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
+    # pattern dictionary: arithmetic collective bitmap, AT1 = (-pw, 0)
+    coll = np.hstack([p.astype(bool) for p in patterns])
+    mq = MQEncoder()
+    at = [(-pw, 0), (-3, -1), (2, -2), (-2, -2)][: _GB_AT_COUNT[template]]
+    _generic_encode_with(mq, coll, at, template)
+    pd_body = (
+        bytes([template << 1])
+        + bytes([pw, ph])
+        + struct.pack(">I", len(patterns) - 1)
+        + mq.flush()
+    )
+    segment(1, _PATTERN_DICT, 1, pd_body)
+    # halftone region: Gray-coded bitplanes, MSB first, shared coder
+    bits = max(len(patterns) - 1, 0).bit_length()
+    g = gray ^ (gray >> 1)
+    mq = MQEncoder()
+    gat = _GB_AT_NOMINAL[template][: _GB_AT_COUNT[template]]
+    for j in range(bits - 1, -1, -1):
+        _generic_encode_with(mq, ((g >> j) & 1).astype(bool), gat, template)
+    ht_body = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + b"\x00"  # external combination OR
+        + bytes([template << 1])  # arith, no skip, comb OR, defpixel 0
+        + struct.pack(">IIii", hgw, hgh, 0, 0)
+        + struct.pack(">HH", pw << 8, 0)
+        + (mq.flush() if bits else b"")
+    )
+    segment(2, _IMM_LOSSLESS_HALFTONE, 1, ht_body, refs=(1,))
     return bytes(out)
 
 

@@ -40,10 +40,10 @@ def test_embedded_roundtrip():
 
 
 def test_unsupported_segment_kinds_raise():
-    # halftone region (type 22) — out of subset
+    # intermediate generic region (type 36) — out of subset
     import struct
 
-    seg = struct.pack(">IB", 0, 22) + b"\x00\x01" + struct.pack(">I", 0)
+    seg = struct.pack(">IB", 0, 36) + b"\x00\x01" + struct.pack(">I", 0)
     with pytest.raises(ValueError, match="unsupported"):
         decode_jbig2_embedded(seg)
     # TPGDON with MMR is invalid per spec
@@ -577,6 +577,96 @@ def test_refined_jbig2_xobject_extraction():
     for x, y, _ in placements:
         h, w = bm.shape
         want[y : y + h, x : x + w][bm] = 0
+    exp = phash64(np.repeat(want[:, :, None], 3, axis=2))
+    rows = extract_pdf_images(
+        make_pdf_with_images(
+            [{"data": data, "w": W, "h": H, "filter": "JBIG2Decode",
+              "colorspace": "DeviceGray", "bpc": 1}]
+        )
+    )
+    assert rows == [
+        {"idx": 0, "w": W, "h": H, "fmt": "jbig2", "phash": exp, "ok": True}
+    ]
+
+
+def test_halftone_region_page():
+    """T.88 §6.6/§6.7: pattern dictionary (collective bitmap, AT1 =
+    (-HDPW, 0)) + halftone region (Gray-coded bitplanes, MSB first,
+    one shared MQ stream) reproduce the grid of pattern cells exactly
+    — templates 0 and 2, including a pattern count that is not a
+    power of two."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(101)
+    for template in (0, 2):
+        for n_pats, P in ((4, 4), (6, 3)):
+            # graded density patterns — the real halftone shape
+            pats = []
+            order = rng.permutation(P * P)
+            for k in range(n_pats):
+                cell = np.zeros(P * P, bool)
+                cell[order[: (k * P * P) // max(n_pats - 1, 1)]] = True
+                pats.append(cell.reshape(P, P))
+            gray = rng.integers(0, n_pats, size=(5, 7))
+            page = decode_jbig2_embedded(
+                encode_jbig2_halftone(gray, pats, template)
+            )
+            H, W = (gray.shape[0] - 1) * P + P, gray.shape[1] * P
+            want = np.full((H, W), 255, np.uint8)
+            for mg in range(gray.shape[0]):
+                for ng in range(gray.shape[1]):
+                    cell = pats[int(gray[mg, ng])]
+                    want[mg * P : mg * P + P, ng * P : ng * P + P][cell] = 0
+            assert np.array_equal(page, want), (template, n_pats)
+
+
+def test_halftone_out_of_subset_raises():
+    """MMR grayscale, skip prediction, intermediate halftone regions —
+    all must surface as ValueError, never garbage."""
+    import struct
+
+    from crawler_spark.functions.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(103)
+    pats = [np.zeros((3, 3), bool), np.ones((3, 3), bool)]
+    gray = rng.integers(0, 2, size=(3, 3))
+    data = encode_jbig2_halftone(gray, pats)
+    # the halftone segment's flags byte: header 11 + region info 17
+    # header = number(4) + type(1) + refcount(1) + ref(1) + page(1) +
+    # length(4) = 12 bytes; halftone flags byte = body[17]
+    ht_hdr = bytes(data).find(struct.pack(">IB", 2, 23))
+    assert ht_hdr > 0
+    flags_off = ht_hdr + 12 + 17
+    for bad_bit, msg in ((0x01, "MMR halftone"), (0x08, "HENABLESKIP")):
+        mut = bytearray(data)
+        mut[flags_off] |= bad_bit
+        with pytest.raises(ValueError, match=msg):
+            decode_jbig2_embedded(bytes(mut))
+    mut = bytearray(data)
+    mut[ht_hdr + 4] = 20  # intermediate halftone region
+    with pytest.raises(ValueError, match="intermediate halftone"):
+        decode_jbig2_embedded(bytes(mut))
+
+
+def test_halftone_xobject_extraction():
+    from crawler_spark.functions.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(107)
+    P = 4
+    pats = []
+    for k in range(4):
+        cell = np.zeros((P, P), bool)
+        cell.flat[: k * 5] = True
+        pats.append(cell)
+    gray = rng.integers(0, 4, size=(6, 8))
+    data = encode_jbig2_halftone(gray, pats)
+    H, W = 6 * P, 8 * P
+    want = np.full((H, W), 255, np.uint8)
+    for mg in range(6):
+        for ng in range(8):
+            want[mg * P : (mg + 1) * P, ng * P : (ng + 1) * P][
+                pats[int(gray[mg, ng])]
+            ] = 0
     exp = phash64(np.repeat(want[:, :, None], 3, axis=2))
     rows = extract_pdf_images(
         make_pdf_with_images(
