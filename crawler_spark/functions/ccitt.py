@@ -534,3 +534,41 @@ def decode_ccittfax(
     if k == 0:
         return decode_mh(data, columns, rows, black_is_1, byte_align)
     return decode_g3_mixed(data, columns, rows, black_is_1)
+
+
+def decode_g4_frames(
+    data: bytes, columns: int, rows: int, n_frames: int
+) -> list[np.ndarray]:
+    """T.6 decode of ``n_frames`` consecutive bitmaps sharing ONE bit
+    stream, each terminated by an EOFB (two EOL codes) — the layout
+    JBIG2's Annex-C.5 MMR grayscale bitplanes use. Returns uint8
+    bitmaps (0=black, 255=white)."""
+    br = _Bits(data)
+    frames: list[np.ndarray] = []
+    for _ in range(n_frames):
+        out = np.full((rows, columns), 255, dtype=np.uint8)
+        ref: list[int] = []
+        for y in range(rows):
+            cur = _decode_2d_row(br, ref, columns)
+            _paint_row(out, y, cur, columns)
+            ref = cur
+        if br.get(24) != 0x001001:
+            raise ValueError("MMR bitplanes: missing EOFB")
+        frames.append(out)
+    return frames
+
+
+def encode_g4_frames(imgs: list[np.ndarray]) -> bytes:
+    """Fixture twin of :func:`decode_g4_frames`: each bool bitmap
+    (True=black) 2-D-coded then EOFB-terminated, bit-continuous."""
+    bw = _Bits()
+    for img in imgs:
+        arr = np.asarray(img).astype(bool)
+        h, w = arr.shape
+        ref: list[int] = []
+        for y in range(h):
+            cur = _transitions(arr[y])
+            _encode_2d_row(bw, cur, ref, w)
+            ref = cur
+        bw.put(0x001001, 24)
+    return bw.flush()

@@ -47,17 +47,18 @@ prediction.
 
 Halftone regions (T.88 §6.6) and pattern dictionaries (§6.7) decode
 too: the pattern dictionary's collective bitmap (arithmetic with
-AT1 = (-HDPW, 0), or MMR), Annex-C.5 Gray-coded arithmetic grayscale
-bitplanes sharing one MQ stream, and skewed-grid pattern placement
+AT1 = (-HDPW, 0), or MMR), Annex-C.5 Gray-coded grayscale bitplanes
+— arithmetic sharing one MQ stream, or MMR sharing one
+EOFB-delimited T.6 stream — and skewed-grid pattern placement
 honoring HCOMBOP and the external combination operator.
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): custom Huffman tables
 (table segments / selection 3) and the B.7/B.10 selections,
 refinement under Huffman coding (SDHUFF/SBHUFF=1), REFAGGNINST>1
-aggregates, intermediate region segments, MMR grayscale bitplanes,
-HENABLESKIP, striped pages. These are documented residue; the generic
-+ text + refinement + halftone paths cover scanned pages end to end.
+aggregates, intermediate region segments, HENABLESKIP, striped
+pages. These are documented residue; the generic + text + refinement
++ halftone paths cover scanned pages end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -883,6 +884,18 @@ def decode_pattern_dict(body: bytes) -> list[np.ndarray]:
     ]
 
 
+def _gray_to_values(planes: list[np.ndarray]) -> np.ndarray:
+    """Annex C.5 Gray decode: planes arrive MSB first; each lower bit
+    XORs against the bit above it."""
+    value = np.zeros(planes[0].shape, dtype=np.int64)
+    prev = np.zeros(planes[0].shape, dtype=np.uint8)
+    for j, plane in enumerate(planes):
+        bit = plane if j == 0 else plane ^ prev
+        value = (value << 1) | bit
+        prev = bit
+    return value
+
+
 def decode_gray_planes(
     mq: MQDecoder, w: int, h: int, bits: int, template: int
 ) -> np.ndarray:
@@ -890,17 +903,11 @@ def decode_gray_planes(
     bitplanes, MSB first, one shared MQ stream + context set →
     int array of values."""
     at = _GB_AT_NOMINAL[template][: _GB_AT_COUNT[template]]
-    value = np.zeros((h, w), dtype=np.int64)
-    prev = np.zeros((h, w), dtype=np.uint8)
-    for j in range(bits - 1, -1, -1):
-        plane = _generic_decode_with(mq, w, h, at, template).astype(np.uint8)
-        if j == bits - 1:
-            bit = plane
-        else:
-            bit = plane ^ prev
-        value = (value << 1) | bit
-        prev = bit
-    return value
+    planes = [
+        _generic_decode_with(mq, w, h, at, template).astype(np.uint8)
+        for _ in range(bits)
+    ]
+    return _gray_to_values(planes)
 
 
 def _compose(dst: np.ndarray, src: np.ndarray, op: int) -> np.ndarray:
@@ -922,8 +929,7 @@ def decode_halftone_region(
     w, h, x, y = struct.unpack_from(">IIII", body, 0)
     ext_op = body[16] & 7
     hflags = body[17]
-    if hflags & 1:
-        raise ValueError("JBIG2 MMR halftone grayscale unsupported")
+    hmmr = hflags & 1
     template = (hflags >> 1) & 3
     if hflags & 8:
         raise ValueError("JBIG2 halftone HENABLESKIP unsupported")
@@ -933,12 +939,21 @@ def decode_halftone_region(
     hrx, hry = struct.unpack_from(">HH", body, 34)
     region = np.full((h, w), bool(defpixel))
     bits = max(len(pats) - 1, 0).bit_length()
-    mq = MQDecoder(body[38:])
-    gray = (
-        decode_gray_planes(mq, hgw, hgh, bits, template)
-        if bits
-        else np.zeros((hgh, hgw), dtype=np.int64)
-    )
+    if not bits:
+        gray = np.zeros((hgh, hgw), dtype=np.int64)
+    elif hmmr:
+        # C.5 MMR form: all bitplanes ride ONE T.6 stream, an EOFB
+        # terminating each plane; Gray decode matches the MQ path
+        from crawler_spark.functions.ccitt import decode_g4_frames
+
+        planes = [
+            (f == 0).astype(np.uint8)
+            for f in decode_g4_frames(body[38:], hgw, hgh, bits)
+        ]
+        gray = _gray_to_values(planes)
+    else:
+        mq = MQDecoder(body[38:])
+        gray = decode_gray_planes(mq, hgw, hgh, bits, template)
     if gray.max(initial=0) >= len(pats):
         raise ValueError("JBIG2 halftone: gray value exceeds pattern count")
     ph, pw = pats[0].shape
@@ -1420,6 +1435,7 @@ def encode_jbig2_halftone(
     gray: np.ndarray,
     patterns: list[np.ndarray],
     template: int = 0,
+    mmr: bool = False,
 ) -> bytes:
     """Fixture: page info + pattern dictionary + one immediate
     lossless halftone region. ``gray`` is the (HGH, HGW) grid of
@@ -1445,32 +1461,52 @@ def encode_jbig2_halftone(
         out.extend(body)
 
     segment(0, _PAGE_INFO, 1, struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
-    # pattern dictionary: arithmetic collective bitmap, AT1 = (-pw, 0)
+    # pattern dictionary: collective bitmap, arithmetic AT1 = (-pw, 0)
+    # or one MMR stream
     coll = np.hstack([p.astype(bool) for p in patterns])
-    mq = MQEncoder()
-    at = [(-pw, 0), (-3, -1), (2, -2), (-2, -2)][: _GB_AT_COUNT[template]]
-    _generic_encode_with(mq, coll, at, template)
+    if mmr:
+        pd_data = encode_g4(coll)
+        pd_flags = 1
+    else:
+        mq = MQEncoder()
+        at = [(-pw, 0), (-3, -1), (2, -2), (-2, -2)][: _GB_AT_COUNT[template]]
+        _generic_encode_with(mq, coll, at, template)
+        pd_data = mq.flush()
+        pd_flags = template << 1
     pd_body = (
-        bytes([template << 1])
+        bytes([pd_flags])
         + bytes([pw, ph])
         + struct.pack(">I", len(patterns) - 1)
-        + mq.flush()
+        + pd_data
     )
     segment(1, _PATTERN_DICT, 1, pd_body)
-    # halftone region: Gray-coded bitplanes, MSB first, shared coder
+    # halftone region: Gray-coded bitplanes, MSB first — one shared
+    # MQ coder, or one EOFB-delimited MMR stream
     bits = max(len(patterns) - 1, 0).bit_length()
     g = gray ^ (gray >> 1)
-    mq = MQEncoder()
-    gat = _GB_AT_NOMINAL[template][: _GB_AT_COUNT[template]]
-    for j in range(bits - 1, -1, -1):
-        _generic_encode_with(mq, ((g >> j) & 1).astype(bool), gat, template)
+    planes = [((g >> j) & 1).astype(bool) for j in range(bits - 1, -1, -1)]
+    if not bits:
+        ht_data = b""
+        ht_flags = 0
+    elif mmr:
+        from crawler_spark.functions.ccitt import encode_g4_frames
+
+        ht_data = encode_g4_frames(planes)
+        ht_flags = 1
+    else:
+        mq = MQEncoder()
+        gat = _GB_AT_NOMINAL[template][: _GB_AT_COUNT[template]]
+        for plane in planes:
+            _generic_encode_with(mq, plane, gat, template)
+        ht_data = mq.flush()
+        ht_flags = template << 1
     ht_body = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"  # external combination OR
-        + bytes([template << 1])  # arith, no skip, comb OR, defpixel 0
+        + bytes([ht_flags])  # no skip, comb OR, defpixel 0
         + struct.pack(">IIii", hgw, hgh, 0, 0)
         + struct.pack(">HH", pw << 8, 0)
-        + (mq.flush() if bits else b"")
+        + ht_data
     )
     segment(2, _IMM_LOSSLESS_HALFTONE, 1, ht_body, refs=(1,))
     return bytes(out)

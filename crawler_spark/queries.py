@@ -2832,7 +2832,8 @@ ORACLE_SQL["q57_image_embed_topk"] = Q57_SQL
 # phash computed INDEPENDENTLY from the source pixels (carried through
 # the plan, compared JVM-side), and the oracle pins id/dims/fmt/
 # verdict. Mode rotation: plain DCT / Flate-wrapped DCT / raw RGB /
-# AES-128-encrypted DCT.
+# AES-128-encrypted DCT / CCITT G4 / mixed G3 / JBIG2 / JPX
+# (lossless JPEG 2000 through functions/jpeg2000.py).
 # ---------------------------------------------------------------------------
 
 
@@ -2869,8 +2870,17 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                mode = doc_id % 7
-                if mode >= 4:
+                mode = doc_id % 8
+                if mode == 7:
+                    # JPEG 2000: reversible 5/3 + RCT → bit-exact, so
+                    # the expected phash comes from the source pixels
+                    from crawler_spark.functions.jpeg2000 import encode_j2k
+
+                    spec = {"data": encode_j2k(arr, levels=1), "w": w,
+                            "h": h, "filter": "JPXDecode"}
+                    doc = make_pdf_with_images([spec])
+                    exp_ph, fmt = im.phash64(arr), "jpx"
+                elif mode >= 4:
                     # scanned-document shapes: bilevel XObjects, gray→RGB;
                     # mode 4 = CCITT G4 (K=-1), mode 5 = mixed G3 (K=4)
                     # (ITU-T T.4/T.6, functions/ccitt.py), mode 6 =
@@ -2946,9 +2956,10 @@ SELECT doc_id,
        0 AS img_idx,
        (16 + (doc_id % 3) * 8)::INT AS w,
        (16 + ((doc_id * 5) % 3) * 8)::INT AS h,
-       CASE WHEN doc_id % 7 = 2 THEN 'raw'
-            WHEN doc_id % 7 IN (4, 5) THEN 'ccitt'
-            WHEN doc_id % 7 = 6 THEN 'jbig2'
+       CASE WHEN doc_id % 8 = 2 THEN 'raw'
+            WHEN doc_id % 8 IN (4, 5) THEN 'ccitt'
+            WHEN doc_id % 8 = 6 THEN 'jbig2'
+            WHEN doc_id % 8 = 7 THEN 'jpx'
             ELSE 'jpg' END AS fmt,
        true AS ok
 FROM documents WHERE doc_id < 30

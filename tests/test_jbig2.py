@@ -598,7 +598,7 @@ def test_halftone_region_page():
     from crawler_spark.functions.jbig2 import encode_jbig2_halftone
 
     rng = np.random.default_rng(101)
-    for template in (0, 2):
+    for template, mmr in ((0, False), (2, False), (0, True)):
         for n_pats, P in ((4, 4), (6, 3)):
             # graded density patterns — the real halftone shape
             pats = []
@@ -609,7 +609,7 @@ def test_halftone_region_page():
                 pats.append(cell.reshape(P, P))
             gray = rng.integers(0, n_pats, size=(5, 7))
             page = decode_jbig2_embedded(
-                encode_jbig2_halftone(gray, pats, template)
+                encode_jbig2_halftone(gray, pats, template, mmr=mmr)
             )
             H, W = (gray.shape[0] - 1) * P + P, gray.shape[1] * P
             want = np.full((H, W), 255, np.uint8)
@@ -621,8 +621,8 @@ def test_halftone_region_page():
 
 
 def test_halftone_out_of_subset_raises():
-    """MMR grayscale, skip prediction, intermediate halftone regions —
-    all must surface as ValueError, never garbage."""
+    """Skip prediction and intermediate halftone regions must surface
+    as ValueError, never garbage."""
     import struct
 
     from crawler_spark.functions.jbig2 import encode_jbig2_halftone
@@ -637,11 +637,10 @@ def test_halftone_out_of_subset_raises():
     ht_hdr = bytes(data).find(struct.pack(">IB", 2, 23))
     assert ht_hdr > 0
     flags_off = ht_hdr + 12 + 17
-    for bad_bit, msg in ((0x01, "MMR halftone"), (0x08, "HENABLESKIP")):
-        mut = bytearray(data)
-        mut[flags_off] |= bad_bit
-        with pytest.raises(ValueError, match=msg):
-            decode_jbig2_embedded(bytes(mut))
+    mut = bytearray(data)
+    mut[flags_off] |= 0x08
+    with pytest.raises(ValueError, match="HENABLESKIP"):
+        decode_jbig2_embedded(bytes(mut))
     mut = bytearray(data)
     mut[ht_hdr + 4] = 20  # intermediate halftone region
     with pytest.raises(ValueError, match="intermediate halftone"):

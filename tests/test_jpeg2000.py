@@ -1,0 +1,220 @@
+"""JPEG 2000 (ITU-T T.800, functions/jpeg2000.py) and the /JPXDecode
+XObject integration. Encoder and decoder share only the spec tables
+(the MQ state machine, context models, lifting constants), so
+bit-exact round-trips pin both sides; everything outside the subset
+must quarantine, never emit garbage pixels."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from crawler_spark.functions.jpeg2000 import (
+    decode_jpx,
+    encode_j2k,
+    wrap_jp2,
+)
+
+
+def _photo_like(rng, h, w, chans=0):
+    """Smooth gradients + structured noise — compressible, full range."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (np.sin(xx / 7.0) + np.cos(yy / 9.0)) * 70 + 128
+    if chans:
+        out = np.stack(
+            [base + 20 * k + rng.integers(-9, 10, (h, w)) for k in range(chans)],
+            axis=-1,
+        )
+    else:
+        out = base + rng.integers(-9, 10, (h, w))
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def test_lossless_roundtrip_shapes_and_levels():
+    """5/3 + RCT reversible path: random and photo-like content, odd
+    sizes, level counts 0-3, small code-blocks forcing multi-block
+    packets — all bit-exact."""
+    rng = np.random.default_rng(11)
+    cases = [
+        ((16, 16), 1, (4, 4)),
+        ((37, 23), 2, (4, 4)),
+        ((33, 61), 3, (4, 5)),
+        ((8, 8), 0, (4, 4)),
+        ((1, 17), 1, (4, 4)),
+        ((19, 1), 2, (4, 4)),
+    ]
+    for shape, levels, cb in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        out = decode_jpx(encode_j2k(img, levels=levels, cb_exp=cb))
+        assert np.array_equal(out, img), (shape, levels, cb)
+    rgb = _photo_like(rng, 48, 64, 3)
+    out = decode_jpx(encode_j2k(rgb, levels=2, cb_exp=(5, 5)))
+    assert np.array_equal(out, rgb)
+
+
+def test_lossless_roundtrip_16bit():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 65536, (21, 34)).astype(np.uint16)
+    out = decode_jpx(encode_j2k(img, levels=2))
+    assert out.dtype == np.uint16 and np.array_equal(out, img)
+
+
+def test_decoder_structures_from_real_encoders():
+    """The structures arbitrary encoders emit must all decode to the
+    same pixels: RLCP/RPCL progressions, SOP/EPH marker segments, two
+    quality layers (tail passes split + late-joining code-blocks),
+    custom precincts, multiple tiles, and their combination."""
+    rng = np.random.default_rng(17)
+    img = _photo_like(rng, 45, 70)
+    for kw in (
+        dict(prog=1),
+        dict(prog=2),
+        dict(sop=True, eph=True),
+        dict(layers=2),
+        dict(precinct_exp=(5, 5)),
+        dict(precinct_exp=(4, 4), prog=2),
+        dict(tile_size=(32, 32)),
+        dict(tile_size=(30, 25), layers=2, precinct_exp=(5, 5), prog=1),
+    ):
+        out = decode_jpx(encode_j2k(img, levels=2, cb_exp=(4, 4), **kw))
+        assert np.array_equal(out, img), kw
+
+
+def test_irreversible_97_psnr():
+    """9/7 + ICT with Δb = 1: not bit-exact by design, but the
+    float path must stay within a small fraction of a gray level."""
+    rng = np.random.default_rng(19)
+    for chans in (0, 3):
+        img = _photo_like(rng, 40, 56, chans)
+        out = decode_jpx(encode_j2k(img, levels=2, reversible=False))
+        mse = np.mean((out.astype(float) - img.astype(float)) ** 2)
+        psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+        assert psnr > 45, (chans, psnr)
+
+
+def test_segmentation_symbols():
+    """cbstyle bit 5: the 1010 sentinel decodes after every cleanup
+    pass; corrupting entropy data must surface as ValueError."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    data = encode_j2k(img, levels=1, segsym=True)
+    assert np.array_equal(decode_jpx(data), img)
+    # flip a byte deep in the entropy payload: the sentinel catches it
+    mut = bytearray(data)
+    mut[-20] ^= 0x5A
+    with pytest.raises(ValueError):
+        decode_jpx(bytes(mut))
+
+
+def test_jp2_container():
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (20, 26)).astype(np.uint8)
+    code = encode_j2k(img, levels=1)
+    assert np.array_equal(decode_jpx(wrap_jp2(code)), img)
+    # a container without a jp2c box must raise, not decode garbage
+    import struct
+
+    sig = struct.pack(">I", 12) + b"jP  " + b"\x0d\x0a\x87\x0a"
+    with pytest.raises(ValueError, match="jp2c"):
+        decode_jpx(sig + struct.pack(">I", 8) + b"ftyp")
+    with pytest.raises(ValueError):
+        decode_jpx(b"\x00" * 16)
+
+
+def test_unsupported_features_raise():
+    """Out-of-subset codestream features surface as ValueError so the
+    PDF extractor quarantines: entropy-changing code-block styles,
+    PCRL/CPRL progressions, POC, PPM."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    data = bytearray(encode_j2k(img, levels=1))
+    # COD segment: SOC(2) SIZ(2+2+38+3) then COD marker(2)+len(2)+body
+    cod_off = data.find(b"\xff\x52")
+    assert cod_off > 0
+    body = cod_off + 4
+    for byte_off, val, msg in (
+        (body + 8, 0x01, "code-block style"),  # selective bypass
+        (body + 8, 0x08, "code-block style"),  # vertical causal
+        (body + 1, 3, "progression"),          # PCRL
+        (body + 1, 4, "progression"),          # CPRL
+    ):
+        mut = bytearray(data)
+        if byte_off == body + 8:
+            mut[byte_off] |= val
+        else:
+            mut[byte_off] = val
+        with pytest.raises(ValueError, match=msg):
+            decode_jpx(bytes(mut))
+    # truncated stream raises rather than looping or padding
+    with pytest.raises(ValueError):
+        decode_jpx(bytes(data[: len(data) // 2]))
+
+
+def test_mq_shared_with_jbig2_different_initial_states():
+    """JPEG 2000 seeds the MQ contexts per Table D.7 — verify the
+    shared coder honors caller-set initial states both ways."""
+    from crawler_spark.functions.jpeg2000 import _init_mq
+    from crawler_spark.functions.mq import MQDecoder, MQEncoder
+
+    import random
+
+    rnd = random.Random(5)
+    bits = [(rnd.randrange(2), rnd.choice([0, 17, 18])) for _ in range(600)]
+    enc = MQEncoder()
+    _init_mq(enc)
+    for d, cx in bits:
+        enc.encode(d, cx)
+    dec = MQDecoder(enc.flush())
+    _init_mq(dec)
+    assert all(dec.decode(cx) == d for d, cx in bits)
+    # without the seeding the streams must NOT agree (states matter)
+    dec2 = MQDecoder(_enc_bits(bits))
+    _init_mq(dec2)
+    mismatch = any(dec2.decode(cx) != d for d, cx in bits)
+    assert mismatch
+
+
+def _enc_bits(bits):
+    from crawler_spark.functions.mq import MQEncoder
+
+    enc = MQEncoder()  # JBIG2-style all-zero initial states
+    for d, cx in bits:
+        enc.encode(d, cx)
+    return enc.flush()
+
+
+def test_jpx_xobject_extraction_pinned_phash():
+    """/JPXDecode rides the PDF image pipeline end to end — gray and
+    RGB, under a filter chain and encryption."""
+    from crawler_spark.functions.images import phash64
+    from crawler_spark.operators.pdf_decode import (
+        extract_pdf_images,
+        make_pdf_with_images,
+    )
+
+    rng = np.random.default_rng(37)
+    gray = _photo_like(rng, 24, 40)
+    rgb = _photo_like(rng, 20, 28, 3)
+    g_exp = phash64(np.repeat(gray[:, :, None], 3, axis=2))
+    c_exp = phash64(rgb)
+    specs = [
+        {"data": encode_j2k(gray, levels=2), "w": 40, "h": 24,
+         "filter": "JPXDecode", "colorspace": "DeviceGray", "bpc": 8},
+        {"data": wrap_jp2(encode_j2k(rgb, levels=1)), "w": 28, "h": 20,
+         "filter": "JPXDecode", "colorspace": "DeviceRGB", "bpc": 8},
+    ]
+    rows = extract_pdf_images(make_pdf_with_images(specs))
+    assert rows == [
+        {"idx": 0, "w": 40, "h": 24, "fmt": "jpx", "phash": g_exp, "ok": True},
+        {"idx": 1, "w": 28, "h": 20, "fmt": "jpx", "phash": c_exp, "ok": True},
+    ]
+    enc = extract_pdf_images(
+        make_pdf_with_images(
+            [dict(specs[0], prefix=["FlateDecode"])], encrypt="aes-128"
+        )
+    )
+    assert enc[0]["phash"] == g_exp and enc[0]["ok"]
+    # corrupt payload quarantines, never garbage pixels
+    bad = dict(specs[0], data=specs[0]["data"][:40])
+    rows = extract_pdf_images(make_pdf_with_images([bad]))
+    assert len(rows) == 1 and rows[0]["ok"] is False

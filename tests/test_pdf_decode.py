@@ -609,11 +609,16 @@ def test_pdf_image_extraction_all_paths():
     lying = make_pdf_with_images([{"data": jp, "w": 99, "h": 24,
                                    "filter": "DCTDecode"}])
     assert extract_pdf_images(lying)[0]["ok"] is False
-    # out-of-scope codecs surface as ok=False rows, not silence
+    # a corrupt payload in an in-scope codec quarantines, not garbage
     jpx = make_pdf_with_images([{"data": b"\x00" * 64, "w": 4, "h": 4,
                                  "filter": "JPXDecode"}])
     row = extract_pdf_images(jpx)[0]
-    assert row["ok"] is False and row["fmt"] == "JPXDecode"
+    assert row["ok"] is False
+    # a genuinely unknown filter name still surfaces as ok=False
+    unk = make_pdf_with_images([{"data": b"\x00" * 64, "w": 4, "h": 4,
+                                 "filter": "NotACodec"}])
+    row = extract_pdf_images(unk)[0]
+    assert row["ok"] is False and row["fmt"] == "NotACodec"
     # text extraction is undisturbed by image objects
     from crawler_spark.operators.pdf_decode import extract_pdf_items
 
@@ -801,3 +806,51 @@ def test_cid_font_with_dangling_gid_map_skipped():
     pdf = pdf.replace(b"/CIDToGIDMap /Identity", b"/CIDToGIDMap 99 0 R")
     items = extract_pdf_items(pdf)
     assert all(i["str"] == "" for i in items) or not items
+
+
+def test_embedded_usecmap_chain():
+    """ISO 32000-1 §9.7.5.2: a ToUnicode CMap stream whose dict
+    carries /UseCMap inherits the referenced CMap's mappings, with the
+    descendant's own entries overriding — the split-CMap shape CJK
+    exporters emit. A circular chain must not hang."""
+    import zlib
+
+    from crawler_spark.operators.pdf_decode import extract_pdf_items
+
+    def stream_obj(num, extra, payload):
+        z = zlib.compress(payload)
+        return (
+            b"%d 0 obj\n<< /Length %d /Filter /FlateDecode %s >>\nstream\n"
+            % (num, len(z), extra)
+            + z
+            + b"\nendstream\nendobj\n"
+        )
+
+    base_cmap = (b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+                 b"endcodespacerange\n2 beginbfchar\n<01> <0041>\n"
+                 b"<02> <0058>\nendbfchar\nendcmap")  # 01→A, 02→X
+    child_cmap = (b"begincmap\n1 begincodespacerange\n<00> <FF>\n"
+                  b"endcodespacerange\n1 beginbfchar\n<02> <0042>\n"
+                  b"endbfchar\nendcmap")  # 02→B overrides the base's X
+    content = b"BT /FU 12 Tf 1 0 0 1 72 700 Tm <0102> Tj ET"
+    pdf = b"%PDF-1.5\n"
+    pdf += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pdf += b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pdf += (b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R /Resources << /Font << /FU 5 0 R >> >> >>\n"
+            b"endobj\n")
+    pdf += stream_obj(4, b"", content)
+    pdf += (b"5 0 obj\n<< /Type /Font /Subtype /TrueType /BaseFont /Fx"
+            b" /ToUnicode 6 0 R >>\nendobj\n")
+    pdf += stream_obj(6, b"/UseCMap 7 0 R", child_cmap)
+    pdf += stream_obj(7, b"", base_cmap)
+    pdf += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    items = extract_pdf_items(pdf)
+    assert [it["str"] for it in items] == ["AB"]
+    # circular chain: 6 → 7 → 6 terminates at the depth guard and
+    # still yields the descendant's own entries
+    loop = pdf.replace(
+        b"7 0 obj\n<< /Length", b"7 0 obj\n<< /UseCMap 6 0 R /Length"
+    )
+    items = extract_pdf_items(loop)
+    assert items and "B" in items[0]["str"]
