@@ -52,13 +52,18 @@ AT1 = (-HDPW, 0), or MMR), Annex-C.5 Gray-coded grayscale bitplanes
 EOFB-delimited T.6 stream — and skewed-grid pattern placement
 honoring HCOMBOP and the external combination operator.
 
+Striped pages decode too (§7.4.8.2): an unknown-height page (height
+0xFFFFFFFF with the striping flag) grows as stripes arrive, each
+END_OF_STRIPE segment fixing the stripe's final row.
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): custom Huffman tables
 (table segments / selection 3) and the B.7/B.10 selections,
 refinement under Huffman coding (SDHUFF/SBHUFF=1), REFAGGNINST>1
-aggregates, intermediate region segments, HENABLESKIP, striped
-pages. These are documented residue; the generic + text + refinement
-+ halftone paths cover scanned pages end to end.
+aggregates, intermediate region segments, HENABLESKIP,
+unknown-length segments. These are documented residue; the generic +
+text + refinement + halftone + striped paths cover scanned pages end
+to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -990,6 +995,7 @@ _INTERMEDIATE_REFINE = 40
 _IMM_REFINE = 41
 _IMM_LOSSLESS_REFINE = 42
 _END_OF_PAGE = 49
+_END_OF_STRIPE = 50
 _END_OF_FILE = 51
 
 
@@ -1048,6 +1054,19 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
     return np.where(page, 0, 255).astype(np.uint8)
 
 
+def _grow_page(state: dict, page: np.ndarray, rows: int) -> np.ndarray:
+    """Striped pages (§7.4.8.2) declare unknown height: the page
+    buffer grows as stripes arrive; a fixed-height page still raises
+    on overflow."""
+    if rows <= page.shape[0]:
+        return page
+    if not state.get("striped"):
+        raise ValueError("JBIG2 region exceeds page")
+    return np.vstack(
+        [page, np.zeros((rows - page.shape[0], page.shape[1]), dtype=bool)]
+    )
+
+
 def _run_segments(data: bytes, state: dict) -> None:
     pos = 0
     page: np.ndarray | None = state["page"]
@@ -1062,8 +1081,22 @@ def _run_segments(data: bytes, state: dict) -> None:
         if t == _PAGE_INFO:
             page_w, page_h = struct.unpack_from(">II", body, 0)
             if page_h == 0xFFFFFFFF:
-                raise ValueError("JBIG2 striped unknown-height page unsupported")
-            page = np.zeros((page_h, page_w), dtype=bool)
+                (striping,) = struct.unpack_from(">H", body, 17)
+                if not striping & 0x8000:
+                    raise ValueError(
+                        "JBIG2 unknown page height without striping"
+                    )
+                state["striped"] = True
+                page = np.zeros((0, page_w), dtype=bool)
+            else:
+                page = np.zeros((page_h, page_w), dtype=bool)
+        elif t == _END_OF_STRIPE:
+            # body = u32 Y of the stripe's final row; the page is at
+            # least that tall even if no region touched the stripe
+            if page is None:
+                raise ValueError("JBIG2 end-of-stripe before page info")
+            (y_end,) = struct.unpack_from(">I", body, 0)
+            page = _grow_page(state, page, y_end + 1)
         elif t in (_IMM_GENERIC, _IMM_LOSSLESS_GENERIC):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
@@ -1088,7 +1121,8 @@ def _run_segments(data: bytes, state: dict) -> None:
                 region = decode_generic_arith(
                     body[18 + 2 * n_at :], w, h, at, template, tpgdon
                 )
-            if y + h > page.shape[0] or x + w > page.shape[1]:
+            page = _grow_page(state, page, y + h)
+            if x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
         elif t == _SYMBOL_DICT:
@@ -1191,7 +1225,8 @@ def _run_segments(data: bytes, state: dict) -> None:
                     body[off + 4 :], w, h, n_inst, log_strips, ref_corner,
                     ds_offset, syms, transposed, refine, rtemplate, rat,
                 )
-            if y + h > page.shape[0] or x + w > page.shape[1]:
+            page = _grow_page(state, page, y + h)
+            if x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] |= region
         elif t == _PATTERN_DICT:
@@ -1206,7 +1241,8 @@ def _run_segments(data: bytes, state: dict) -> None:
                 raise ValueError("JBIG2 halftone region with no patterns")
             region, x, y, ext_op = decode_halftone_region(body, pats)
             h, w = region.shape
-            if y + h > page.shape[0] or x + w > page.shape[1]:
+            page = _grow_page(state, page, y + h)
+            if x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] = _compose(
                 page[y : y + h, x : x + w], region, ext_op
@@ -1509,6 +1545,47 @@ def encode_jbig2_halftone(
         + ht_data
     )
     segment(2, _IMM_LOSSLESS_HALFTONE, 1, ht_body, refs=(1,))
+    return bytes(out)
+
+
+def encode_jbig2_striped(
+    stripes: list[np.ndarray], max_stripe: int = 64
+) -> bytes:
+    """Fixture: an UNKNOWN-height striped page (§7.4.8.2 — height
+    0xFFFFFFFF, striping flag set) built from vertically stacked
+    generic-region stripes, each closed by an END_OF_STRIPE segment
+    carrying its final row — the shape streaming scanners emit."""
+    w = stripes[0].shape[1]
+    out = bytearray()
+
+    def segment(num, seg_type, page, body):
+        out.extend(struct.pack(">IB", num, seg_type))
+        out.append(0)
+        out.append(page)
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(body)
+
+    page_info = (
+        struct.pack(">IIII", w, 0xFFFFFFFF, 0, 0)
+        + b"\x01"
+        + struct.pack(">H", 0x8000 | max_stripe)
+    )
+    segment(0, _PAGE_INFO, 1, page_info)
+    y = 0
+    num = 1
+    for img in stripes:
+        img = np.asarray(img).astype(bool)
+        h = img.shape[0]
+        region_info = struct.pack(">IIII", w, h, 0, y) + b"\x00"
+        gflags = 0  # arithmetic template 0
+        ats = b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GB_AT_NOMINAL[0])
+        body = region_info + bytes([gflags]) + ats + encode_generic_arith(img)
+        segment(num, _IMM_LOSSLESS_GENERIC, 1, body)
+        num += 1
+        y += h
+        segment(num, _END_OF_STRIPE, 1, struct.pack(">I", y - 1))
+        num += 1
+    segment(num, _END_OF_PAGE, 1, b"")
     return bytes(out)
 
 

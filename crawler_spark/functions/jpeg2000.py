@@ -12,8 +12,9 @@ Decoder surface (the shapes PDF producers emit):
 - raw codestreams and JP2/JPX containers (box walk to ``jp2c``);
 - SIZ/COD/COC/QCD/QCC/SOT/SOD/EOC, COM/CRG/TLM/PLM/PLT skipped;
 - multiple tiles and tile-parts, component subsampling (XRsiz/YRsiz);
-- LRCP / RLCP / RPCL progressions, multiple quality layers, custom
-  precinct sizes, SOP/EPH marker segments;
+- all five progression orders (LRCP/RLCP/RPCL/PCRL/CPRL — the
+  positional three via precinct-position sorting), multiple quality
+  layers, custom precinct sizes, SOP/EPH marker segments;
 - both wavelets: reversible 5/3 (exact integer lifting) and
   irreversible 9/7, with matching RCT / ICT component transforms;
 - quantization styles 0 (reversible exponents), 1 (scalar derived)
@@ -23,9 +24,9 @@ Decoder surface (the shapes PDF producers emit):
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): PPM/PPT packed headers,
-POC progression changes, PCRL/CPRL progressions, RGN ROI shifts, the
-code-block style bits that change entropy coding (selective bypass,
-reset, termall, vertical causal), and depths above 16 bits.
+POC progression changes, RGN ROI shifts, the code-block style bits
+that change entropy coding (selective bypass, reset, termall,
+vertical causal), and depths above 16 bits.
 
 The encoder twin (`encode_j2k`) emits the plain shape real lossless
 encoders produce — single tile, LRCP, one layer, default precincts,
@@ -622,8 +623,24 @@ def _packet_order(tile, cod):
         for r, _y, _x, c, pidx in sorted(_precinct_positions(tile, cod)):
             for l in range(layers):
                 yield (l, c, r, pidx)
+    elif cod.prog == 3:  # PCRL: position, component, resolution, layer
+        key = sorted(
+            (y, x, c, r, pidx)
+            for r, y, x, c, pidx in _precinct_positions(tile, cod)
+        )
+        for _y, _x, c, r, pidx in key:
+            for l in range(layers):
+                yield (l, c, r, pidx)
+    elif cod.prog == 4:  # CPRL: component, position, resolution, layer
+        key = sorted(
+            (c, y, x, r, pidx)
+            for r, y, x, c, pidx in _precinct_positions(tile, cod)
+        )
+        for c, _y, _x, r, pidx in key:
+            for l in range(layers):
+                yield (l, c, r, pidx)
     else:
-        raise ValueError("JPX: PCRL/CPRL progressions unsupported")
+        raise ValueError(f"JPX: unknown progression order {cod.prog}")
 
 
 def _read_npasses(rd: _HdrReader) -> int:

@@ -678,6 +678,36 @@ def test_halftone_xobject_extraction():
     ]
 
 
+def test_striped_unknown_height_page():
+    """§7.4.8.2: height 0xFFFFFFFF + striping flag — the page grows as
+    stripes arrive; END_OF_STRIPE fixes each stripe's final row (the
+    last stripe may be shorter than the maximum). Without the striping
+    flag an unknown height must raise."""
+    import struct
+
+    from crawler_spark.functions.jbig2 import encode_jbig2_striped
+
+    rng = np.random.default_rng(109)
+    stripes = [_scan_like(rng, 16, 40), _scan_like(rng, 16, 40),
+               _scan_like(rng, 9, 40)]
+    data = encode_jbig2_striped(stripes, max_stripe=16)
+    page = decode_jbig2_embedded(data)
+    want = np.vstack(stripes)
+    assert page.shape == want.shape
+    assert np.array_equal(page == 0, want)
+    # striping flag cleared → unknown height must raise, not loop
+    mut = bytearray(data)
+    # page-info body starts after the 11-byte header; striping u16 at 17
+    mut[11 + 17] &= 0x7F
+    with pytest.raises(ValueError, match="striping"):
+        decode_jbig2_embedded(bytes(mut))
+    # a region exceeding a FIXED page still raises (growth is gated)
+    fixed = bytearray(data)
+    struct.pack_into(">I", fixed, 11 + 4, 20)  # height 20 < 41
+    with pytest.raises(ValueError, match="exceeds page"):
+        decode_jbig2_embedded(bytes(fixed))
+
+
 def test_text_region_refcorners_both_orientations():
     """All four REFCORNERs keep screen-space meaning in both
     orientations: encoding the corner-adjusted coordinate and decoding

@@ -69,6 +69,10 @@ def test_decoder_structures_from_real_encoders():
     for kw in (
         dict(prog=1),
         dict(prog=2),
+        dict(prog=3),
+        dict(prog=4),
+        dict(prog=3, precinct_exp=(4, 4), tile_size=(32, 32)),
+        dict(prog=4, precinct_exp=(4, 4), layers=2),
         dict(sop=True, eph=True),
         dict(layers=2),
         dict(precinct_exp=(5, 5)),
@@ -135,8 +139,7 @@ def test_unsupported_features_raise():
     for byte_off, val, msg in (
         (body + 8, 0x01, "code-block style"),  # selective bypass
         (body + 8, 0x08, "code-block style"),  # vertical causal
-        (body + 1, 3, "progression"),          # PCRL
-        (body + 1, 4, "progression"),          # CPRL
+        (body + 1, 9, "progression"),          # undefined order
     ):
         mut = bytearray(data)
         if byte_off == body + 8:
