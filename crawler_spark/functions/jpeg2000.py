@@ -403,6 +403,12 @@ def _parse_codestream(data: bytes) -> _Codestream:
              cs.ytsiz, cs.xtosiz, cs.ytosiz, ncomp) = struct.unpack_from(
                 ">HIIIIIIIIH", body, 0
             )
+            if not (0 < cs.xsiz and 0 < cs.ysiz):
+                raise ValueError("JPX: empty image")
+            if cs.xsiz * cs.ysiz > 1 << 28:
+                raise ValueError("JPX: image too large for this decoder")
+            if cs.xtsiz == 0 or cs.ytsiz == 0 or ncomp == 0 or ncomp > 16:
+                raise ValueError("JPX: bad SIZ geometry")
             cs.comps = []
             for c in range(ncomp):
                 ssiz = body[36 + 3 * c]
@@ -704,9 +710,13 @@ def _read_packet(data: bytes, pos: int, res: dict, pidx: int, layer: int,
                 # B.10.7.1: length bits grow via LBlock
                 while rd.bit():
                     cb["lblock"] += 1
+                    if cb["lblock"] > 32:
+                        raise ValueError("JPX: runaway LBlock")
                 nbits = cb["lblock"] + int(math.floor(math.log2(npasses)))
                 nbytes = rd.bits(nbits)
                 cb["passes"] += npasses
+                if cb["passes"] > 120:  # 3 passes × ≤ 37 planes + slack
+                    raise ValueError("JPX: coding pass count exceeds planes")
                 body.append((cb, nbytes))
     pos = rd.align()
     if eph:
@@ -1234,6 +1244,8 @@ def _unwrap_jp2(data: bytes) -> bytes:
             end = len(data) if lbox == 0 else pos + lbox
             if tbox == b"jp2c":
                 return data[pos + hlen : end]
+            if end <= pos:  # malformed box length: never walk backwards
+                raise ValueError("JPX: malformed box length")
             pos = end
         raise ValueError("JPX: no jp2c codestream box")
     raise ValueError("JPX: neither a codestream nor a JP2 container")

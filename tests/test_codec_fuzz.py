@@ -102,3 +102,68 @@ def test_truncation_is_contained(fmt):
             im.decode_image(data[:cut], fmt)
         except Exception as e:  # noqa: BLE001
             assert not isinstance(e, (MemoryError, RecursionError))
+
+
+# --------------------------------------------------------------------------
+# JPEG 2000 (functions/jpeg2000.py): same contract — decode or raise
+# ValueError, never hang/MemoryError. Header-declared geometry is an
+# attacker input, so SIZ caps and box-walk guards are load-bearing.
+# --------------------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(data=st.binary(min_size=0, max_size=256))
+def test_jpx_garbage_bytes_never_hang(data):
+    from crawler_spark.functions.jpeg2000 import decode_jpx
+
+    for wrapped in (data, b"\xff\x4f\xff\x51" + data):
+        try:
+            out = decode_jpx(wrapped)
+            assert isinstance(out, np.ndarray)
+        except Exception as e:  # noqa: BLE001
+            assert not isinstance(e, (MemoryError, RecursionError))
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pos_frac=st.floats(0.0, 1.0), newbyte=st.integers(0, 255),
+       seed=st.integers(0, 2**31 - 1))
+def test_jpx_single_byte_corruption_is_contained(pos_frac, newbyte, seed):
+    from crawler_spark.functions.jpeg2000 import decode_jpx, encode_j2k
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+    data = bytearray(encode_j2k(arr, levels=1, cb_exp=(4, 4)))
+    pos = min(len(data) - 1, int(pos_frac * len(data)))
+    data[pos] = newbyte
+    try:
+        out = decode_jpx(bytes(data))
+        assert isinstance(out, np.ndarray)
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, (MemoryError, RecursionError))
+
+
+def test_jpx_truncation_is_contained():
+    from crawler_spark.functions.jpeg2000 import decode_jpx, encode_j2k
+
+    rng = np.random.default_rng(13)
+    data = encode_j2k(rng.integers(0, 256, (16, 16), dtype=np.uint8))
+    for cut in (0, 2, 4, len(data) // 4, len(data) // 2, len(data) - 1):
+        try:
+            decode_jpx(data[:cut])
+        except Exception as e:  # noqa: BLE001
+            assert not isinstance(e, (MemoryError, RecursionError))
+
+
+def test_jpx_size_bomb_rejected():
+    """A SIZ declaring a huge canvas must raise before allocating."""
+    import struct
+
+    from crawler_spark.functions.jpeg2000 import decode_jpx, encode_j2k
+
+    rng = np.random.default_rng(17)
+    data = bytearray(encode_j2k(rng.integers(0, 256, (8, 8), dtype=np.uint8)))
+    siz_off = bytes(data).find(b"\xff\x51")
+    struct.pack_into(">II", data, siz_off + 6, 1 << 20, 1 << 20)
+    with pytest.raises(ValueError, match="too large"):
+        decode_jpx(bytes(data))
