@@ -775,30 +775,64 @@ _SIGN_LUT = {
 }
 
 
+# 45-entry significance-label LUT per band class, indexed
+# (h*3 + v)*5 + min(d, 4) — the incremental neighbor counts replace
+# per-sample 8-neighbor scans (the Tier-1 hot path)
+_SIG_LUT = [
+    bytes(
+        _sig_label(hh, vv, dd, orient)
+        for hh in range(3)
+        for vv in range(3)
+        for dd in range(5)
+    )
+    for orient in range(3)
+]
+
+
 class _T1State:
     def __init__(self, w: int, h: int, orient: str) -> None:
         self.w = w
         self.h = h
         self.orient = _ORIENT_IDX[orient]
+        self.lut = _SIG_LUT[self.orient]
         n = w * h
         self.sig = bytearray(n)
         self.sgn = bytearray(n)  # 1 = negative
         self.visited = bytearray(n)
         self.refined = bytearray(n)
         self.mag = [0] * n
+        # incremental neighbor significance counts, updated on-set
+        self.nh = bytearray(n)
+        self.nv = bytearray(n)
+        self.nd = bytearray(n)
 
-    def _nbcounts(self, x: int, y: int) -> tuple[int, int, int]:
-        w, h, sig = self.w, self.h, self.sig
+    def _mark_sig(self, x: int, y: int) -> None:
+        w, h = self.w, self.h
         i = y * w + x
-        hcnt = (x > 0 and sig[i - 1]) + (x < w - 1 and sig[i + 1])
-        vcnt = (y > 0 and sig[i - w]) + (y < h - 1 and sig[i + w])
-        d = (
-            (x > 0 and y > 0 and sig[i - w - 1])
-            + (x < w - 1 and y > 0 and sig[i - w + 1])
-            + (x > 0 and y < h - 1 and sig[i + w - 1])
-            + (x < w - 1 and y < h - 1 and sig[i + w + 1])
-        )
-        return int(hcnt), int(vcnt), int(d)
+        self.sig[i] = 1
+        nh, nv, nd = self.nh, self.nv, self.nd
+        if x > 0:
+            nh[i - 1] += 1
+        if x < w - 1:
+            nh[i + 1] += 1
+        if y > 0:
+            nv[i - w] += 1
+        if y < h - 1:
+            nv[i + w] += 1
+        if y > 0:
+            if x > 0:
+                nd[i - w - 1] += 1
+            if x < w - 1:
+                nd[i - w + 1] += 1
+        if y < h - 1:
+            if x > 0:
+                nd[i + w - 1] += 1
+            if x < w - 1:
+                nd[i + w + 1] += 1
+
+    def _label(self, i: int) -> int:
+        d = self.nd[i]
+        return self.lut[(self.nh[i] * 3 + self.nv[i]) * 5 + (d if d < 4 else 4)]
 
     def _sign_ctx(self, x: int, y: int) -> tuple[int, int]:
         w, h, sig, sgn = self.w, self.h, self.sig, self.sgn
@@ -849,66 +883,74 @@ def _become_sig(st: _T1State, dec: MQDecoder, x: int, y: int, plane: int):
     ctx, xor = st._sign_ctx(x, y)
     bit = dec.decode(ctx)
     i = y * st.w + x
-    st.sig[i] = 1
+    st._mark_sig(x, y)
     st.sgn[i] = bit ^ xor
     st.mag[i] |= 1 << plane
 
 
 def _pass_sigprop(st: _T1State, dec: MQDecoder, plane: int) -> None:
     w, h = st.w, st.h
+    sig, vis = st.sig, st.visited
+    nh, nv, nd, lut = st.nh, st.nv, st.nd, st.lut
+    decode = dec.decode
     for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
         for x in range(w):
-            for y in range(y0, min(y0 + 4, h)):
+            for y in range(y0, ylim):
                 i = y * w + x
-                if st.sig[i]:
+                if sig[i] or not (nh[i] | nv[i] | nd[i]):
                     continue
-                hc, vc, d = st._nbcounts(x, y)
-                label = _sig_label(hc, vc, d, st.orient)
-                if label == 0:
-                    continue
-                st.visited[i] = 1
-                if dec.decode(label):
+                d = nd[i]
+                label = lut[(nh[i] * 3 + nv[i]) * 5 + (d if d < 4 else 4)]
+                vis[i] = 1
+                if decode(label):
                     _become_sig(st, dec, x, y, plane)
 
 
 def _pass_magref(st: _T1State, dec: MQDecoder, plane: int) -> None:
     w, h = st.w, st.h
+    sig, vis, ref = st.sig, st.visited, st.refined
+    nh, nv, nd, mag = st.nh, st.nv, st.nd, st.mag
+    decode = dec.decode
     for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
         for x in range(w):
-            for y in range(y0, min(y0 + 4, h)):
+            for y in range(y0, ylim):
                 i = y * w + x
-                if not st.sig[i] or st.visited[i]:
+                if not sig[i] or vis[i]:
                     continue
-                if st.refined[i]:
+                if ref[i]:
                     ctx = 16
                 else:
-                    hc, vc, d = st._nbcounts(x, y)
-                    ctx = 15 if hc + vc + d else 14
-                    st.refined[i] = 1
-                st.mag[i] |= dec.decode(ctx) << plane
+                    ctx = 15 if nh[i] | nv[i] | nd[i] else 14
+                    ref[i] = 1
+                mag[i] |= decode(ctx) << plane
 
 
 def _pass_cleanup(st: _T1State, dec: MQDecoder, plane: int,
                   segsym: bool) -> None:
     w, h = st.w, st.h
+    sig, vis = st.sig, st.visited
+    nh, nv, nd, lut = st.nh, st.nv, st.nd, st.lut
+    decode = dec.decode
     for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
         for x in range(w):
             y = y0
-            ylim = min(y0 + 4, h)
             # run-length mode: full stripe column, nothing significant
             # or visited, all four context labels zero
             if ylim - y0 == 4 and _rl_eligible(st, x, y0):
-                if not dec.decode(_CX_RL):
+                if not decode(_CX_RL):
                     continue
-                y = y0 + ((dec.decode(_CX_UNI) << 1) | dec.decode(_CX_UNI))
+                y = y0 + ((decode(_CX_UNI) << 1) | decode(_CX_UNI))
                 _become_sig(st, dec, x, y, plane)
                 y += 1
             while y < ylim:
                 i = y * w + x
-                if not st.sig[i] and not st.visited[i]:
-                    hc, vc, d = st._nbcounts(x, y)
-                    label = _sig_label(hc, vc, d, st.orient)
-                    if dec.decode(label):
+                if not sig[i] and not vis[i]:
+                    d = nd[i]
+                    label = lut[(nh[i] * 3 + nv[i]) * 5 + (d if d < 4 else 4)]
+                    if decode(label):
                         _become_sig(st, dec, x, y, plane)
                 y += 1
     if segsym:
@@ -921,12 +963,12 @@ def _pass_cleanup(st: _T1State, dec: MQDecoder, plane: int,
 
 
 def _rl_eligible(st: _T1State, x: int, y0: int) -> bool:
+    w = st.w
+    sig, vis = st.sig, st.visited
+    nh, nv, nd = st.nh, st.nv, st.nd
     for y in range(y0, y0 + 4):
-        i = y * st.w + x
-        if st.sig[i] or st.visited[i]:
-            return False
-        hc, vc, d = st._nbcounts(x, y)
-        if _sig_label(hc, vc, d, st.orient):
+        i = y * w + x
+        if sig[i] or vis[i] or nh[i] | nv[i] | nd[i]:
             return False
     return True
 
@@ -974,24 +1016,25 @@ def _enc_sig_sample(st, enc, x, y, plane, flat_mag, flat_sgn):
     i = y * st.w + x
     ctx, xor = st._sign_ctx(x, y)
     enc.encode(flat_sgn[i] ^ xor, ctx)
-    st.sig[i] = 1
+    st._mark_sig(x, y)
     st.sgn[i] = flat_sgn[i]
     st.mag[i] |= 1 << plane
 
 
 def _enc_sigprop(st, enc, plane, flat_mag, flat_sgn):
     w, h = st.w, st.h
+    sig, vis = st.sig, st.visited
+    nh, nv, nd, lut = st.nh, st.nv, st.nd, st.lut
     for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
         for x in range(w):
-            for y in range(y0, min(y0 + 4, h)):
+            for y in range(y0, ylim):
                 i = y * w + x
-                if st.sig[i]:
+                if sig[i] or not (nh[i] | nv[i] | nd[i]):
                     continue
-                hc, vc, d = st._nbcounts(x, y)
-                label = _sig_label(hc, vc, d, st.orient)
-                if label == 0:
-                    continue
-                st.visited[i] = 1
+                d = nd[i]
+                label = lut[(nh[i] * 3 + nv[i]) * 5 + (d if d < 4 else 4)]
+                vis[i] = 1
                 bit = (flat_mag[i] >> plane) & 1
                 enc.encode(bit, label)
                 if bit:
@@ -1000,29 +1043,33 @@ def _enc_sigprop(st, enc, plane, flat_mag, flat_sgn):
 
 def _enc_magref(st, enc, plane, flat_mag):
     w, h = st.w, st.h
+    sig, vis, ref = st.sig, st.visited, st.refined
+    nh, nv, nd, mag = st.nh, st.nv, st.nd, st.mag
     for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
         for x in range(w):
-            for y in range(y0, min(y0 + 4, h)):
+            for y in range(y0, ylim):
                 i = y * w + x
-                if not st.sig[i] or st.visited[i]:
+                if not sig[i] or vis[i]:
                     continue
-                if st.refined[i]:
+                if ref[i]:
                     ctx = 16
                 else:
-                    hc, vc, d = st._nbcounts(x, y)
-                    ctx = 15 if hc + vc + d else 14
-                    st.refined[i] = 1
+                    ctx = 15 if nh[i] | nv[i] | nd[i] else 14
+                    ref[i] = 1
                 bit = (flat_mag[i] >> plane) & 1
                 enc.encode(bit, ctx)
-                st.mag[i] |= bit << plane
+                mag[i] |= bit << plane
 
 
 def _enc_cleanup(st, enc, plane, flat_mag, flat_sgn, segsym):
     w, h = st.w, st.h
+    sig, vis = st.sig, st.visited
+    nh, nv, nd, lut = st.nh, st.nv, st.nd, st.lut
     for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
         for x in range(w):
             y = y0
-            ylim = min(y0 + 4, h)
             if ylim - y0 == 4 and _rl_eligible(st, x, y0):
                 bits = [(flat_mag[(y0 + k) * w + x] >> plane) & 1
                         for k in range(4)]
@@ -1038,9 +1085,9 @@ def _enc_cleanup(st, enc, plane, flat_mag, flat_sgn, segsym):
                 y += 1
             while y < ylim:
                 i = y * w + x
-                if not st.sig[i] and not st.visited[i]:
-                    hc, vc, d = st._nbcounts(x, y)
-                    label = _sig_label(hc, vc, d, st.orient)
+                if not sig[i] and not vis[i]:
+                    d = nd[i]
+                    label = lut[(nh[i] * 3 + nv[i]) * 5 + (d if d < 4 else 4)]
                     bit = (flat_mag[i] >> plane) & 1
                     enc.encode(bit, label)
                     if bit:
