@@ -20,13 +20,17 @@ Decoder surface (the shapes PDF producers emit):
 - quantization styles 0 (reversible exponents), 1 (scalar derived)
   and 2 (scalar expounded);
 - Tier-1: the three standard coding passes with the Table D.1-D.3
-  context models, run-length mode, and segmentation symbols.
+  context models, run-length mode, segmentation symbols, AND
+  selective arithmetic bypass (D.6: raw stuffed-bit SP/MR passes from
+  the fifth plane, codeword segments terminating around them, one
+  packet-header length per segment piece, MQ contexts persisting
+  across segments).
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): PPM/PPT packed headers,
-POC progression changes, RGN ROI shifts, the code-block style bits
-that change entropy coding (selective bypass, reset, termall,
-vertical causal), and depths above 16 bits.
+POC progression changes, RGN ROI shifts, the remaining code-block
+style bits (reset, termall, vertical causal, predictable
+termination), and depths above 16 bits.
 
 The encoder twin (`encode_j2k`) emits the plain shape real lossless
 encoders produce — single tile, LRCP, one layer, default precincts,
@@ -301,8 +305,8 @@ def _parse_cod(body: bytes) -> _CodingStyle:
         cs.precincts = [(15, 15)] * (cs.levels + 1)
     if cs.xcb > 10 or cs.ycb > 10 or cs.xcb + cs.ycb > 12:
         raise ValueError("JPX: invalid code-block size")
-    if cs.cbstyle & 0x1F:
-        raise ValueError("JPX: unsupported code-block style (bypass/reset/"
+    if cs.cbstyle & 0x1E:
+        raise ValueError("JPX: unsupported code-block style (reset/"
                          "termall/causal/predictable termination)")
     if cs.layers < 1:
         raise ValueError("JPX: no layers")
@@ -682,8 +686,39 @@ def _write_npasses(hw: _HdrWriter, n: int) -> None:
         raise ValueError("JPX: too many coding passes")
 
 
+def _seg_of_pass(k: int, bypass: bool) -> int:
+    """Codeword-segment index of coding pass ``k`` (D.4.1 + D.6):
+    without bypass everything is one segment; with selective bypass
+    the first ten passes form segment 0, then each plane contributes
+    a raw [SP, MR] segment and an MQ [CU] segment."""
+    if not bypass or k < 10:
+        return 0
+    q, r = divmod(k - 10, 3)
+    return 1 + 2 * q + (0 if r < 2 else 1)
+
+
+def _seg_is_raw(seg: int) -> bool:
+    return seg >= 1 and (seg % 2) == 1
+
+
+def _piece_split(a: int, b: int, bypass: bool) -> list[tuple[int, int]]:
+    """Split the pass range [a, b) at codeword-segment boundaries →
+    [(segment index, pass count)]. One entry per length field in the
+    packet header (B.10.7.5)."""
+    pieces: list[tuple[int, int]] = []
+    k = a
+    while k < b:
+        seg = _seg_of_pass(k, bypass)
+        n = 1
+        while k + n < b and _seg_of_pass(k + n, bypass) == seg:
+            n += 1
+        pieces.append((seg, n))
+        k += n
+    return pieces
+
+
 def _read_packet(data: bytes, pos: int, res: dict, pidx: int, layer: int,
-                 sop: bool, eph: bool) -> int:
+                 sop: bool, eph: bool, bypass: bool = False) -> int:
     """Decode one packet (all bands of ``res`` for precinct ``pidx``)
     at ``pos``; appends body chunks / pass counts to the code-blocks
     and returns the position after the packet body."""
@@ -712,22 +747,30 @@ def _read_packet(data: bytes, pos: int, res: dict, pidx: int, layer: int,
                     cb["lblock"] += 1
                     if cb["lblock"] > 32:
                         raise ValueError("JPX: runaway LBlock")
-                nbits = cb["lblock"] + int(math.floor(math.log2(npasses)))
-                nbytes = rd.bits(nbits)
+                # one length per codeword-segment piece (B.10.7.5);
+                # without bypass that is exactly one field
+                pieces = _piece_split(
+                    cb["passes"], cb["passes"] + npasses, bypass
+                )
+                lens: list[tuple[int, int]] = []
+                for seg, pn in pieces:
+                    nbits = cb["lblock"] + int(math.floor(math.log2(pn)))
+                    lens.append((seg, rd.bits(nbits)))
                 cb["passes"] += npasses
                 if cb["passes"] > 120:  # 3 passes × ≤ 37 planes + slack
                     raise ValueError("JPX: coding pass count exceeds planes")
-                body.append((cb, nbytes))
+                body.append((cb, lens))
     pos = rd.align()
     if eph:
         if data[pos : pos + 2] != b"\xff\x92":
             raise ValueError("JPX: missing EPH marker")
         pos += 2
-    for cb, nbytes in body:
-        cb["chunks"].append(data[pos : pos + nbytes])
-        if pos + nbytes > len(data):
-            raise ValueError("JPX: packet body overruns data")
-        pos += nbytes
+    for cb, lens in body:
+        for seg, nbytes in lens:
+            if pos + nbytes > len(data):
+                raise ValueError("JPX: packet body overruns data")
+            cb["chunks"].append((seg, data[pos : pos + nbytes]))
+            pos += nbytes
     return pos
 
 
@@ -851,32 +894,89 @@ class _T1State:
 
 
 def _t1_decode(
-    w: int, h: int, orient: str, data: bytes, npasses: int, max_plane: int,
-    segsym: bool,
+    w: int, h: int, orient: str, segdata: dict[int, bytes], npasses: int,
+    max_plane: int, segsym: bool, bypass: bool = False,
 ) -> tuple[list[int], bytearray, int]:
     """Decode ``npasses`` coding passes → (magnitudes, signs,
-    lowest decoded plane)."""
+    lowest decoded plane). ``segdata`` maps codeword-segment index →
+    bytes (one entry, segment 0, unless selective bypass splits the
+    stream). MQ context state persists across MQ segments; raw
+    segments read stuffed bits directly (D.6)."""
     st = _T1State(w, h, orient)
-    dec = MQDecoder(data)
-    _init_mq(dec)
     plane = max_plane
     kind = 2  # 0 = sigprop, 1 = magref, 2 = cleanup (first pass)
-    for _ in range(npasses):
+    cur_seg = -1
+    mq: MQDecoder | None = None
+    raw: _HdrReader | None = None
+    for k in range(npasses):
         if plane < 0:
             raise ValueError("JPX: coding passes exceed bit planes")
+        seg = _seg_of_pass(k, bypass)
+        if seg != cur_seg:
+            cur_seg = seg
+            if bypass and _seg_is_raw(seg):
+                raw = _HdrReader(segdata.get(seg, b""), 0)
+            else:
+                new = MQDecoder(segdata.get(seg, b""))
+                if mq is None:
+                    _init_mq(new)
+                else:  # contexts persist across codeword segments
+                    new.i, new.mps = mq.i, mq.mps
+                mq = new
         if kind == 0:
-            _pass_sigprop(st, dec, plane)
+            if bypass and k >= 10:
+                _pass_sigprop_raw(st, raw, plane)
+            else:
+                _pass_sigprop(st, mq, plane)
             kind = 1
         elif kind == 1:
-            _pass_magref(st, dec, plane)
+            if bypass and k >= 10:
+                _pass_magref_raw(st, raw, plane)
+            else:
+                _pass_magref(st, mq, plane)
             kind = 2
         else:
-            _pass_cleanup(st, dec, plane, segsym)
+            _pass_cleanup(st, mq, plane, segsym)
             kind = 0
             plane -= 1
     # lowest fully/partially decoded plane
     last_plane = plane + 1 if kind == 0 else plane
     return st.mag, st.sgn, max(last_plane, 0)
+
+
+def _pass_sigprop_raw(st: _T1State, rd: _HdrReader, plane: int) -> None:
+    """D.6 raw significance propagation: eligibility still follows
+    the neighbor contexts, but bits (and signs, 1 = negative) arrive
+    unstuffed-raw with no arithmetic coding."""
+    w, h = st.w, st.h
+    sig, vis = st.sig, st.visited
+    nh, nv, nd = st.nh, st.nv, st.nd
+    for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
+        for x in range(w):
+            for y in range(y0, ylim):
+                i = y * w + x
+                if sig[i] or not (nh[i] | nv[i] | nd[i]):
+                    continue
+                vis[i] = 1
+                if rd.bit():
+                    st._mark_sig(x, y)
+                    st.sgn[i] = rd.bit()
+                    st.mag[i] |= 1 << plane
+
+
+def _pass_magref_raw(st: _T1State, rd: _HdrReader, plane: int) -> None:
+    w, h = st.w, st.h
+    sig, vis, ref, mag = st.sig, st.visited, st.refined, st.mag
+    for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
+        for x in range(w):
+            for y in range(y0, ylim):
+                i = y * w + x
+                if not sig[i] or vis[i]:
+                    continue
+                ref[i] = 1
+                mag[i] |= rd.bit() << plane
 
 
 def _become_sig(st: _T1State, dec: MQDecoder, x: int, y: int, plane: int):
@@ -977,39 +1077,112 @@ def _rl_eligible(st: _T1State, x: int, y0: int) -> bool:
 
 
 def _t1_encode(
-    coeffs: np.ndarray, orient: str, segsym: bool = False
-) -> tuple[bytes, int, int]:
+    coeffs: np.ndarray, orient: str, segsym: bool = False,
+    bypass: bool = False,
+) -> tuple[list[tuple[int, bytes]], int, int]:
     """Encode a code-block of signed integer coefficients with the
-    standard pass sequence down to plane 0 → (data, npasses, msb)
-    where msb is the highest magnitude bit-plane index (-1 if the
-    block is all zero)."""
+    standard pass sequence down to plane 0 → (segments, npasses, msb)
+    where segments is [(segment index, bytes)] (a single segment 0
+    without bypass) and msb is the highest magnitude bit-plane index
+    (-1 if the block is all zero)."""
     h, w = coeffs.shape
     mags = np.abs(coeffs)
     maxmag = int(mags.max(initial=0))
     if maxmag == 0:
-        return b"", 0, -1
+        return [], 0, -1
     msb = maxmag.bit_length() - 1
     st = _T1State(w, h, orient)
-    enc = MQEncoder()
-    _init_mq(enc)
     flat_mag = [int(v) for v in mags.ravel()]
     flat_sgn = bytearray(1 if v < 0 else 0 for v in coeffs.ravel())
+    segments: list[tuple[int, bytes]] = []
+    cur_seg = -1
+    enc: MQEncoder | None = None
+    raww: _HdrWriter | None = None
+    prev_mq: MQEncoder | None = None
+
+    def close_current() -> None:
+        if cur_seg < 0:
+            return
+        if bypass and _seg_is_raw(cur_seg):
+            segments.append((cur_seg, raww.flush()))
+        else:
+            segments.append((cur_seg, enc.flush()))
+
     npasses = 0
     kind = 2
     plane = msb
     while plane >= 0:
+        seg = _seg_of_pass(npasses, bypass)
+        if seg != cur_seg:
+            close_current()
+            if bypass and _seg_is_raw(seg):
+                raww = _HdrWriter()
+            else:
+                if enc is not None:
+                    prev_mq = enc
+                enc = MQEncoder()
+                if prev_mq is None:
+                    _init_mq(enc)
+                else:  # contexts persist across codeword segments
+                    enc.i, enc.mps = prev_mq.i, prev_mq.mps
+            cur_seg = seg
+        raw_pass = bypass and npasses >= 10 and kind != 2
         if kind == 0:
-            _enc_sigprop(st, enc, plane, flat_mag, flat_sgn)
+            if raw_pass:
+                _enc_sigprop_raw(st, raww, plane, flat_mag, flat_sgn)
+            else:
+                _enc_sigprop(st, enc, plane, flat_mag, flat_sgn)
             kind = 1
         elif kind == 1:
-            _enc_magref(st, enc, plane, flat_mag)
+            if raw_pass:
+                _enc_magref_raw(st, raww, plane, flat_mag)
+            else:
+                _enc_magref(st, enc, plane, flat_mag)
             kind = 2
         else:
             _enc_cleanup(st, enc, plane, flat_mag, flat_sgn, segsym)
             kind = 0
             plane -= 1
         npasses += 1
-    return enc.flush(), npasses, msb
+    close_current()
+    return segments, npasses, msb
+
+
+def _enc_sigprop_raw(st, raww, plane, flat_mag, flat_sgn):
+    w, h = st.w, st.h
+    sig, vis = st.sig, st.visited
+    nh, nv, nd = st.nh, st.nv, st.nd
+    for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
+        for x in range(w):
+            for y in range(y0, ylim):
+                i = y * w + x
+                if sig[i] or not (nh[i] | nv[i] | nd[i]):
+                    continue
+                vis[i] = 1
+                bit = (flat_mag[i] >> plane) & 1
+                raww.bit(bit)
+                if bit:
+                    st._mark_sig(x, y)
+                    st.sgn[i] = flat_sgn[i]
+                    st.mag[i] |= 1 << plane
+                    raww.bit(flat_sgn[i])
+
+
+def _enc_magref_raw(st, raww, plane, flat_mag):
+    w, h = st.w, st.h
+    sig, vis, ref, mag = st.sig, st.visited, st.refined, st.mag
+    for y0 in range(0, h, 4):
+        ylim = min(y0 + 4, h)
+        for x in range(w):
+            for y in range(y0, ylim):
+                i = y * w + x
+                if not sig[i] or vis[i]:
+                    continue
+                ref[i] = 1
+                bit = (flat_mag[i] >> plane) & 1
+                raww.bit(bit)
+                mag[i] |= bit << plane
 
 
 def _enc_sig_sample(st, enc, x, y, plane, flat_mag, flat_sgn):
@@ -1220,6 +1393,7 @@ def _decompose(X, u0, u1, v0, v1, reversible):
 
 def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool):
     segsym = bool(cod.cbstyle & 0x20)
+    bypass = bool(cod.cbstyle & 0x01)
     for res in comp["resolutions"]:
         for band in res["bands"]:
             bw = max(band["x1"] - band["x0"], 0)
@@ -1240,15 +1414,17 @@ def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool):
                 for cb in pr["cbs"]:
                     if not cb["included"] or cb["passes"] == 0:
                         continue
-                    data = b"".join(cb["chunks"])
+                    segdata: dict[int, bytes] = {}
+                    for seg, chunk in cb["chunks"]:
+                        segdata[seg] = segdata.get(seg, b"") + chunk
                     max_plane = mb - 1 - cb["zbp"]
                     if max_plane < 0:
                         raise ValueError("JPX: zero bitplanes exceed Mb")
                     w = cb["x1"] - cb["x0"]
                     h = cb["y1"] - cb["y0"]
                     mag, sgn, last_plane = _t1_decode(
-                        w, h, band["orient"], data, cb["passes"],
-                        max_plane, segsym,
+                        w, h, band["orient"], segdata, cb["passes"],
+                        max_plane, segsym, bypass,
                     )
                     vals = np.array(mag, dtype=np.int64).reshape(h, w)
                     if last_plane > 0:
@@ -1333,7 +1509,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
         pos = 0
         for layer, c, r, pidx in _packet_order(tile, cod):
             res = tile["comps"][c]["resolutions"][r]
-            pos = _read_packet(tdata, pos, res, pidx, layer, cod.sop, cod.eph)
+            pos = _read_packet(tdata, pos, res, pidx, layer, cod.sop,
+                               cod.eph, bool(cod.cbstyle & 0x01))
         for c, comp in enumerate(tile["comps"]):
             vals = _decode_tile_comp(comp, cod, reversible)
             x0 = comp["tcx0"] - _ceil_div(cs.xosiz, cs.comps[c]["dx"])
@@ -1400,6 +1577,7 @@ def encode_j2k(
     sop: bool = False,
     eph: bool = False,
     tile_size: tuple[int, int] | None = None,
+    bypass: bool = False,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) uint8/uint16 → raw JPEG 2000
     codestream. Beyond the plain shape, options exist to emit the
@@ -1442,7 +1620,7 @@ def encode_j2k(
     cod.mct = mct
     cod.levels = levels
     cod.xcb, cod.ycb = xcb, ycb
-    cod.cbstyle = 0x20 if segsym else 0
+    cod.cbstyle = (0x20 if segsym else 0) | (0x01 if bypass else 0)
     cod.transform = 1 if reversible else 0
     cod.precincts = [precinct_exp or (15, 15)] * (levels + 1)
     cod.sop = sop
@@ -1543,6 +1721,9 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                 band["coeff"] = arr
     # Tier-1 encode every code-block; two-layer mode assigns tail
     # passes to layer 1 and delays odd-diagonal code-blocks entirely
+    # (with bypass, contributions stay whole — segment-aligned splits
+    # are the encoder's choice and wholeness keeps the fixture simple)
+    bypass = bool(cod.cbstyle & 0x01)
     for c, comp in enumerate(tile["comps"]):
         for res in comp["resolutions"]:
             for band in res["bands"]:
@@ -1558,16 +1739,17 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                             cb["y0"] - band["y0"] : cb["y1"] - band["y0"],
                             cb["x0"] - band["x0"] : cb["x1"] - band["x0"],
                         ]
-                        data, npasses, msb = _t1_encode(
-                            block, band["orient"], segsym
+                        segments, npasses, msb = _t1_encode(
+                            block, band["orient"], segsym, bypass
                         )
                         if msb >= mb:
                             raise ValueError("JPX encode: Mb too small")
-                        cb["enc_data"] = data
+                        cb["enc_segments"] = segments
                         cb["enc_passes"] = npasses
                         cb["enc_zbp"] = mb - 1 - msb if msb >= 0 else None
                         cb["enc_lblock"] = 3
-                        if cod.layers == 1 or cb["enc_zbp"] is None:
+                        if (cod.layers == 1 or cb["enc_zbp"] is None
+                                or bypass):
                             cb["first_layer"] = 0
                             cb["layer_split"] = None
                         elif (cb["i"] + cb["j"]) % 2:
@@ -1575,9 +1757,10 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                             cb["layer_split"] = None
                         else:
                             cb["first_layer"] = 0
+                            total = sum(len(b) for _s, b in segments)
                             if npasses > 1:
                                 p0 = max(1, npasses // 2)
-                                b0 = max(1, len(data) * p0 // npasses)
+                                b0 = max(1, total * p0 // npasses)
                                 cb["layer_split"] = (p0, b0)
                             else:
                                 cb["layer_split"] = None
@@ -1626,31 +1809,48 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                     hw.bit(1 if contributes else 0)
                     if not contributes:
                         continue
-                # passes + data bytes for this layer
+                # passes + data pieces for this layer: one length per
+                # codeword segment (bypass), else one for the whole
+                # contribution — mirroring _read_packet's _piece_split
+                whole = b"".join(b for _s, b in cb["enc_segments"])
                 if cb["layer_split"] is None:
                     npasses = cb["enc_passes"]
-                    chunk = cb["enc_data"]
+                    if bypass:
+                        pieces = [
+                            (pn, dict(cb["enc_segments"]).get(seg, b""))
+                            for seg, pn in _piece_split(0, npasses, True)
+                        ]
+                    else:
+                        pieces = [(npasses, whole)]
                 elif layer == cb["first_layer"]:
                     p0, b0 = cb["layer_split"]
                     npasses = p0
-                    chunk = cb["enc_data"][:b0]
+                    pieces = [(p0, whole[:b0])]
                 else:
                     p0, b0 = cb["layer_split"]
                     npasses = cb["enc_passes"] - p0
-                    chunk = cb["enc_data"][b0:]
+                    pieces = [(npasses, whole[b0:])]
                 _write_npasses(hw, npasses)
-                nbytes = len(chunk)
-                nbits = cb["enc_lblock"] + int(math.floor(math.log2(npasses)))
-                extra = max(0, nbytes.bit_length() - nbits)
+                extra = max(
+                    (
+                        len(b).bit_length()
+                        - cb["enc_lblock"]
+                        - int(math.floor(math.log2(pn)))
+                        for pn, b in pieces
+                    ),
+                    default=0,
+                )
+                extra = max(0, extra)
                 for _ in range(extra):
                     hw.bit(1)
                 cb["enc_lblock"] += extra
                 hw.bit(0)
-                hw.bits(
-                    nbytes,
-                    cb["enc_lblock"] + int(math.floor(math.log2(npasses))),
-                )
-                contributing.append((cb, chunk))
+                for pn, b in pieces:
+                    hw.bits(
+                        len(b),
+                        cb["enc_lblock"] + int(math.floor(math.log2(pn))),
+                    )
+                contributing.append((cb, b"".join(b for _pn, b in pieces)))
         full = hw.flush()
         if cod.sop:
             body += struct.pack(">HHH", _SOP, 4, nsop & 0xFFFF)

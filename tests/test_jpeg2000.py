@@ -79,9 +79,18 @@ def test_decoder_structures_from_real_encoders():
         dict(precinct_exp=(4, 4), prog=2),
         dict(tile_size=(32, 32)),
         dict(tile_size=(30, 25), layers=2, precinct_exp=(5, 5), prog=1),
+        dict(bypass=True),
+        dict(bypass=True, segsym=True),
+        dict(bypass=True, prog=2, precinct_exp=(4, 4)),
+        dict(bypass=True, tile_size=(32, 32)),
     ):
         out = decode_jpx(encode_j2k(img, levels=2, cb_exp=(4, 4), **kw))
         assert np.array_equal(out, img), kw
+    # bypass really splits the entropy stream: streams differ and the
+    # raw passes cost bytes (they forgo arithmetic coding)
+    plain = encode_j2k(img, levels=2, cb_exp=(4, 4))
+    byp = encode_j2k(img, levels=2, cb_exp=(4, 4), bypass=True)
+    assert byp != plain and len(byp) > len(plain)
 
 
 def test_irreversible_97_psnr():
@@ -137,7 +146,8 @@ def test_unsupported_features_raise():
     assert cod_off > 0
     body = cod_off + 4
     for byte_off, val, msg in (
-        (body + 8, 0x01, "code-block style"),  # selective bypass
+        (body + 8, 0x02, "code-block style"),  # context reset
+        (body + 8, 0x04, "code-block style"),  # termall
         (body + 8, 0x08, "code-block style"),  # vertical causal
         (body + 1, 9, "progression"),          # undefined order
     ):
