@@ -20,17 +20,18 @@ Decoder surface (the shapes PDF producers emit):
 - quantization styles 0 (reversible exponents), 1 (scalar derived)
   and 2 (scalar expounded);
 - Tier-1: the three standard coding passes with the Table D.1-D.3
-  context models, run-length mode, segmentation symbols, AND
-  selective arithmetic bypass (D.6: raw stuffed-bit SP/MR passes from
-  the fifth plane, codeword segments terminating around them, one
-  packet-header length per segment piece, MQ contexts persisting
-  across segments).
+  context models, run-length mode, and the FULL code-block style
+  byte — segmentation symbols, selective arithmetic bypass (D.6: raw
+  stuffed-bit SP/MR passes from the fifth plane, codeword segments
+  terminating around them, one packet-header length per segment
+  piece, MQ contexts persisting across segments), per-segment
+  context reset, termall (every pass its own segment), vertical
+  stripe-causal contexts, and predictable termination (a decoder
+  no-op).
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): PPM/PPT packed headers,
-POC progression changes, RGN ROI shifts, the remaining code-block
-style bits (reset, termall, vertical causal, predictable
-termination), and depths above 16 bits.
+POC progression changes, RGN ROI shifts, and depths above 16 bits.
 
 The encoder twin (`encode_j2k`) emits the plain shape real lossless
 encoders produce — single tile, LRCP, one layer, default precincts,
@@ -305,9 +306,8 @@ def _parse_cod(body: bytes) -> _CodingStyle:
         cs.precincts = [(15, 15)] * (cs.levels + 1)
     if cs.xcb > 10 or cs.ycb > 10 or cs.xcb + cs.ycb > 12:
         raise ValueError("JPX: invalid code-block size")
-    if cs.cbstyle & 0x1E:
-        raise ValueError("JPX: unsupported code-block style (reset/"
-                         "termall/causal/predictable termination)")
+    if cs.cbstyle & ~0x3F:
+        raise ValueError("JPX: unknown code-block style bits")
     if cs.layers < 1:
         raise ValueError("JPX: no layers")
     return cs
@@ -686,31 +686,40 @@ def _write_npasses(hw: _HdrWriter, n: int) -> None:
         raise ValueError("JPX: too many coding passes")
 
 
-def _seg_of_pass(k: int, bypass: bool) -> int:
+def _seg_of_pass(k: int, bypass: bool, termall: bool = False) -> int:
     """Codeword-segment index of coding pass ``k`` (D.4.1 + D.6):
-    without bypass everything is one segment; with selective bypass
-    the first ten passes form segment 0, then each plane contributes
-    a raw [SP, MR] segment and an MQ [CU] segment."""
+    one segment normally; every pass its own segment under termall;
+    with selective bypass the first ten passes form segment 0, then
+    each plane contributes a raw [SP, MR] segment and an MQ [CU]
+    segment (under termall the raw pair splits too)."""
+    if termall:
+        return k
     if not bypass or k < 10:
         return 0
     q, r = divmod(k - 10, 3)
     return 1 + 2 * q + (0 if r < 2 else 1)
 
 
+def _pass_is_raw(k: int, bypass: bool) -> bool:
+    """True when coding pass ``k`` is a raw (bypassed) SP/MR pass."""
+    return bypass and k >= 10 and (k - 10) % 3 < 2
+
+
 def _seg_is_raw(seg: int) -> bool:
     return seg >= 1 and (seg % 2) == 1
 
 
-def _piece_split(a: int, b: int, bypass: bool) -> list[tuple[int, int]]:
+def _piece_split(a: int, b: int, bypass: bool,
+                 termall: bool = False) -> list[tuple[int, int]]:
     """Split the pass range [a, b) at codeword-segment boundaries →
     [(segment index, pass count)]. One entry per length field in the
     packet header (B.10.7.5)."""
     pieces: list[tuple[int, int]] = []
     k = a
     while k < b:
-        seg = _seg_of_pass(k, bypass)
+        seg = _seg_of_pass(k, bypass, termall)
         n = 1
-        while k + n < b and _seg_of_pass(k + n, bypass) == seg:
+        while k + n < b and _seg_of_pass(k + n, bypass, termall) == seg:
             n += 1
         pieces.append((seg, n))
         k += n
@@ -718,7 +727,7 @@ def _piece_split(a: int, b: int, bypass: bool) -> list[tuple[int, int]]:
 
 
 def _read_packet(data: bytes, pos: int, res: dict, pidx: int, layer: int,
-                 sop: bool, eph: bool, bypass: bool = False) -> int:
+                 sop: bool, eph: bool, style: int = 0) -> int:
     """Decode one packet (all bands of ``res`` for precinct ``pidx``)
     at ``pos``; appends body chunks / pass counts to the code-blocks
     and returns the position after the packet body."""
@@ -748,9 +757,10 @@ def _read_packet(data: bytes, pos: int, res: dict, pidx: int, layer: int,
                     if cb["lblock"] > 32:
                         raise ValueError("JPX: runaway LBlock")
                 # one length per codeword-segment piece (B.10.7.5);
-                # without bypass that is exactly one field
+                # without bypass/termall that is exactly one field
                 pieces = _piece_split(
-                    cb["passes"], cb["passes"] + npasses, bypass
+                    cb["passes"], cb["passes"] + npasses,
+                    bool(style & 0x01), bool(style & 0x04),
                 )
                 lens: list[tuple[int, int]] = []
                 for seg, pn in pieces:
@@ -833,11 +843,13 @@ _SIG_LUT = [
 
 
 class _T1State:
-    def __init__(self, w: int, h: int, orient: str) -> None:
+    def __init__(self, w: int, h: int, orient: str,
+                 causal: bool = False) -> None:
         self.w = w
         self.h = h
         self.orient = _ORIENT_IDX[orient]
         self.lut = _SIG_LUT[self.orient]
+        self.causal = causal
         n = w * h
         self.sig = bytearray(n)
         self.sgn = bytearray(n)  # 1 = negative
@@ -854,15 +866,18 @@ class _T1State:
         i = y * w + x
         self.sig[i] = 1
         nh, nv, nd = self.nh, self.nv, self.nd
+        # stripe-causal contexts (D.?): samples in the stripe ABOVE
+        # never see significance from the stripe below them
+        up_ok = y > 0 and not (self.causal and y % 4 == 0)
         if x > 0:
             nh[i - 1] += 1
         if x < w - 1:
             nh[i + 1] += 1
-        if y > 0:
+        if up_ok:
             nv[i - w] += 1
         if y < h - 1:
             nv[i + w] += 1
-        if y > 0:
+        if up_ok:
             if x > 0:
                 nd[i - w - 1] += 1
             if x < w - 1:
@@ -886,8 +901,9 @@ class _T1State:
                 return 0
             return -1 if sgn[j] else 1
 
+        below_ok = y < h - 1 and not (self.causal and y % 4 == 3)
         hc = contrib(x > 0, i - 1) + contrib(x < w - 1, i + 1)
-        vc = contrib(y > 0, i - w) + contrib(y < h - 1, i + w)
+        vc = contrib(y > 0, i - w) + contrib(below_ok, i + w)
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
         return _SIGN_LUT[(hc, vc)]
@@ -895,14 +911,23 @@ class _T1State:
 
 def _t1_decode(
     w: int, h: int, orient: str, segdata: dict[int, bytes], npasses: int,
-    max_plane: int, segsym: bool, bypass: bool = False,
+    max_plane: int, style: int = 0,
 ) -> tuple[list[int], bytearray, int]:
     """Decode ``npasses`` coding passes → (magnitudes, signs,
     lowest decoded plane). ``segdata`` maps codeword-segment index →
-    bytes (one entry, segment 0, unless selective bypass splits the
-    stream). MQ context state persists across MQ segments; raw
-    segments read stuffed bits directly (D.6)."""
-    st = _T1State(w, h, orient)
+    bytes (one entry, segment 0, unless bypass/termall split the
+    stream). ``style`` is the COD code-block style byte: bit 0
+    selective bypass (raw stuffed-bit SP/MR from the fifth plane),
+    bit 1 context reset at each segment, bit 2 termall (every pass
+    its own segment), bit 3 vertical stripe-causal contexts, bit 4
+    predictable termination (no decoder action), bit 5 segmentation
+    symbols."""
+    bypass = bool(style & 0x01)
+    reset = bool(style & 0x02)
+    termall = bool(style & 0x04)
+    causal = bool(style & 0x08)
+    segsym = bool(style & 0x20)
+    st = _T1State(w, h, orient, causal)
     plane = max_plane
     kind = 2  # 0 = sigprop, 1 = magref, 2 = cleanup (first pass)
     cur_seg = -1
@@ -911,26 +936,27 @@ def _t1_decode(
     for k in range(npasses):
         if plane < 0:
             raise ValueError("JPX: coding passes exceed bit planes")
-        seg = _seg_of_pass(k, bypass)
+        seg = _seg_of_pass(k, bypass, termall)
+        raw_pass = _pass_is_raw(k, bypass)
         if seg != cur_seg:
             cur_seg = seg
-            if bypass and _seg_is_raw(seg):
+            if raw_pass:
                 raw = _HdrReader(segdata.get(seg, b""), 0)
             else:
                 new = MQDecoder(segdata.get(seg, b""))
-                if mq is None:
+                if mq is None or reset:
                     _init_mq(new)
                 else:  # contexts persist across codeword segments
                     new.i, new.mps = mq.i, mq.mps
                 mq = new
         if kind == 0:
-            if bypass and k >= 10:
+            if raw_pass:
                 _pass_sigprop_raw(st, raw, plane)
             else:
                 _pass_sigprop(st, mq, plane)
             kind = 1
         elif kind == 1:
-            if bypass and k >= 10:
+            if raw_pass:
                 _pass_magref_raw(st, raw, plane)
             else:
                 _pass_magref(st, mq, plane)
@@ -1077,56 +1103,62 @@ def _rl_eligible(st: _T1State, x: int, y0: int) -> bool:
 
 
 def _t1_encode(
-    coeffs: np.ndarray, orient: str, segsym: bool = False,
-    bypass: bool = False,
+    coeffs: np.ndarray, orient: str, style: int = 0,
 ) -> tuple[list[tuple[int, bytes]], int, int]:
     """Encode a code-block of signed integer coefficients with the
     standard pass sequence down to plane 0 → (segments, npasses, msb)
     where segments is [(segment index, bytes)] (a single segment 0
-    without bypass) and msb is the highest magnitude bit-plane index
-    (-1 if the block is all zero)."""
+    without bypass/termall) and msb is the highest magnitude
+    bit-plane index (-1 if the block is all zero). ``style`` follows
+    the COD code-block style byte (see :func:`_t1_decode`)."""
+    bypass = bool(style & 0x01)
+    reset = bool(style & 0x02)
+    termall = bool(style & 0x04)
+    causal = bool(style & 0x08)
+    segsym = bool(style & 0x20)
     h, w = coeffs.shape
     mags = np.abs(coeffs)
     maxmag = int(mags.max(initial=0))
     if maxmag == 0:
         return [], 0, -1
     msb = maxmag.bit_length() - 1
-    st = _T1State(w, h, orient)
+    st = _T1State(w, h, orient, causal)
     flat_mag = [int(v) for v in mags.ravel()]
     flat_sgn = bytearray(1 if v < 0 else 0 for v in coeffs.ravel())
     segments: list[tuple[int, bytes]] = []
-    cur_seg = -1
+    state = {"seg": -1, "raw": None}
     enc: MQEncoder | None = None
     raww: _HdrWriter | None = None
     prev_mq: MQEncoder | None = None
 
     def close_current() -> None:
-        if cur_seg < 0:
+        if state["seg"] < 0:
             return
-        if bypass and _seg_is_raw(cur_seg):
-            segments.append((cur_seg, raww.flush()))
+        if state["raw"]:
+            segments.append((state["seg"], raww.flush()))
         else:
-            segments.append((cur_seg, enc.flush()))
+            segments.append((state["seg"], enc.flush()))
 
     npasses = 0
     kind = 2
     plane = msb
     while plane >= 0:
-        seg = _seg_of_pass(npasses, bypass)
-        if seg != cur_seg:
+        seg = _seg_of_pass(npasses, bypass, termall)
+        raw_pass = _pass_is_raw(npasses, bypass)
+        if seg != state["seg"]:
             close_current()
-            if bypass and _seg_is_raw(seg):
+            if raw_pass:
                 raww = _HdrWriter()
             else:
                 if enc is not None:
                     prev_mq = enc
                 enc = MQEncoder()
-                if prev_mq is None:
+                if prev_mq is None or reset:
                     _init_mq(enc)
                 else:  # contexts persist across codeword segments
                     enc.i, enc.mps = prev_mq.i, prev_mq.mps
-            cur_seg = seg
-        raw_pass = bypass and npasses >= 10 and kind != 2
+            state["seg"] = seg
+            state["raw"] = raw_pass
         if kind == 0:
             if raw_pass:
                 _enc_sigprop_raw(st, raww, plane, flat_mag, flat_sgn)
@@ -1392,8 +1424,7 @@ def _decompose(X, u0, u1, v0, v1, reversible):
 
 
 def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool):
-    segsym = bool(cod.cbstyle & 0x20)
-    bypass = bool(cod.cbstyle & 0x01)
+    style = cod.cbstyle
     for res in comp["resolutions"]:
         for band in res["bands"]:
             bw = max(band["x1"] - band["x0"], 0)
@@ -1424,7 +1455,7 @@ def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool):
                     h = cb["y1"] - cb["y0"]
                     mag, sgn, last_plane = _t1_decode(
                         w, h, band["orient"], segdata, cb["passes"],
-                        max_plane, segsym, bypass,
+                        max_plane, style,
                     )
                     vals = np.array(mag, dtype=np.int64).reshape(h, w)
                     if last_plane > 0:
@@ -1510,7 +1541,7 @@ def decode_jpx(data: bytes) -> np.ndarray:
         for layer, c, r, pidx in _packet_order(tile, cod):
             res = tile["comps"][c]["resolutions"][r]
             pos = _read_packet(tdata, pos, res, pidx, layer, cod.sop,
-                               cod.eph, bool(cod.cbstyle & 0x01))
+                               cod.eph, cod.cbstyle)
         for c, comp in enumerate(tile["comps"]):
             vals = _decode_tile_comp(comp, cod, reversible)
             x0 = comp["tcx0"] - _ceil_div(cs.xosiz, cs.comps[c]["dx"])
@@ -1578,6 +1609,9 @@ def encode_j2k(
     eph: bool = False,
     tile_size: tuple[int, int] | None = None,
     bypass: bool = False,
+    reset: bool = False,
+    termall: bool = False,
+    causal: bool = False,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) uint8/uint16 → raw JPEG 2000
     codestream. Beyond the plain shape, options exist to emit the
@@ -1620,7 +1654,13 @@ def encode_j2k(
     cod.mct = mct
     cod.levels = levels
     cod.xcb, cod.ycb = xcb, ycb
-    cod.cbstyle = (0x20 if segsym else 0) | (0x01 if bypass else 0)
+    cod.cbstyle = (
+        (0x01 if bypass else 0)
+        | (0x02 if reset else 0)
+        | (0x04 if termall else 0)
+        | (0x08 if causal else 0)
+        | (0x20 if segsym else 0)
+    )
     cod.transform = 1 if reversible else 0
     cod.precincts = [precinct_exp or (15, 15)] * (levels + 1)
     cod.sop = sop
@@ -1688,7 +1728,7 @@ def encode_j2k(
             qcdb += struct.pack(">H", (e << 11) | mu)
     out += struct.pack(">HH", _QCD, len(qcdb) + 2) + qcdb
     for t in range(ntiles):
-        body = _encode_tile(cs, t, cod, q, comps, reversible, segsym)
+        body = _encode_tile(cs, t, cod, q, comps, reversible)
         psot = 12 + 2 + len(body)
         out += struct.pack(">HHHIBB", _SOT, 10, t, psot, 0, 1)
         out += struct.pack(">H", _SOD)
@@ -1697,7 +1737,7 @@ def encode_j2k(
     return bytes(out)
 
 
-def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
+def _encode_tile(cs, t, cod, q, comps, reversible) -> bytes:
     tile = _build_tile(cs, t, cod, q)
     levels = cod.levels
     # forward DWT per component, scatter into band coeff arrays
@@ -1721,9 +1761,10 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                 band["coeff"] = arr
     # Tier-1 encode every code-block; two-layer mode assigns tail
     # passes to layer 1 and delays odd-diagonal code-blocks entirely
-    # (with bypass, contributions stay whole — segment-aligned splits
-    # are the encoder's choice and wholeness keeps the fixture simple)
-    bypass = bool(cod.cbstyle & 0x01)
+    # (with bypass/termall, contributions stay whole — segment-aligned
+    # splits are the encoder's choice and wholeness keeps it simple)
+    style = cod.cbstyle
+    multiseg = bool(style & 0x05)
     for c, comp in enumerate(tile["comps"]):
         for res in comp["resolutions"]:
             for band in res["bands"]:
@@ -1740,7 +1781,7 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                             cb["x0"] - band["x0"] : cb["x1"] - band["x0"],
                         ]
                         segments, npasses, msb = _t1_encode(
-                            block, band["orient"], segsym, bypass
+                            block, band["orient"], style
                         )
                         if msb >= mb:
                             raise ValueError("JPX encode: Mb too small")
@@ -1749,7 +1790,7 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                         cb["enc_zbp"] = mb - 1 - msb if msb >= 0 else None
                         cb["enc_lblock"] = 3
                         if (cod.layers == 1 or cb["enc_zbp"] is None
-                                or bypass):
+                                or multiseg):
                             cb["first_layer"] = 0
                             cb["layer_split"] = None
                         elif (cb["i"] + cb["j"]) % 2:
@@ -1815,10 +1856,13 @@ def _encode_tile(cs, t, cod, q, comps, reversible, segsym) -> bytes:
                 whole = b"".join(b for _s, b in cb["enc_segments"])
                 if cb["layer_split"] is None:
                     npasses = cb["enc_passes"]
-                    if bypass:
+                    if multiseg:
                         pieces = [
                             (pn, dict(cb["enc_segments"]).get(seg, b""))
-                            for seg, pn in _piece_split(0, npasses, True)
+                            for seg, pn in _piece_split(
+                                0, npasses, bool(style & 0x01),
+                                bool(style & 0x04),
+                            )
                         ]
                     else:
                         pieces = [(npasses, whole)]

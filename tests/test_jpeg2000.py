@@ -83,6 +83,11 @@ def test_decoder_structures_from_real_encoders():
         dict(bypass=True, segsym=True),
         dict(bypass=True, prog=2, precinct_exp=(4, 4)),
         dict(bypass=True, tile_size=(32, 32)),
+        dict(reset=True),
+        dict(termall=True),
+        dict(causal=True),
+        dict(bypass=True, reset=True, termall=True, causal=True,
+             segsym=True),
     ):
         out = decode_jpx(encode_j2k(img, levels=2, cb_exp=(4, 4), **kw))
         assert np.array_equal(out, img), kw
@@ -146,9 +151,7 @@ def test_unsupported_features_raise():
     assert cod_off > 0
     body = cod_off + 4
     for byte_off, val, msg in (
-        (body + 8, 0x02, "code-block style"),  # context reset
-        (body + 8, 0x04, "code-block style"),  # termall
-        (body + 8, 0x08, "code-block style"),  # vertical causal
+        (body + 8, 0x40, "code-block style"),  # undefined style bit
         (body + 1, 9, "progression"),          # undefined order
     ):
         mut = bytearray(data)
