@@ -394,6 +394,27 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+def encode_jp2(arr: np.ndarray) -> bytes:
+    """JPEG 2000 (functions/jpeg2000.py): reversible 5/3 + RCT in a
+    JP2 container — lossless for the registry contract."""
+    from crawler_spark.functions.jpeg2000 import encode_j2k, wrap_jp2
+
+    return wrap_jp2(encode_j2k(np.asarray(arr, np.uint8), levels=2))
+
+
+def decode_jp2(data: bytes) -> np.ndarray:
+    from crawler_spark.functions.jpeg2000 import decode_jpx
+
+    px = decode_jpx(bytes(data))
+    if px.dtype != np.uint8:  # >8-bit depths: top byte for RGB rows
+        px = (px.astype(np.uint32) >> 8).astype(np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    if px.shape[2] != 3:
+        raise ValueError("jp2: unsupported component count")
+    return px
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
@@ -401,6 +422,7 @@ CODECS = {
     "qjpg": (encode_qjpg, decode_qjpg),
     "gif": (encode_gif, decode_gif),
     "jpg": (encode_jpeg, decode_jpeg),
+    "jp2": (encode_jp2, decode_jp2),
 }
 LOSSY_FMTS = {"qjpg", "jpg"}
 

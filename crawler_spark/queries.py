@@ -2665,7 +2665,8 @@ ORACLE_SQL["q55_sequence_packing"] = Q55_SQL
 # q56 — distributed image decode validation (the graft payload axis).
 # Synthesizes the input_hint images table deterministically from doc_id
 # (no external data), then runs the REAL codecs — including the
-# baseline JFIF JPEG of functions/jpeg.py — through one mapInPandas
+# baseline JFIF JPEG of functions/jpeg.py and the T.800 JPEG 2000 of
+# functions/jpeg2000.py (lossless 5/3+RCT) — through one mapInPandas
 # pass: encode → decode → PSNR vs the source pixels → the per-row
 # invariant verdict (exact round-trip for lossless formats, ≥ 40 dB
 # for lossy; BASELINE.json input_hint). The DuckDB oracle pins every
@@ -2675,7 +2676,7 @@ ORACLE_SQL["q55_sequence_packing"] = Q55_SQL
 # (src/lib/md/mdUtils.ts:23-44); this is the graft's replacement.
 # ---------------------------------------------------------------------------
 
-_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg"]  # mirrored in Q56_SQL
+_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2"]  # mirrored in Q56_SQL
 
 
 def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2728,8 +2729,9 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q56_SQL = """
 SELECT 'img' || lpad(doc_id::VARCHAR, 4, '0') AS image_id,
-       CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-            WHEN 2 THEN 'png' WHEN 3 THEN 'qjpg' ELSE 'jpg' END AS fmt,
+       CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'png' WHEN 3 THEN 'qjpg' WHEN 4 THEN 'jpg'
+            ELSE 'jp2' END AS fmt,
        (16 + (doc_id % 4) * 16)::INT AS w,
        (16 + ((doc_id * 3) % 4) * 16)::INT AS h,
        true AS ok

@@ -30,7 +30,7 @@ def rgb_arrays(draw, max_side: int = 33):
 
 
 @settings(**_SETTINGS)
-@given(arr=rgb_arrays(), fmt=st.sampled_from(["ppm", "bmp", "png"]))
+@given(arr=rgb_arrays(), fmt=st.sampled_from(["ppm", "bmp", "png", "jp2"]))
 def test_lossless_roundtrip_property(arr, fmt):
     assert np.array_equal(im.decode_image(im.encode_image(arr, fmt), fmt), arr)
 
