@@ -56,14 +56,19 @@ Striped pages decode too (§7.4.8.2): an unknown-height page (height
 0xFFFFFFFF with the striping flag) grows as stripes arrive, each
 END_OF_STRIPE segment fixing the stripe's final row.
 
+REFAGGNINST>1 aggregates decode too (§6.5.8.2.1): the new symbol is
+a TEXT REGION of refined pool instances run on the dictionary's own
+coder — the fresh IAx/IAID procedure instances share adaptation
+state through the coder's context dictionaries because their
+context-id bases are fixed.
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): custom Huffman tables
 (table segments / selection 3) and the B.7/B.10 selections,
-refinement under Huffman coding (SDHUFF/SBHUFF=1), REFAGGNINST>1
-aggregates, intermediate region segments, HENABLESKIP,
-unknown-length segments. These are documented residue; the generic +
-text + refinement + halftone + striped paths cover scanned pages end
-to end.
+refinement under Huffman coding (SDHUFF/SBHUFF=1), intermediate
+region segments, HENABLESKIP, unknown-length segments. These are
+documented residue; the generic + text + refinement + halftone +
+striped paths cover scanned pages end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -363,9 +368,12 @@ def encode_symbol_dict_refagg(
     """Fixture twin of the SDREFAGG=1 path of
     :func:`decode_symbol_dict`: each spec is ``(bitmap, ref_id, rdx,
     rdy)`` — the new glyph rides a generic refinement of pool symbol
-    ``ref_id`` (inputs first, then already-encoded new symbols). One
-    height class per symbol; the input symbols stay unexported, all
-    new symbols export."""
+    ``ref_id`` (inputs first, then already-encoded new symbols) — or
+    the aggregate form ``("agg", h, w, placements)`` with
+    ``placements = [(x, y, pool_id)]``: the glyph is a TEXT REGION of
+    those instances coded on the dictionary's own coder
+    (REFAGGNINST > 1, §6.5.8.2.1). One height class per symbol; the
+    input symbols stay unexported, all new symbols export."""
     from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
     mq = MQEncoder()
@@ -375,22 +383,51 @@ def encode_symbol_dict_refagg(
     code_len = max(1, (len(pool) + n_new - 1).bit_length())
     iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
     hcheight = 0
-    for bm, ref_id, rdx, rdy in new_specs:
-        h, w = bm.shape
+    for spec in new_specs:
+        is_agg = isinstance(spec[0], str) and spec[0] == "agg"
+        if is_agg:
+            _tag, h, w, placements = spec
+            bm = compose_placements(pool, placements, h, w)
+        else:
+            bm, ref_id, rdx, rdy = spec
+            h, w = bm.shape
         ia["dh"].encode(mq, h - hcheight)
         hcheight = h
         ia["dw"].encode(mq, w)
-        ia["ai"].encode(mq, 1)
-        iaid.encode(mq, ref_id)
-        ia["rdx"].encode(mq, rdx)
-        ia["rdy"].encode(mq, rdy)
-        _refine_encode_with(mq, bm, pool[ref_id], rdx, rdy,
-                            rtemplate, rat_pairs)
+        if is_agg:
+            ia["ai"].encode(mq, len(placements))
+            encode_text_region(
+                placements, pool, list(range(len(pool))),
+                refinements=[None] * len(placements),
+                rtemplate=rtemplate, rat_pairs=rat_pairs,
+                mq=mq, code_len=code_len,
+            )
+        else:
+            ia["ai"].encode(mq, 1)
+            iaid.encode(mq, ref_id)
+            ia["rdx"].encode(mq, rdx)
+            ia["rdy"].encode(mq, rdy)
+            _refine_encode_with(mq, bm, pool[ref_id], rdx, rdy,
+                                rtemplate, rat_pairs)
         pool.append(bm.astype(bool))
         ia["dw"].encode(mq, OOB)
     ia["ex"].encode(mq, len(input_syms))
     ia["ex"].encode(mq, n_new)
     return mq.flush()
+
+
+def compose_placements(
+    pool: list[np.ndarray], placements: list[tuple[int, int, int]],
+    h: int, w: int,
+) -> np.ndarray:
+    """OR-compose pool glyphs at TOPLEFT positions into an (h, w)
+    bitmap — the plaintext a REFAGGNINST>1 aggregate decodes to."""
+    bm = np.zeros((h, w), dtype=bool)
+    for x, y, sid in placements:
+        g = pool[sid]
+        gh, gw = g.shape
+        bm[y : y + gh, x : x + gw] |= g
+    return bm
 
 
 # ---------------------------------------------------------------------------
@@ -455,23 +492,31 @@ def decode_symbol_dict(
                 raise ValueError("JBIG2 symbol dict: bad symbol size/count")
             if refagg:  # §6.5.8.2
                 n_inst = ia["ai"].decode(mq)
-                if n_inst != 1:
-                    raise ValueError(
-                        "JBIG2 symbol dict: aggregate REFAGGNINST>1 "
-                        "unsupported"
-                    )
-                ref_id = iaid.decode(mq)
-                rdx = ia["rdx"].decode(mq)
-                rdy = ia["rdy"].decode(mq)
                 pool = inputs + newsyms
-                if not 0 <= ref_id < len(pool):
-                    raise ValueError("JBIG2 symbol dict: bad refinement id")
-                newsyms.append(
-                    _refine_decode_with(
-                        mq, symwidth, hcheight, pool[ref_id], rdx, rdy,
-                        rtemplate, rat_pairs,
+                if n_inst == 1:  # §6.5.8.2.2 single-refinement form
+                    ref_id = iaid.decode(mq)
+                    rdx = ia["rdx"].decode(mq)
+                    rdy = ia["rdy"].decode(mq)
+                    if not 0 <= ref_id < len(pool):
+                        raise ValueError("JBIG2 symbol dict: bad refinement id")
+                    newsyms.append(
+                        _refine_decode_with(
+                            mq, symwidth, hcheight, pool[ref_id], rdx, rdy,
+                            rtemplate, rat_pairs,
+                        )
                     )
-                )
+                else:
+                    # §6.5.8.2.1: the new symbol decodes as a TEXT
+                    # REGION of n_inst refined instances over the
+                    # pool, on THIS coder with THIS dict's code_len
+                    # (SBSTRIPS=1, TOPLEFT, DSOFFSET 0, REFINE=1)
+                    newsyms.append(
+                        decode_text_region(
+                            b"", symwidth, hcheight, n_inst, 0, 1, 0,
+                            pool, refine=True, rtemplate=rtemplate,
+                            rat_pairs=rat_pairs, mq=mq, code_len=code_len,
+                        )
+                    )
             else:
                 newsyms.append(
                     _generic_decode_with(
@@ -541,6 +586,8 @@ def decode_text_region(
     refine: bool = False,
     rtemplate: int = 0,
     rat_pairs: list[tuple[int, int]] | None = None,
+    mq: MQDecoder | None = None,
+    code_len: int | None = None,
 ) -> np.ndarray:
     """§6.4.5 arithmetic text region (OR composition) → bool bitmap.
     TRANSPOSED=1 swaps which of (S, T) supplies x vs y — S runs down
@@ -549,12 +596,18 @@ def decode_text_region(
     columns), per §6.4.5 step 3(c)(viii-xi). SBREFINE=1 decodes a
     per-instance RI bit (IARI); a nonzero RI refines the dictionary
     glyph into an instance-specific bitmap sized (w+RDW, h+RDH) with
-    reference offsets (RDW>>1)+RDX, (RDH>>1)+RDY per §6.4.11."""
+    reference offsets (RDW>>1)+RDX, (RDH>>1)+RDY per §6.4.11.
+    ``mq``/``code_len`` let a symbol dictionary run the procedure on
+    its OWN coder for REFAGGNINST>1 aggregates (§6.5.8.2.1) — the
+    fresh IAx/IAID instances share state through the coder's context
+    dictionaries because their context-id bases are fixed."""
     from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
-    mq = MQDecoder(data)
+    if mq is None:
+        mq = MQDecoder(data)
     ia = _ia_blocks()
-    code_len = max(1, (len(syms) - 1).bit_length())
+    if code_len is None:
+        code_len = max(1, (len(syms) - 1).bit_length())
     iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
     strips = 1 << log_strips
     page = np.zeros((h, w), dtype=bool)
@@ -602,8 +655,11 @@ def decode_text_region(
             page[y0 : y0 + hs, x0 : x0 + ws] |= sym
             curs += (hs if transposed else ws) - 1
             placed += 1
-            if placed == n_instances:
-                break
+            if placed > n_instances:
+                raise ValueError("JBIG2 text region: instance overflow")
+            # the strip's closing OOB is always coded (§6.4.5 step
+            # 3(c)(ii)) — consume it even after the last instance, so
+            # shared-coder aggregates stay aligned
     return page
 
 
@@ -617,18 +673,25 @@ def encode_text_region(
     refinements: list | None = None,
     rtemplate: int = 0,
     rat_pairs: list[tuple[int, int]] | None = None,
-) -> bytes:
+    mq: MQEncoder | None = None,
+    code_len: int | None = None,
+) -> bytes | None:
     """Fixture twin: ``placements`` = (x, y, sym_idx) with TOPLEFT
     corners, sorted by (strip, x). TRANSPOSED=1 strips are vertical
     (T = column) and S runs down rows. ``refinements`` (SBREFINE=1)
     aligns with ``placements``: None places the dictionary glyph
     (RI=0); ``(bitmap, rdw, rdh, rdx, rdy)`` refines it into that
-    instance bitmap, whose shape must be the glyph's + (rdh, rdw)."""
+    instance bitmap, whose shape must be the glyph's + (rdh, rdw).
+    With a caller-supplied ``mq`` (aggregate symbols), bits join that
+    coder's stream and the return value is None."""
     from crawler_spark.functions.mq import OOB, SymbolIDCodec
 
-    mq = MQEncoder()
+    shared = mq is not None
+    if mq is None:
+        mq = MQEncoder()
     ia = _ia_blocks()
-    code_len = max(1, (len(syms) - 1).bit_length())
+    if code_len is None:
+        code_len = max(1, (len(syms) - 1).bit_length())
     iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
     strips = 1 << log_strips
     by_strip: dict[int, list[tuple[int, int, int, int]]] = {}
@@ -683,7 +746,7 @@ def encode_text_region(
                     )
             curs += inst.shape[0 if transposed else 1] - 1
         ia["ds"].encode(mq, OOB)
-    return mq.flush()
+    return None if shared else mq.flush()
 
 
 # ---------------------------------------------------------------------------
@@ -849,8 +912,11 @@ def decode_text_region_huffman(
             page[y0 : y0 + hs, x0 : x0 + ws] |= sym
             curs += (hs if transposed else ws) - 1
             placed += 1
-            if placed == n_instances:
-                break
+            if placed > n_instances:
+                raise ValueError(
+                    "JBIG2 Huffman text region: instance overflow"
+                )
+            # the strip's closing OOB is always coded — consume it
     return page
 
 
@@ -1439,9 +1505,17 @@ def encode_jbig2_text_refagg(
     pool = [None] * len(base_syms)
     for orig, dec in enumerate(base_order):
         pool[dec] = base_syms[orig].astype(bool)
-    specs = [
-        (bm, base_order[rid], rdx, rdy) for bm, rid, rdx, rdy in refined_specs
-    ]
+    specs = []
+    for spec in refined_specs:
+        if isinstance(spec[0], str) and spec[0] == "agg":
+            _tag, ah, aw, aplace = spec
+            specs.append(
+                ("agg", ah, aw,
+                 [(ax, ay, base_order[sid]) for ax, ay, sid in aplace])
+            )
+        else:
+            bm, rid, rdx, rdy = spec
+            specs.append((bm, base_order[rid], rdx, rdy))
     ra_data = encode_symbol_dict_refagg(specs, pool)
     rats = b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL)
     ra_body = (
@@ -1452,7 +1526,14 @@ def encode_jbig2_text_refagg(
         + ra_data
     )
     segment(2, _SYMBOL_DICT, 1, ra_body, refs=(1,))
-    refined = [bm.astype(bool) for bm, _, _, _ in refined_specs]
+    refined = [
+        compose_placements(
+            pool, [(x, y, base_order[sid]) for x, y, sid in s[3]], s[1], s[2]
+        )
+        if isinstance(s[0], str) and s[0] == "agg"
+        else s[0].astype(bool)
+        for s in refined_specs
+    ]
     tr_data = encode_text_region(
         placements, refined, list(range(len(refined))), log_strips=0
     )

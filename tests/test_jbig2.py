@@ -463,12 +463,15 @@ def test_generic_refinement_roundtrip():
 
 
 def test_refagg_symbol_dict_page():
-    """SDREFAGG=1 (§6.5.8.2, REFAGGNINST=1): new dictionary symbols
-    decode as refinements of a referenced dictionary's glyphs — the
-    chain form real encoders emit when glyphs are small corrections of
-    a shared prototype. The text region places only the refined
-    exports."""
-    from crawler_spark.functions.jbig2 import encode_jbig2_text_refagg
+    """SDREFAGG=1 (§6.5.8.2): new dictionary symbols decode as
+    refinements of a referenced dictionary's glyphs (REFAGGNINST=1),
+    or — REFAGGNINST>1 — as a TEXT REGION of several pool instances
+    coded on the dictionary's own coder. The text region places only
+    the refined exports."""
+    from crawler_spark.functions.jbig2 import (
+        compose_placements,
+        encode_jbig2_text_refagg,
+    )
 
     rng = np.random.default_rng(79)
     base = [rng.random((6, 5)) < 0.5, rng.random((8, 7)) < 0.5]
@@ -483,14 +486,23 @@ def test_refagg_symbol_dict_page():
         bm[0, 0] = True  # keep width/height exact under trailing zeros
         bm[-1, -1] = True
         refined_specs.append((bm, rid, 0, 0))
-    placements = [(2, 2, 0), (12, 2, 1), (24, 2, 2), (2, 14, 2)]
+    # REFAGGNINST=2 aggregate: two base glyphs side by side
+    refined_specs.append(("agg", 8, 13, [(0, 0, 0), (6, 0, 1)]))
+    placements = [(2, 2, 0), (12, 2, 1), (24, 2, 2), (2, 14, 2),
+                  (14, 14, 3)]
     W, H = 36, 26
     page = decode_jbig2_embedded(
         encode_jbig2_text_refagg(base, refined_specs, placements, (W, H))
     )
     want = np.full((H, W), 255, np.uint8)
     for x, y, si in placements:
-        bm = refined_specs[si][0]
+        s = refined_specs[si]
+        if isinstance(s[0], str):
+            bm = compose_placements(
+                [b.astype(bool) for b in base], s[3], s[1], s[2]
+            )
+        else:
+            bm = s[0]
         h, w = bm.shape
         want[y : y + h, x : x + w][bm] = 0
     assert np.array_equal(page, want)
