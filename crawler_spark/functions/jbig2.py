@@ -62,9 +62,13 @@ coder — the fresh IAx/IAID procedure instances share adaptation
 state through the coder's context dictionaries because their
 context-id bases are fixed.
 
+Custom Huffman tables decode too (§7.4.13 table segments → Annex-B
+canonical codes; selection 3 — or 1 for BMSIZE — consumes the
+referred-to table segments in order of need, per §7.4.3.1.6).
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
-the row as ok=False, never garbage pixels): custom Huffman tables
-(table segments / selection 3) and the B.7/B.10 selections,
+the row as ok=False, never garbage pixels): the B.7/B.10 standard
+selections (their transcriptions failed the completeness gate),
 refinement under Huffman coding (SDHUFF/SBHUFF=1), intermediate
 region segments, HENABLESKIP, unknown-length segments. These are
 documented residue; the generic + text + refinement + halftone +
@@ -767,19 +771,32 @@ def decode_symbol_dict_huffman(
     dw_sel: int,
     bm_sel: int,
     input_syms: list[np.ndarray] | None = None,
+    custom: list | None = None,
 ) -> list[np.ndarray]:
-    """§6.5 with SDHUFF=1, REFAGG=0 → exported glyph bitmaps."""
+    """§6.5 with SDHUFF=1, REFAGG=0 → exported glyph bitmaps.
+    Selection 3 (DH/DW) or 1 (BMSIZE) consumes the next custom table
+    from ``custom`` — the referred-to table segments in order of
+    need, per §7.4.3.1.6."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitReader,
         STANDARD_TABLES,
     )
 
-    if dh_sel not in (0, 1) or dw_sel not in (0, 1) or bm_sel != 0:
-        raise ValueError("JBIG2 Huffman symbol dict: custom table selection")
-    dh_t = STANDARD_TABLES[4 if dh_sel == 0 else 5]
-    dw_t = STANDARD_TABLES[2 if dw_sel == 0 else 3]
-    bm_t = STANDARD_TABLES[1]
+    customs = list(custom or [])
+
+    def take():
+        if not customs:
+            raise ValueError(
+                "JBIG2 Huffman symbol dict: missing custom table"
+            )
+        return customs.pop(0)
+
+    if dh_sel == 2 or dw_sel == 2:
+        raise ValueError("JBIG2 Huffman symbol dict: reserved selection")
+    dh_t = take() if dh_sel == 3 else STANDARD_TABLES[4 if dh_sel == 0 else 5]
+    dw_t = take() if dw_sel == 3 else STANDARD_TABLES[2 if dw_sel == 0 else 3]
+    bm_t = take() if bm_sel == 1 else STANDARD_TABLES[1]
     ex_t = STANDARD_TABLES[1]
     r = BitReader(data)
     newsyms: list[np.ndarray] = []
@@ -853,9 +870,11 @@ def decode_text_region_huffman(
     fs_sel: int,
     ds_sel: int,
     dt_sel: int,
+    custom: list | None = None,
 ) -> np.ndarray:
     """§6.4.5 with SBHUFF=1 (no refinement). ``data`` starts at the
-    §7.4.3.1.7 symbol-ID runcode table."""
+    §7.4.3.1.7 symbol-ID runcode table. Selection 3 consumes the next
+    custom table (referred table segments in FS, DS, DT order)."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitReader,
@@ -864,10 +883,25 @@ def decode_text_region_huffman(
         symbol_id_table,
     )
 
+    customs = list(custom or [])
+
+    def take():
+        if not customs:
+            raise ValueError(
+                "JBIG2 Huffman text region: missing custom table"
+            )
+        return customs.pop(0)
+
     try:
-        fs_t = STANDARD_TABLES[{0: 6, 1: 7}[fs_sel]]
-        ds_t = STANDARD_TABLES[{0: 8, 1: 9, 2: 10}[ds_sel]]
-        dt_t = STANDARD_TABLES[{0: 11, 1: 12, 2: 13}[dt_sel]]
+        fs_t = take() if fs_sel == 3 else STANDARD_TABLES[{0: 6, 1: 7}[fs_sel]]
+        ds_t = (
+            take() if ds_sel == 3
+            else STANDARD_TABLES[{0: 8, 1: 9, 2: 10}[ds_sel]]
+        )
+        dt_t = (
+            take() if dt_sel == 3
+            else STANDARD_TABLES[{0: 11, 1: 12, 2: 13}[dt_sel]]
+        )
     except KeyError:
         raise ValueError(
             "JBIG2 Huffman text region: unavailable table selection "
@@ -1063,6 +1097,7 @@ _IMM_LOSSLESS_REFINE = 42
 _END_OF_PAGE = 49
 _END_OF_STRIPE = 50
 _END_OF_FILE = 51
+_TABLE = 53
 
 
 def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
@@ -1110,7 +1145,7 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
     segments, typically symbol dictionaries, referenced by every page's
     image stream) is processed first into the same segment state.
     Raises on any segment kind outside the subset."""
-    state: dict = {"page": None, "dicts": {}, "pats": {}}
+    state: dict = {"page": None, "dicts": {}, "pats": {}, "tabs": {}}
     if globals_data:
         _run_segments(globals_data, state)
     _run_segments(data, state)
@@ -1204,10 +1239,14 @@ def _run_segments(data: bytes, state: dict) -> None:
                         "JBIG2 Huffman symbol dict with refinement unsupported"
                     )
                 n_ex, n_new = struct.unpack_from(">II", body, 2)
+                customs = [
+                    state["tabs"][r] for r in hdr["refs"]
+                    if r in state["tabs"]
+                ]
                 dicts[hdr["number"]] = decode_symbol_dict_huffman(
                     body[10:], n_new, n_ex,
                     (sdflags >> 2) & 3, (sdflags >> 4) & 3,
-                    (sdflags >> 6) & 1, inputs,
+                    (sdflags >> 6) & 1, inputs, customs,
                 )
                 continue
             template = (sdflags >> 10) & 3
@@ -1265,10 +1304,15 @@ def _run_segments(data: bytes, state: dict) -> None:
                 if hflags & (1 << 14):  # custom RSIZE table
                     raise ValueError("JBIG2 Huffman text region: custom RSIZE")
                 (n_inst,) = struct.unpack_from(">I", body, 21)
+                customs = [
+                    state["tabs"][r] for r in hdr["refs"]
+                    if r in state["tabs"]
+                ]
                 region = decode_text_region_huffman(
                     body[25:], w, h, n_inst, log_strips, ref_corner,
                     ds_offset, syms, transposed,
                     hflags & 3, (hflags >> 2) & 3, (hflags >> 4) & 3,
+                    customs,
                 )
             else:
                 off = 19
@@ -1297,6 +1341,12 @@ def _run_segments(data: bytes, state: dict) -> None:
             page[y : y + h, x : x + w] |= region
         elif t == _PATTERN_DICT:
             state["pats"][hdr["number"]] = decode_pattern_dict(body)
+        elif t == _TABLE:
+            from crawler_spark.functions.jbig2_huffman import (
+                parse_table_segment,
+            )
+
+            state["tabs"][hdr["number"]] = parse_table_segment(body)
         elif t in (_IMM_HALFTONE, _IMM_LOSSLESS_HALFTONE):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
@@ -1715,22 +1765,37 @@ def encode_jbig2_text_huffman(
     placements: list[tuple[int, int, int]],
     page_wh: tuple[int, int],
     transposed: bool = False,
+    custom_dt: bool = False,
 ) -> bytes:
     """Fixture twin of :func:`encode_jbig2_text` for the SDHUFF=1 /
     SBHUFF=1 form: height-class collective bitmaps ride MMR (T.6),
     parameters ride the Annex-B standard tables (selections 0), symbol
-    ids ride the §7.4.3.1.7 runcode scheme with equal code lengths."""
+    ids ride the §7.4.3.1.7 runcode scheme with equal code lengths.
+    ``custom_dt`` routes the strip deltas through a CUSTOM table
+    segment (§7.4.13, selection 3) instead of B.11."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitWriter,
         STANDARD_TABLES,
         encode_symbol_id_lengths,
+        make_table_segment,
+        parse_table_segment,
         symbol_id_table,
     )
 
     w, h = page_wh
     dh_t, dw_t, bm_t, ex_t = (STANDARD_TABLES[k] for k in (4, 2, 1, 1))
-    fs_t, ds_t, dt_t = (STANDARD_TABLES[k] for k in (6, 8, 11))
+    fs_t, ds_t = (STANDARD_TABLES[k] for k in (6, 8))
+    table_seg: bytes | None = None
+    if custom_dt:
+        # domain [1, 9) + 32-bit upper: a complete prefix code unlike
+        # any standard table, so a selection-plumbing bug can't pass
+        table_seg = make_table_segment(
+            [(2, 0), (2, 1), (2, 2), (3, 0)], 1, 9, 0, 3
+        )
+        dt_t = parse_table_segment(table_seg)
+    else:
+        dt_t = STANDARD_TABLES[11]
     # symbol dictionary: classes by height, widths ascending within a
     # class so the B.2 DW deltas stay non-negative
     order = sorted(range(len(syms)), key=lambda k: syms[k].shape)
@@ -1794,11 +1859,12 @@ def encode_jbig2_text_huffman(
             curs += syms[si].shape[0 if transposed else 1] - 1
         ds_t.encode(tw, HOOB)
     tflags = 1 | (1 << 4) | ((1 << 6) if transposed else 0)
+    hflags = (3 << 4) if custom_dt else 0  # DT selection 3 = custom
     tr_body = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"
         + struct.pack(">H", tflags)
-        + struct.pack(">H", 0)  # huffman flags: selections 0
+        + struct.pack(">H", hflags)
         + struct.pack(">I", len(placements))
         + tw.flush()
     )
@@ -1815,7 +1881,11 @@ def encode_jbig2_text_huffman(
 
     segment(0, _PAGE_INFO, 1, struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
     segment(1, _SYMBOL_DICT, 1, sd_body)
-    segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
+    if table_seg is not None:
+        segment(2, _TABLE, 1, table_seg)
+        segment(3, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1, 2))
+    else:
+        segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
     return bytes(out)
 
 

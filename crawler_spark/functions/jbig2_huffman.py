@@ -326,3 +326,69 @@ def encode_symbol_id_lengths(w: BitWriter, lengths: list[int]) -> None:
     run_table = HuffmanTable([(pl, 0, i) for i, pl in enumerate(run_lengths)])
     for pl in lengths:
         run_table.encode(w, pl)
+
+
+def parse_table_segment(body: bytes) -> HuffmanTable:
+    """§7.4.13 custom table segment → :class:`HuffmanTable`. Lines
+    cover [HTLOW, HTHIGH) with (PREFLEN, RANGELEN) pairs; the 32-bit
+    lower-range line sits at HTLOW-1 descending, the upper at HTHIGH
+    ascending; PREFLEN 0 marks an absent entry."""
+    flags = body[0]
+    oob_flag = flags & 1
+    htps = ((flags >> 1) & 7) + 1
+    htrs = ((flags >> 4) & 7) + 1
+    low = int.from_bytes(body[1:5], "big", signed=True)
+    high = int.from_bytes(body[5:9], "big", signed=True)
+    if high <= low:
+        raise ValueError("JBIG2 table segment: empty range")
+    r = BitReader(body, 9)
+    lines: list[tuple[int, int, int]] = []
+    cur = low
+    while cur < high:
+        pl = r.read_bits(htps)
+        rl = r.read_bits(htrs)
+        lines.append((pl, rl, cur))
+        cur += 1 << rl
+        if len(lines) > 1 << 16:
+            raise ValueError("JBIG2 table segment: runaway line count")
+    lower = (r.read_bits(htps), low - 1)
+    upper = (r.read_bits(htps), high)
+    oob = r.read_bits(htps) if oob_flag else None
+    return HuffmanTable(lines, lower, upper, oob)
+
+
+def make_table_segment(
+    lines: list[tuple[int, int]],
+    low: int,
+    high: int,
+    lower_pl: int,
+    upper_pl: int,
+    oob_pl: int | None = None,
+) -> bytes:
+    """Fixture twin of :func:`parse_table_segment`: ``lines`` =
+    (PREFLEN, RANGELEN) pairs that must tile [low, high)."""
+    htps = max(
+        [pl.bit_length() for pl, _ in lines]
+        + [lower_pl.bit_length(), upper_pl.bit_length(),
+           (oob_pl or 0).bit_length(), 1]
+    )
+    htrs = max([rl.bit_length() for _, rl in lines] + [1])
+    flags = (1 if oob_pl is not None else 0) | ((htps - 1) << 1) | (
+        (htrs - 1) << 4
+    )
+    out = bytearray([flags])
+    out += low.to_bytes(4, "big", signed=True)
+    out += high.to_bytes(4, "big", signed=True)
+    w = BitWriter()
+    cur = low
+    for pl, rl in lines:
+        w.write_bits(pl, htps)
+        w.write_bits(rl, htrs)
+        cur += 1 << rl
+    if cur != high:
+        raise ValueError("table lines must tile [low, high)")
+    w.write_bits(lower_pl, htps)
+    w.write_bits(upper_pl, htps)
+    if oob_pl is not None:
+        w.write_bits(oob_pl, htps)
+    return bytes(out) + w.flush()

@@ -316,6 +316,22 @@ def test_huffman_text_page_roundtrip():
             syms, placements, (W, H), transposed=transposed
         )
         assert np.array_equal(decode_jbig2_embedded(data), want), transposed
+    # custom table segment (§7.4.13): the strip deltas ride a table
+    # whose code lengths match no standard table — selection 3 must
+    # resolve it through the referred segment, or the page breaks
+    data = encode_jbig2_text_huffman(syms, placements, (W, H),
+                                     custom_dt=True)
+    assert np.array_equal(decode_jbig2_embedded(data), want)
+    # dropping the table reference must raise (missing custom table)
+    import struct as _s
+
+    mut = bytearray(data)
+    hdrpos = bytes(mut).find(_s.pack(">IB", 3, 7))
+    assert hdrpos > 0
+    mut[hdrpos + 5] = 1 << 5  # refcount 1 (drop the table ref)
+    del mut[hdrpos + 7]  # remove the second ref byte
+    with pytest.raises(ValueError, match="custom table"):
+        decode_jbig2_embedded(bytes(mut))
     data = encode_jbig2_text_huffman(syms, placements, (W, H))
     exp = phash64(np.repeat(want[:, :, None], 3, axis=2))
     rows = extract_pdf_images(
