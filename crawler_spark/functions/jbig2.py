@@ -49,8 +49,10 @@ Halftone regions (T.88 §6.6) and pattern dictionaries (§6.7) decode
 too: the pattern dictionary's collective bitmap (arithmetic with
 AT1 = (-HDPW, 0), or MMR), Annex-C.5 Gray-coded grayscale bitplanes
 — arithmetic sharing one MQ stream, or MMR sharing one
-EOFB-delimited T.6 stream — and skewed-grid pattern placement
-honoring HCOMBOP and the external combination operator.
+EOFB-delimited T.6 stream — skewed-grid pattern placement honoring
+HCOMBOP and the external combination operator, and HENABLESKIP
+(§6.6.5.1: cells whose pattern falls outside the region decode as 0
+without consuming decisions — USESKIP in the generic procedure).
 
 Striped pages decode too (§7.4.8.2): an unknown-height page (height
 0xFFFFFFFF with the striping flag) grows as stripes arrive, each
@@ -70,7 +72,7 @@ Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): the B.7/B.10 standard
 selections (their transcriptions failed the completeness gate),
 refinement under Huffman coding (SDHUFF/SBHUFF=1), intermediate
-region segments, HENABLESKIP, unknown-length segments. These are
+region segments, unknown-length segments. These are
 documented residue; the generic + text + refinement + halftone +
 striped paths cover scanned pages end to end.
 
@@ -152,12 +154,15 @@ def _generic_decode_with(
     template: int = 0,
     tpgdon: bool = False,
     cx_base: int = 0,
+    skip: np.ndarray | None = None,
 ) -> np.ndarray:
     """Generic-region decode continuing an EXISTING MQ coder — symbol
     dictionaries decode each glyph bitmap inline in one shared
     arithmetic stream (T.88 §6.5.5). ``cx_base`` offsets the pixel
     context space when the caller multiplexes integer codecs on the
-    same coder."""
+    same coder. ``skip`` (USESKIP, §6.2.5.7) marks pixels that decode
+    to 0 WITHOUT consuming a decision — halftone grayscale planes
+    skip grid cells that fall outside the region."""
     offs = _gb_offsets(template, at_pairs)
     bm = np.zeros((h, w), dtype=np.uint8)
     ltp = 0
@@ -169,6 +174,8 @@ def _generic_decode_with(
                     bm[y] = bm[y - 1]
                 continue
         for x in range(w):
+            if skip is not None and skip[y, x]:
+                continue  # stays 0, no decision coded
             cx = 0
             for dy, dx in offs:
                 yy, xx = y + dy, x + dx
@@ -201,6 +208,7 @@ def _generic_encode_with(
     template: int = 0,
     tpgdon: bool = False,
     cx_base: int = 0,
+    skip: np.ndarray | None = None,
 ) -> None:
     at_pairs = at_pairs or _GB_AT_NOMINAL[template]
     offs = _gb_offsets(template, at_pairs)
@@ -215,6 +223,8 @@ def _generic_encode_with(
             if typical:
                 continue
         for x in range(w):
+            if skip is not None and skip[y, x]:
+                continue
             cx = 0
             for dy, dx in offs:
                 yy, xx = y + dy, x + dx
@@ -1002,14 +1012,18 @@ def _gray_to_values(planes: list[np.ndarray]) -> np.ndarray:
 
 
 def decode_gray_planes(
-    mq: MQDecoder, w: int, h: int, bits: int, template: int
+    mq: MQDecoder, w: int, h: int, bits: int, template: int,
+    skip: np.ndarray | None = None,
 ) -> np.ndarray:
     """Annex C.5 arithmetic grayscale image: ``bits`` Gray-coded
     bitplanes, MSB first, one shared MQ stream + context set →
-    int array of values."""
+    int array of values. ``skip`` masks cells whose pattern falls
+    outside the region (HENABLESKIP)."""
     at = _GB_AT_NOMINAL[template][: _GB_AT_COUNT[template]]
     planes = [
-        _generic_decode_with(mq, w, h, at, template).astype(np.uint8)
+        _generic_decode_with(
+            mq, w, h, at, template, skip=skip
+        ).astype(np.uint8)
         for _ in range(bits)
     ]
     return _gray_to_values(planes)
@@ -1027,6 +1041,19 @@ def _compose(dst: np.ndarray, src: np.ndarray, op: int) -> np.ndarray:
     return src.copy()  # 4 = REPLACE
 
 
+def _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, pat_shape, w, h):
+    """§6.6.5.1 HSKIP: grid cells whose pattern footprint lies
+    entirely outside the region."""
+    ph, pw = pat_shape
+    mg = np.arange(hgh)[:, None]
+    ng = np.arange(hgw)[None, :]
+    x = (hgx + mg * hry + ng * hrx) >> 8
+    y = (hgy + mg * hrx - ng * hry) >> 8
+    return ((x + pw <= 0) | (x >= w) | (y + ph <= 0) | (y >= h)).astype(
+        np.uint8
+    )
+
+
 def decode_halftone_region(
     body: bytes, pats: list[np.ndarray]
 ) -> tuple[np.ndarray, int, int, int]:
@@ -1036,14 +1063,20 @@ def decode_halftone_region(
     hflags = body[17]
     hmmr = hflags & 1
     template = (hflags >> 1) & 3
-    if hflags & 8:
-        raise ValueError("JBIG2 halftone HENABLESKIP unsupported")
+    enableskip = bool(hflags & 8)
     comb_op = (hflags >> 4) & 7
     defpixel = (hflags >> 7) & 1
     hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", body, 18)
     hrx, hry = struct.unpack_from(">HH", body, 34)
     region = np.full((h, w), bool(defpixel))
     bits = max(len(pats) - 1, 0).bit_length()
+    skip = None
+    if enableskip:
+        if hmmr:
+            raise ValueError("JBIG2 halftone: HENABLESKIP with MMR")
+        skip = _halftone_skip(
+            hgw, hgh, hgx, hgy, hrx, hry, pats[0].shape, w, h
+        )
     if not bits:
         gray = np.zeros((hgh, hgw), dtype=np.int64)
     elif hmmr:
@@ -1058,7 +1091,7 @@ def decode_halftone_region(
         gray = _gray_to_values(planes)
     else:
         mq = MQDecoder(body[38:])
-        gray = decode_gray_planes(mq, hgw, hgh, bits, template)
+        gray = decode_gray_planes(mq, hgw, hgh, bits, template, skip)
     if gray.max(initial=0) >= len(pats):
         raise ValueError("JBIG2 halftone: gray value exceeds pattern count")
     ph, pw = pats[0].shape
@@ -1603,19 +1636,37 @@ def encode_jbig2_halftone(
     patterns: list[np.ndarray],
     template: int = 0,
     mmr: bool = False,
+    grid: tuple[int, int, int, int] | None = None,
+    region_wh: tuple[int, int] | None = None,
+    enableskip: bool = False,
 ) -> bytes:
     """Fixture: page info + pattern dictionary + one immediate
     lossless halftone region. ``gray`` is the (HGH, HGW) grid of
-    pattern indices; ``patterns`` share one (ph, pw) shape. The grid
-    is axis-aligned (HRX = pw<<8, HRY = 0) so cell (mg, ng) lands at
-    (ng·pw, mg·pw)."""
+    pattern indices; ``patterns`` share one (ph, pw) shape. Default
+    grid is axis-aligned (HRX = pw<<8, HRY = 0) so cell (mg, ng)
+    lands at (ng·pw, mg·pw); pass ``grid`` = (HGX, HGY, HRX, HRY)
+    with ``region_wh`` for skewed layouts, and ``enableskip`` to
+    zero-and-skip cells that fall outside the region (§6.6.5.1)."""
     gray = np.asarray(gray, dtype=np.int64)
     hgh, hgw = gray.shape
     ph, pw = patterns[0].shape
     if any(p.shape != (ph, pw) for p in patterns):
         raise ValueError("patterns must share one shape")
-    w = hgw * pw
-    h = (hgh - 1) * pw + ph
+    if grid is None:
+        hgx, hgy, hrx, hry = 0, 0, pw << 8, 0
+        w = hgw * pw
+        h = (hgh - 1) * pw + ph
+    else:
+        hgx, hgy, hrx, hry = grid
+        if region_wh is None:
+            raise ValueError("region_wh required with an explicit grid")
+        w, h = region_wh
+    skip = None
+    if enableskip:
+        if mmr:
+            raise ValueError("HENABLESKIP requires arithmetic coding")
+        skip = _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, (ph, pw), w, h)
+        gray = gray * (1 - skip.astype(np.int64))  # skipped cells are 0
     out = bytearray()
 
     def segment(num, seg_type, page, body, refs=()):
@@ -1664,15 +1715,15 @@ def encode_jbig2_halftone(
         mq = MQEncoder()
         gat = _GB_AT_NOMINAL[template][: _GB_AT_COUNT[template]]
         for plane in planes:
-            _generic_encode_with(mq, plane, gat, template)
+            _generic_encode_with(mq, plane, gat, template, skip=skip)
         ht_data = mq.flush()
-        ht_flags = template << 1
+        ht_flags = (template << 1) | (8 if enableskip else 0)
     ht_body = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"  # external combination OR
-        + bytes([ht_flags])  # no skip, comb OR, defpixel 0
-        + struct.pack(">IIii", hgw, hgh, 0, 0)
-        + struct.pack(">HH", pw << 8, 0)
+        + bytes([ht_flags])
+        + struct.pack(">IIii", hgw, hgh, hgx, hgy)
+        + struct.pack(">HH", hrx, hry)
         + ht_data
     )
     segment(2, _IMM_LOSSLESS_HALFTONE, 1, ht_body, refs=(1,))

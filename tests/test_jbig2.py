@@ -648,9 +648,54 @@ def test_halftone_region_page():
             assert np.array_equal(page, want), (template, n_pats)
 
 
+def test_halftone_skewed_grid_with_skip():
+    """HENABLESKIP (§6.6.5.1): a skewed grid pushes some cells
+    outside the region; their gray values are never coded (USESKIP)
+    and the stream shrinks accordingly, while in-region cells land on
+    the rotated lattice exactly."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_halftone
+
+    rng = np.random.default_rng(113)
+    P = 4
+    pats = []
+    for k in range(4):
+        cell = np.zeros((P, P), bool)
+        cell.flat[: k * 5] = True
+        pats.append(cell)
+    gray = rng.integers(0, 4, size=(6, 6))
+    # rotated grid: strong skew pushes corner cells fully outside
+    grid = (-(6 << 8), 0, P << 8, 512)
+    W, H = 20, 26
+    data = encode_jbig2_halftone(
+        gray, pats, grid=grid, region_wh=(W, H), enableskip=True
+    )
+    page = decode_jbig2_embedded(data)
+    # expected: replicate the placement math, zeroing skipped cells
+    hgx, hgy, hrx, hry = grid
+    want = np.full((H, W), 255, np.uint8)
+    for mg in range(6):
+        for ng in range(6):
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            skipped = x + P <= 0 or x >= W or y + P <= 0 or y >= H
+            cell = pats[0 if skipped else int(gray[mg, ng])]
+            sy, sx = max(0, -y), max(0, -x)
+            ey, ex = min(P, H - y), min(P, W - x)
+            if sy < ey and sx < ex:
+                sub = want[y + sy : y + ey, x + sx : x + ex]
+                sub[cell[sy:ey, sx:ex]] = 0
+    assert np.array_equal(page, want)
+    # skip really skips decisions: the same layout without the flag
+    # codes every cell and must be strictly longer
+    full = encode_jbig2_halftone(
+        gray, pats, grid=grid, region_wh=(W, H), enableskip=False
+    )
+    assert len(data) < len(full)
+
+
 def test_halftone_out_of_subset_raises():
-    """Skip prediction and intermediate halftone regions must surface
-    as ValueError, never garbage."""
+    """Skip-with-MMR (spec-invalid) and intermediate halftone regions
+    must surface as ValueError, never garbage."""
     import struct
 
     from crawler_spark.functions.jbig2 import encode_jbig2_halftone
@@ -658,7 +703,7 @@ def test_halftone_out_of_subset_raises():
     rng = np.random.default_rng(103)
     pats = [np.zeros((3, 3), bool), np.ones((3, 3), bool)]
     gray = rng.integers(0, 2, size=(3, 3))
-    data = encode_jbig2_halftone(gray, pats)
+    data = encode_jbig2_halftone(gray, pats, mmr=True)
     # the halftone segment's flags byte: header 11 + region info 17
     # header = number(4) + type(1) + refcount(1) + ref(1) + page(1) +
     # length(4) = 12 bytes; halftone flags byte = body[17]
@@ -666,7 +711,7 @@ def test_halftone_out_of_subset_raises():
     assert ht_hdr > 0
     flags_off = ht_hdr + 12 + 17
     mut = bytearray(data)
-    mut[flags_off] |= 0x08
+    mut[flags_off] |= 0x08  # HENABLESKIP on an MMR region: invalid
     with pytest.raises(ValueError, match="HENABLESKIP"):
         decode_jbig2_embedded(bytes(mut))
     mut = bytearray(data)
