@@ -353,3 +353,216 @@ def encrypt_stream(data: bytes, fkey: bytes, num: int, gen: int, cfm: str) -> by
         raise ValueError(f"unsupported crypt filter {cfm}")
     iv = hashlib.md5(b"iv%d" % num).digest()
     return iv + aes_cbc_encrypt(key, iv, data)
+
+
+# ---------------------------------------------------------------------------
+# Public-key security handler (/Adobe.PubSec, ISO 32000-1 §7.6.4):
+# each /Recipients entry is a CMS EnvelopedData blob (RFC 5652) whose
+# KeyTransRecipientInfo carries an RSA-PKCS#1-v1.5-encrypted content
+# key; the AES/RC4-encrypted content is 20 seed bytes + 4 permission
+# bytes. The file key is SHA-1 over seed || every recipient blob
+# (|| FF FF FF FF when /EncryptMetadata false); object keys then
+# derive exactly as in the standard handler. Everything below is
+# stdlib-only: RSA is modular exponentiation over deterministic
+# Miller-Rabin primes, DER is a minimal TLV reader/writer.
+# ---------------------------------------------------------------------------
+
+_OID_ENVELOPED = bytes.fromhex("2a864886f70d010703")  # 1.2.840.113549.1.7.3
+_OID_DATA = bytes.fromhex("2a864886f70d010701")       # ...1.7.1
+_OID_RSA = bytes.fromhex("2a864886f70d010101")        # ...1.1.1
+_OID_AES128_CBC = bytes.fromhex("608648016503040102")  # 2.16.840.1.101.3.4.1.2
+
+_MR_BASES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+
+
+def _is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for p in _MR_BASES:
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in _MR_BASES:
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _gen_prime(bits: int, tag: bytes) -> int:
+    x = int.from_bytes(hashlib.sha256(tag).digest() * (bits // 128 + 1),
+                       "big")
+    x |= (1 << (bits - 1)) | (1 << (bits - 2)) | 1
+    x &= (1 << bits) - 1
+    while not _is_prime(x) or (x - 1) % 65537 == 0:
+        x += 2
+    return x
+
+
+_RSA_CACHE: dict[str, tuple[int, int, int]] = {}
+
+
+def rsa_fixture_key(bits: int = 1024) -> tuple[int, int, int]:
+    """Deterministic RSA key (n, e, d) for PubSec fixtures — derived
+    from fixed seeds, cached per size."""
+    key = f"k{bits}"
+    if key not in _RSA_CACHE:
+        p = _gen_prime(bits // 2, b"pubsec-fixture-p")
+        q = _gen_prime(bits // 2, b"pubsec-fixture-q")
+        n = p * q
+        e = 65537
+        d = pow(e, -1, (p - 1) * (q - 1))
+        _RSA_CACHE[key] = (n, e, d)
+    return _RSA_CACHE[key]
+
+
+def rsa_encrypt_pkcs1(n: int, e: int, msg: bytes) -> bytes:
+    """RSA PKCS#1 v1.5 encryption (deterministic nonzero padding —
+    fixture use; real encryptors randomize PS)."""
+    k = (n.bit_length() + 7) // 8
+    pslen = k - 3 - len(msg)
+    if pslen < 8:
+        raise ValueError("RSA: message too long")
+    ps = bytearray()
+    ctr = 0
+    while len(ps) < pslen:
+        for b in hashlib.sha256(b"ps%d" % ctr).digest():
+            if b and len(ps) < pslen:
+                ps.append(b)
+        ctr += 1
+    em = b"\x00\x02" + bytes(ps) + b"\x00" + msg
+    return pow(int.from_bytes(em, "big"), e, n).to_bytes(k, "big")
+
+
+def rsa_decrypt_pkcs1(n: int, d: int, cipher: bytes) -> bytes:
+    k = (n.bit_length() + 7) // 8
+    em = pow(int.from_bytes(cipher, "big"), d, n).to_bytes(k, "big")
+    if em[:2] != b"\x00\x02":
+        raise ValueError("RSA: bad PKCS#1 padding")
+    sep = em.find(b"\x00", 2)
+    if sep < 10:
+        raise ValueError("RSA: bad PKCS#1 padding")
+    return em[sep + 1 :]
+
+
+# --- DER TLV ---------------------------------------------------------------
+
+
+def _der_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(body)]) + body
+
+
+def _der(tag: int, payload: bytes) -> bytes:
+    return bytes([tag]) + _der_len(len(payload)) + payload
+
+
+def _der_read(data: bytes, pos: int) -> tuple[int, int, int]:
+    """→ (tag, value_start, value_end) of the TLV at ``pos``."""
+    if pos + 2 > len(data):
+        raise ValueError("DER: truncated")
+    tag = data[pos]
+    ln = data[pos + 1]
+    vs = pos + 2
+    if ln & 0x80:
+        nb = ln & 0x7F
+        if nb == 0 or nb > 4 or vs + nb > len(data):
+            raise ValueError("DER: bad length")
+        ln = int.from_bytes(data[vs : vs + nb], "big")
+        vs += nb
+    ve = vs + ln
+    if ve > len(data):
+        raise ValueError("DER: truncated value")
+    return tag, vs, ve
+
+
+def _der_children(data: bytes, start: int, end: int):
+    pos = start
+    while pos < end:
+        tag, vs, ve = _der_read(data, pos)
+        yield tag, vs, ve
+        pos = ve
+
+
+def make_pubsec_recipient(
+    seed: bytes, perms: int, n: int, e: int, cek: bytes, iv: bytes
+) -> bytes:
+    """CMS EnvelopedData blob: KeyTransRecipientInfo(RSA PKCS#1 v1.5
+    over ``cek``) + AES-128-CBC encryptedContentInfo over
+    seed || 4-byte permissions."""
+    content = aes_cbc_encrypt(cek, iv, seed + perms.to_bytes(4, "big"))
+    ktri = _der(0x30, b"".join([
+        _der(0x02, b"\x00"),  # version 0
+        _der(0x30, _der(0x30, b"") + _der(0x02, b"\x01")),  # issuer+serial
+        _der(0x30, _der(0x06, _OID_RSA) + _der(0x05, b"")),
+        _der(0x04, rsa_encrypt_pkcs1(n, e, cek)),
+    ]))
+    eci = _der(0x30, b"".join([
+        _der(0x06, _OID_DATA),
+        _der(0x30, _der(0x06, _OID_AES128_CBC) + _der(0x04, iv)),
+        _der(0x80, content),  # [0] IMPLICIT encryptedContent
+    ]))
+    enveloped = _der(0x30, b"".join([
+        _der(0x02, b"\x00"),
+        _der(0x31, ktri),  # SET OF RecipientInfo
+        eci,
+    ]))
+    return _der(0x30, _der(0x06, _OID_ENVELOPED) + _der(0xA0, enveloped))
+
+
+def open_pubsec_recipient(blob: bytes, n: int, d: int) -> bytes | None:
+    """Decrypt one /Recipients blob with the RSA private key →
+    seed || 4 permission bytes, or None when the key does not fit."""
+    try:
+        _t, vs, ve = _der_read(blob, 0)  # ContentInfo SEQUENCE
+        kids = list(_der_children(blob, vs, ve))
+        if len(kids) != 2 or blob[kids[0][1] : kids[0][2]] != _OID_ENVELOPED:
+            return None
+        _t, evs, eve = _der_read(blob, kids[1][1])  # EnvelopedData
+        parts = list(_der_children(blob, evs, eve))
+        # version, recipientInfos SET, encryptedContentInfo
+        ktri = next(_der_children(blob, parts[1][1], parts[1][2]))
+        kfields = list(_der_children(blob, ktri[1], ktri[2]))
+        alg = list(_der_children(blob, kfields[2][1], kfields[2][2]))
+        if blob[alg[0][1] : alg[0][2]] != _OID_RSA:
+            return None
+        enc_key = blob[kfields[3][1] : kfields[3][2]]
+        cek = rsa_decrypt_pkcs1(n, d, enc_key)
+        eci = list(_der_children(blob, parts[2][1], parts[2][2]))
+        calg = list(_der_children(blob, eci[1][1], eci[1][2]))
+        if blob[calg[0][1] : calg[0][2]] != _OID_AES128_CBC:
+            return None
+        iv = blob[calg[1][1] : calg[1][2]]
+        content = blob[eci[2][1] : eci[2][2]]
+        if len(cek) != 16 or len(iv) != 16:
+            return None
+        plain = aes_cbc_decrypt(cek, iv, content)
+        return plain if len(plain) >= 24 else None
+    except (ValueError, IndexError, StopIteration):
+        return None
+
+
+def pubsec_file_key(
+    seed: bytes, recipients: list[bytes], bits: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """§7.6.4 Algorithm: SHA-1 over seed || every recipient blob
+    (|| FF FF FF FF when metadata stays clear), truncated to the key
+    length."""
+    h = hashlib.sha1(seed)
+    for blob in recipients:
+        h.update(blob)
+    if not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    return h.digest()[: bits // 8]

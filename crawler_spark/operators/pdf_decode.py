@@ -75,9 +75,17 @@ r2→r3 extensions (VERDICT r2 #7):
     JP2 containers) all decode for real; unsupported variants raise
     and quarantine as ok=False rows, never garbage pixels.
 
+  * **public-key security handler** (late r4): /Adobe.PubSec CMS
+    recipients decrypt with registered RSA keys
+    (:func:`register_pubsec_key`; stdlib-only RSA + minimal DER in
+    :mod:`crawler_spark.operators.pdf_crypt`). Without a key the
+    document stays locked and skipped — the same contract as
+    password-protected files. pdfjs has NO PubSec support, so this is
+    beyond-reference surface.
+
 OUT OF SCOPE (documented): predefined-NAME /UseCMap resolution (the
 Adobe CMap resource files; EMBEDDED /UseCMap stream chains resolve as
-of late r4), public-key (/Adobe.PubSec) and custom security handlers
+of late r4) and custom (non-Standard, non-PubSec) security handlers
 — real-world arbitrary PDFs
 still need a pdfium/pdfjs extraction stage feeding the same items
 table. The subset is not a stub: bytes generated by :func:`make_pdf`
@@ -190,6 +198,26 @@ def _fixture_encryption(encrypt: str) -> tuple[bytes, bytes, str]:
     exercises the same code path a conforming reader runs."""
     from crawler_spark.operators import pdf_crypt as C
 
+    if encrypt == "pubsec-aes128":
+        # public-key handler: one recipient, AES-128 content cipher;
+        # the fixture private key is rsa_fixture_key()
+        import hashlib
+
+        n, e, _d = C.rsa_fixture_key()
+        seed = hashlib.sha256(b"pubsec-fixture-seed").digest()[:20]
+        cek = hashlib.sha256(b"pubsec-fixture-cek").digest()[:16]
+        iv = hashlib.sha256(b"pubsec-fixture-iv").digest()[:16]
+        blob = C.make_pubsec_recipient(seed, 0xFFFFFFFC, n, e, cek, iv)
+        fkey = C.pubsec_file_key(seed, [blob], 128)
+        d = (
+            b"<< /Filter /Adobe.PubSec /SubFilter /adbe.pkcs7.s5"
+            b" /V 4 /Length 128"
+            b" /CF << /DefaultCryptFilter << /Type /CryptFilter"
+            b" /CFM /AESV2 /Length 16 /Recipients [ <%s> ] >> >>"
+            b" /StmF /DefaultCryptFilter /StrF /DefaultCryptFilter >>"
+            % blob.hex().encode()
+        )
+        return d, fkey, "AESV2"
     if encrypt == "aes-256":
         u, ue, fkey = C.user_values_r6()
         # owner path (Algorithm 9.C/D analog): hashes salt with U appended
@@ -1091,12 +1119,62 @@ class _Encryption:
             return None
 
 
+_PUBSEC_KEYS: list[tuple[int, int]] = []
+
+
+def register_pubsec_key(n: int, d: int) -> None:
+    """Register an RSA private key (n, d) for /Adobe.PubSec documents
+    — real deployments load recipient keys per executor; without one,
+    public-key-encrypted documents stay locked and are skipped."""
+    _PUBSEC_KEYS.append((n, d))
+
+
+def clear_pubsec_keys() -> None:
+    _PUBSEC_KEYS.clear()
+
+
+def _pubsec_encryption(pdf: bytes, enc_num: int, d: bytes) -> _Encryption:
+    """/Adobe.PubSec (ISO 32000-1 §7.6.4): decrypt a /Recipients CMS
+    blob with a registered RSA key → 20-byte seed; file key =
+    SHA-1(seed || all blobs [|| FFFFFFFF]) truncated to /Length."""
+    from crawler_spark.operators import pdf_crypt as C
+
+    rm = re.search(rb"/Recipients\s*\[(.*?)\]", d, re.S)
+    if not rm:
+        return _Encryption(enc_num, None, "V2", locked=True)
+    blobs = [
+        bytes.fromhex(re.sub(rb"\s", rb"", h).decode())
+        for h in re.findall(rb"<([0-9A-Fa-f\s]+)>", rm.group(1))
+    ]
+    if not blobs:
+        return _Encryption(enc_num, None, "V2", locked=True)
+    bm = re.search(rb"/Length\s+(\d+)", d)
+    bits = int(bm.group(1)) if bm else 128
+    if bits < 40:
+        bits *= 8  # some writers put a BYTE length in the CF dict
+    cfm = "V2"
+    cm = re.search(rb"/CFM\s*/(\w+)", d)
+    if cm:
+        cfm = cm.group(1).decode()
+    enc_meta = re.search(rb"/EncryptMetadata\s+false", d) is None
+    for n, priv in _PUBSEC_KEYS:
+        for blob in blobs:
+            plain = C.open_pubsec_recipient(blob, n, priv)
+            if plain is None:
+                continue
+            fkey = C.pubsec_file_key(plain[:20], blobs, bits, enc_meta)
+            return _Encryption(enc_num, fkey, cfm, locked=False)
+    return _Encryption(enc_num, None, "V2", locked=True)
+
+
 def _encryption(pdf: bytes) -> _Encryption | None:
-    """Parse the trailer's /Encrypt reference (standard handler only;
-    PDF 32000-1:2008 §7.6.3 + ISO 32000-2 R6). Empty-user-password
-    documents unlock; anything else is marked locked and skipped.
-    Mirrors pdfjs's silent open of owner-locked PDFs
-    (/root/reference/src/lib/processPDf.ts:13-97 via getDocument)."""
+    """Parse the trailer's /Encrypt reference (standard handler +
+    /Adobe.PubSec with registered keys; PDF 32000-1:2008 §7.6.3/§7.6.4
+    + ISO 32000-2 R6). Empty-user-password documents unlock; anything
+    else is marked locked and skipped. Mirrors pdfjs's silent open of
+    owner-locked PDFs (/root/reference/src/lib/processPDf.ts:13-97
+    via getDocument) — pdfjs has no PubSec support at all, so the
+    handler here is beyond-reference surface."""
     from crawler_spark.operators import pdf_crypt as C
 
     ms = list(re.finditer(rb"/Encrypt\s+(\d+)\s+\d+\s+R", pdf))
@@ -1107,6 +1185,8 @@ def _encryption(pdf: bytes) -> _Encryption | None:
     if not om:
         return _Encryption(enc_num, None, "V2", locked=True)
     d = om.group(1)
+    if b"/Adobe.PubSec" in d:
+        return _pubsec_encryption(pdf, enc_num, d)
     if b"/Standard" not in d:  # custom handler — out of scope
         return _Encryption(enc_num, None, "V2", locked=True)
 

@@ -854,3 +854,60 @@ def test_embedded_usecmap_chain():
     )
     items = extract_pdf_items(loop)
     assert items and "B" in items[0]["str"]
+
+
+def test_pubsec_public_key_handler():
+    """/Adobe.PubSec (ISO 32000-1 §7.6.4): CMS EnvelopedData
+    recipients, RSA-PKCS#1 key transport, AES-128 content cipher —
+    all stdlib/from-scratch. With a registered recipient key the
+    document decrypts to byte parity with its cleartext twin; without
+    one (or with the wrong key) it is locked and skipped, matching
+    the password-protected path."""
+    from crawler_spark.operators.pdf_crypt import rsa_fixture_key
+    from crawler_spark.operators.pdf_decode import (
+        clear_pubsec_keys,
+        register_pubsec_key,
+    )
+
+    pdf = make_pdf([PAGE1], compress=True, encrypt="pubsec-aes128")
+    clear = extract_pdf_items(make_pdf([PAGE1], compress=True))
+    try:
+        assert extract_pdf_items(pdf) == []  # no key registered
+        n, e, d = rsa_fixture_key()
+        register_pubsec_key(n, d - 1)  # wrong key: must stay locked
+        assert extract_pdf_items(pdf) == []
+        register_pubsec_key(n, d)
+        assert extract_pdf_items(pdf) == clear
+    finally:
+        clear_pubsec_keys()
+
+
+def test_pubsec_image_xobjects():
+    """Image extraction under the public-key handler."""
+    import numpy as np
+
+    from crawler_spark.functions import images as im
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from crawler_spark.operators.pdf_crypt import rsa_fixture_key
+    from crawler_spark.operators.pdf_decode import (
+        clear_pubsec_keys,
+        extract_pdf_images,
+        make_pdf_with_images,
+        register_pubsec_key,
+    )
+
+    rng = np.random.default_rng(41)
+    arr = (rng.integers(0, 256, (16, 24, 3))).astype(np.uint8)
+    jp = encode_jpeg(arr)
+    spec = {"data": jp, "w": 24, "h": 16, "filter": "DCTDecode",
+            "prefix": ["FlateDecode"]}
+    pdf = make_pdf_with_images([spec], encrypt="pubsec-aes128")
+    try:
+        rows = extract_pdf_images(pdf)
+        assert len(rows) == 1 and rows[0]["ok"] is False  # locked
+        n, _e, d = rsa_fixture_key()
+        register_pubsec_key(n, d)
+        rows = extract_pdf_images(pdf)
+        assert rows[0]["ok"] and rows[0]["phash"] == im.phash64(decode_jpeg(jp))
+    finally:
+        clear_pubsec_keys()
