@@ -29,9 +29,14 @@ Decoder surface (the shapes PDF producers emit):
   stripe-causal contexts, and predictable termination (a decoder
   no-op).
 
+RGN maxshift ROI decodes too (Annex H: SPrgn raises the component's
+Mb; decoded magnitudes at or above 2^SPrgn are region-of-interest
+coefficients and scale back down).
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): PPM/PPT packed headers,
-POC progression changes, RGN ROI shifts, and depths above 16 bits.
+POC progression changes, non-maxshift RGN styles, and depths above
+16 bits.
 
 The encoder twin (`encode_j2k`) emits the plain shape real lossless
 encoders produce — single tile, LRCP, one layer, default precincts,
@@ -342,7 +347,7 @@ def _parse_qcd(body: bytes, levels: int) -> _QuantStyle:
 class _Codestream:
     __slots__ = (
         "xsiz", "ysiz", "xosiz", "yosiz", "xtsiz", "ytsiz", "xtosiz",
-        "ytosiz", "comps", "cod", "coc", "qcd", "qcc", "tiles",
+        "ytosiz", "comps", "cod", "coc", "qcd", "qcc", "tiles", "rgn",
     )
 
 
@@ -353,6 +358,8 @@ def _parse_codestream(data: bytes) -> _Codestream:
     cs.coc = {}
     cs.qcc = {}
     cs.tiles = {}
+    cs.rgn = {}
+    cs.comps = []
     pos = 2
     cs.cod = None
     cs.qcd = None
@@ -435,7 +442,18 @@ def _parse_codestream(data: bytes) -> _Codestream:
         elif marker == _QCC:
             raise ValueError("JPX: QCC component overrides unsupported")
         elif marker == _RGN:
-            raise ValueError("JPX: RGN ROI shifts unsupported")
+            # Annex H maxshift ROI: SPrgn raises the component's Mb;
+            # decoded magnitudes ≥ 2^SPrgn are ROI and shift back down
+            if not cs.comps:
+                raise ValueError("JPX: RGN before SIZ")
+            crgn = body[0] if len(cs.comps) < 257 else struct.unpack_from(
+                ">H", body, 0
+            )[0]
+            off = 1 if len(cs.comps) < 257 else 2
+            srgn = body[off]
+            if srgn != 0:
+                raise ValueError("JPX: non-maxshift RGN style")
+            cs.rgn[crgn] = body[off + 1]
         elif marker == _POC:
             raise ValueError("JPX: POC progression change unsupported")
         elif marker == _PPM:
@@ -1423,7 +1441,8 @@ def _decompose(X, u0, u1, v0, v1, reversible):
 # ---------------------------------------------------------------------------
 
 
-def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool):
+def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool,
+                      roi_shift: int = 0):
     style = cod.cbstyle
     for res in comp["resolutions"]:
         for band in res["bands"]:
@@ -1435,7 +1454,7 @@ def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool):
             band["coeff"] = coeff
             if bw <= 0 or bh <= 0:
                 continue
-            mb = band["mb"]
+            mb = band["mb"] + roi_shift
             if not reversible:
                 rb = band["depth"] + band["gain"]
                 delta = (2.0 ** (rb - band["eps"])) * (
@@ -1462,6 +1481,13 @@ def _decode_tile_comp(comp: dict, cod: _CodingStyle, reversible: bool):
                         # midpoint reconstruction for truncated planes
                         vals = np.where(
                             vals != 0, vals + (1 << (last_plane - 1)), 0
+                        )
+                    if roi_shift:
+                        # Annex H maxshift: magnitudes at or above
+                        # 2^SPrgn are ROI, scaled back down
+                        vals = np.where(
+                            vals >= (1 << roi_shift),
+                            vals >> roi_shift, vals,
                         )
                     signs = np.frombuffer(bytes(sgn), np.uint8).reshape(h, w)
                     out = np.where(signs == 1, -vals, vals)
@@ -1543,7 +1569,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
             pos = _read_packet(tdata, pos, res, pidx, layer, cod.sop,
                                cod.eph, cod.cbstyle)
         for c, comp in enumerate(tile["comps"]):
-            vals = _decode_tile_comp(comp, cod, reversible)
+            vals = _decode_tile_comp(comp, cod, reversible,
+                                     cs.rgn.get(c, 0))
             x0 = comp["tcx0"] - _ceil_div(cs.xosiz, cs.comps[c]["dx"])
             y0 = comp["tcy0"] - _ceil_div(cs.yosiz, cs.comps[c]["dy"])
             planes[c][
@@ -1612,6 +1639,7 @@ def encode_j2k(
     reset: bool = False,
     termall: bool = False,
     causal: bool = False,
+    roi: bool = False,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) uint8/uint16 → raw JPEG 2000
     codestream. Beyond the plain shape, options exist to emit the
@@ -1727,8 +1755,21 @@ def encode_j2k(
         for e, mu in zip(q.exponents, q.mantissas):
             qcdb += struct.pack(">H", (e << 11) | mu)
     out += struct.pack(">HH", _QCD, len(qcdb) + 2) + qcdb
-    for t in range(ntiles):
-        body = _encode_tile(cs, t, cod, q, comps, reversible)
+    roi_out: dict[int, int] | None = None
+    if roi:
+        if ntiles != 1:
+            raise ValueError("encode_j2k: ROI fixture is single-tile")
+        roi_out = {}
+    bodies = [
+        _encode_tile(cs, t, cod, q, comps, reversible, roi_out)
+        for t in range(ntiles)
+    ]
+    if roi_out:
+        # Annex H maxshift: one RGN marker per shifted component
+        for c, shift in sorted(roi_out.items()):
+            rgn = bytes([c, 0, shift])
+            out += struct.pack(">HH", _RGN, len(rgn) + 2) + rgn
+    for t, body in enumerate(bodies):
         psot = 12 + 2 + len(body)
         out += struct.pack(">HHHIBB", _SOT, 10, t, psot, 0, 1)
         out += struct.pack(">H", _SOD)
@@ -1737,7 +1778,8 @@ def encode_j2k(
     return bytes(out)
 
 
-def _encode_tile(cs, t, cod, q, comps, reversible) -> bytes:
+def _encode_tile(cs, t, cod, q, comps, reversible,
+                 roi_out: dict[int, int] | None = None) -> bytes:
     tile = _build_tile(cs, t, cod, q)
     levels = cod.levels
     # forward DWT per component, scatter into band coeff arrays
@@ -1759,6 +1801,33 @@ def _encode_tile(cs, t, cod, q, comps, reversible) -> bytes:
             res = comp["resolutions"][levels - k]
             for band, arr in zip(res["bands"], (hl, lh, hh)):
                 band["coeff"] = arr
+    if roi_out is not None:
+        # maxshift ROI fixture: the top-left quadrant of every band is
+        # the region; s = max magnitude bits of the BACKGROUND so the
+        # scaled-up ROI sits strictly above it (Annex H requirement)
+        for c, comp in enumerate(tile["comps"]):
+            s_bits = 1
+            quads = []
+            for res in comp["resolutions"]:
+                for band in res["bands"]:
+                    coeff = band["coeff"]
+                    if coeff is None or coeff.size == 0:
+                        continue
+                    if not reversible:
+                        coeff = np.round(coeff).astype(np.int64)
+                        band["coeff"] = coeff
+                    bh, bw = coeff.shape
+                    mask = np.zeros((bh, bw), dtype=bool)
+                    mask[: max(bh // 2, 1), : max(bw // 2, 1)] = True
+                    bg = np.abs(coeff[~mask])
+                    if bg.size:
+                        s_bits = max(s_bits, int(bg.max()).bit_length())
+                    quads.append((band, mask))
+            for band, mask in quads:
+                band["coeff"] = np.where(
+                    mask, band["coeff"] << s_bits, band["coeff"]
+                )
+            roi_out[c] = s_bits
     # Tier-1 encode every code-block; two-layer mode assigns tail
     # passes to layer 1 and delays odd-diagonal code-blocks entirely
     # (with bypass/termall, contributions stay whole — segment-aligned
@@ -1774,6 +1843,8 @@ def _encode_tile(cs, t, cod, q, comps, reversible) -> bytes:
                 if not reversible:
                     coeff = np.round(coeff).astype(np.int64)
                 mb = q.guard + band["eps"] - 1
+                if roi_out is not None:
+                    mb += roi_out.get(c, 0)
                 for pr in band["prec"].values():
                     for cb in pr["cbs"]:
                         block = coeff[

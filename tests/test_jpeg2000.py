@@ -234,3 +234,28 @@ def test_jpx_xobject_extraction_pinned_phash():
     bad = dict(specs[0], data=specs[0]["data"][:40])
     rows = extract_pdf_images(make_pdf_with_images([bad]))
     assert len(rows) == 1 and rows[0]["ok"] is False
+
+
+def test_rgn_maxshift_roi():
+    """Annex H maxshift ROI: the encoder lifts region coefficients
+    above every background magnitude and signals the shift in an RGN
+    marker; the decoder recognizes magnitudes ≥ 2^SPrgn and scales
+    them back — bit-exact round-trip, and the ROI stream must differ
+    from the plain encoding."""
+    rng = np.random.default_rng(43)
+    img = _photo_like(rng, 36, 44)
+    data = encode_j2k(img, levels=2, cb_exp=(4, 4), roi=True)
+    plain = encode_j2k(img, levels=2, cb_exp=(4, 4))
+    assert data != plain
+    assert np.array_equal(decode_jpx(data), img)
+    rgb = _photo_like(rng, 24, 30, 3)
+    assert np.array_equal(decode_jpx(encode_j2k(rgb, roi=True)), rgb)
+    # non-maxshift RGN styles stay out of subset
+    import struct
+
+    mut = bytearray(data)
+    pos = bytes(mut).find(b"\xff\x5e")
+    assert pos > 0
+    mut[pos + 5] = 1  # Srgn != 0
+    with pytest.raises(ValueError, match="maxshift"):
+        decode_jpx(bytes(mut))
