@@ -33,10 +33,14 @@ RGN maxshift ROI decodes too (Annex H: SPrgn raises the component's
 Mb; decoded magnitudes at or above 2^SPrgn are region-of-interest
 coefficients and scale back down).
 
+PPT tile packed headers decode too (B.10.8): the Zppt-ordered
+segments concatenate into the tile's header stream, packet headers
+read from it while bodies stay in the bitstream.
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
-the row as ok=False, never garbage pixels): PPM/PPT packed headers,
-POC progression changes, non-maxshift RGN styles, and depths above
-16 bits.
+the row as ok=False, never garbage pixels): PPM main-header packed
+headers, POC progression changes, non-maxshift RGN styles, and
+depths above 16 bits.
 
 The encoder twin (`encode_j2k`) emits the plain shape real lossless
 encoders produce — single tile, LRCP, one layer, default precincts,
@@ -379,7 +383,7 @@ def _parse_codestream(data: bytes) -> _Codestream:
             tpos = 0
             tile = cs.tiles.setdefault(
                 isot, {"cod": None, "qcd": None, "coc": {}, "qcc": {},
-                       "data": bytearray()}
+                       "data": bytearray(), "ppt": []}
             )
             while tpos < len(seg):
                 (m,) = struct.unpack_from(">H", seg, tpos)
@@ -396,8 +400,9 @@ def _parse_codestream(data: bytes) -> _Codestream:
                     raise ValueError("JPX: per-tile COC unsupported")
                 elif m == _QCC:
                     raise ValueError("JPX: per-tile QCC unsupported")
-                elif m in (_PPT,):
-                    raise ValueError("JPX: PPT packed headers unsupported")
+                elif m == _PPT:
+                    # B.10.8 tile packed headers: Zppt index + data
+                    tile["ppt"].append((body[0], body[1:]))
                 elif m == _POC:
                     raise ValueError("JPX: POC progression change unsupported")
                 elif m in _SKIPPABLE:
@@ -745,13 +750,18 @@ def _piece_split(a: int, b: int, bypass: bool,
 
 
 def _read_packet(data: bytes, pos: int, res: dict, pidx: int, layer: int,
-                 sop: bool, eph: bool, style: int = 0) -> int:
+                 sop: bool, eph: bool, style: int = 0,
+                 hdr: bytes | None = None, hpos: int = 0,
+                 ) -> int | tuple[int, int]:
     """Decode one packet (all bands of ``res`` for precinct ``pidx``)
     at ``pos``; appends body chunks / pass counts to the code-blocks
-    and returns the position after the packet body."""
+    and returns the position after the packet body. With ``hdr`` the
+    packet HEADER bits come from the PPT packed-header stream at
+    ``hpos`` instead (B.10.8) and (body_pos, hdr_pos) returns."""
     if sop and data[pos : pos + 2] == b"\xff\x91":
         pos += 6
-    rd = _HdrReader(data, pos)
+    rd = _HdrReader(hdr if hdr is not None else data,
+                    hpos if hdr is not None else pos)
     body: list[tuple[dict, int]] = []  # (code-block, byte length)
     if rd.bit():  # non-empty packet
         for band in res["bands"]:
@@ -788,18 +798,25 @@ def _read_packet(data: bytes, pos: int, res: dict, pidx: int, layer: int,
                 if cb["passes"] > 120:  # 3 passes × ≤ 37 planes + slack
                     raise ValueError("JPX: coding pass count exceeds planes")
                 body.append((cb, lens))
-    pos = rd.align()
-    if eph:
-        if data[pos : pos + 2] != b"\xff\x92":
-            raise ValueError("JPX: missing EPH marker")
-        pos += 2
+    if hdr is not None:
+        hpos = rd.align()
+        if eph:
+            if hdr[hpos : hpos + 2] != b"\xff\x92":
+                raise ValueError("JPX: missing EPH marker")
+            hpos += 2
+    else:
+        pos = rd.align()
+        if eph:
+            if data[pos : pos + 2] != b"\xff\x92":
+                raise ValueError("JPX: missing EPH marker")
+            pos += 2
     for cb, lens in body:
         for seg, nbytes in lens:
             if pos + nbytes > len(data):
                 raise ValueError("JPX: packet body overruns data")
             cb["chunks"].append((seg, data[pos : pos + nbytes]))
             pos += nbytes
-    return pos
+    return (pos, hpos) if hdr is not None else pos
 
 
 # ---------------------------------------------------------------------------
@@ -1564,10 +1581,19 @@ def decode_jpx(data: bytes) -> np.ndarray:
                     band["depth"] = cs.comps[c]["depth"]
         tdata = bytes(tile_entry["data"])
         pos = 0
+        ppt = tile_entry.get("ppt") or []
+        hdr = b"".join(d for _z, d in sorted(ppt)) if ppt else None
+        hpos = 0
         for layer, c, r, pidx in _packet_order(tile, cod):
             res = tile["comps"][c]["resolutions"][r]
-            pos = _read_packet(tdata, pos, res, pidx, layer, cod.sop,
-                               cod.eph, cod.cbstyle)
+            if hdr is not None:
+                pos, hpos = _read_packet(
+                    tdata, pos, res, pidx, layer, cod.sop, cod.eph,
+                    cod.cbstyle, hdr, hpos,
+                )
+            else:
+                pos = _read_packet(tdata, pos, res, pidx, layer, cod.sop,
+                                   cod.eph, cod.cbstyle)
         for c, comp in enumerate(tile["comps"]):
             vals = _decode_tile_comp(comp, cod, reversible,
                                      cs.rgn.get(c, 0))
@@ -1640,6 +1666,7 @@ def encode_j2k(
     termall: bool = False,
     causal: bool = False,
     roi: bool = False,
+    ppt: bool = False,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) uint8/uint16 → raw JPEG 2000
     codestream. Beyond the plain shape, options exist to emit the
@@ -1760,18 +1787,35 @@ def encode_j2k(
         if ntiles != 1:
             raise ValueError("encode_j2k: ROI fixture is single-tile")
         roi_out = {}
-    bodies = [
-        _encode_tile(cs, t, cod, q, comps, reversible, roi_out)
+    results = [
+        _encode_tile(cs, t, cod, q, comps, reversible, roi_out, ppt)
         for t in range(ntiles)
     ]
+    bodies = [(r if not ppt else r[0]) for r in results]
+    hdrs = [(None if not ppt else r[1]) for r in results]
     if roi_out:
         # Annex H maxshift: one RGN marker per shifted component
         for c, shift in sorted(roi_out.items()):
             rgn = bytes([c, 0, shift])
             out += struct.pack(">HH", _RGN, len(rgn) + 2) + rgn
     for t, body in enumerate(bodies):
-        psot = 12 + 2 + len(body)
+        pptseg = b""
+        if hdrs[t] is not None:
+            # PPT segments in the tile-part header, split at the
+            # 16-bit marker-length limit (Zppt orders the pieces)
+            hd = hdrs[t]
+            zppt = 0
+            while True:
+                piece, hd = hd[:65000], hd[65000:]
+                pptseg += struct.pack(
+                    ">HHB", _PPT, len(piece) + 3, zppt
+                ) + piece
+                zppt += 1
+                if not hd:
+                    break
+        psot = 12 + len(pptseg) + 2 + len(body)
         out += struct.pack(">HHHIBB", _SOT, 10, t, psot, 0, 1)
+        out += pptseg
         out += struct.pack(">H", _SOD)
         out += body
     out += struct.pack(">H", _EOC)
@@ -1779,7 +1823,8 @@ def encode_j2k(
 
 
 def _encode_tile(cs, t, cod, q, comps, reversible,
-                 roi_out: dict[int, int] | None = None) -> bytes:
+                 roi_out: dict[int, int] | None = None,
+                 ppt: bool = False):
     tile = _build_tile(cs, t, cod, q)
     levels = cod.levels
     # forward DWT per component, scatter into band coeff arrays
@@ -1877,6 +1922,7 @@ def _encode_tile(cs, t, cod, q, comps, reversible,
                             else:
                                 cb["layer_split"] = None
     body = bytearray()
+    hdrbuf = bytearray()
     nsop = 0
     for layer, c, r, pidx in _packet_order(tile, cod):
         res = tile["comps"][c]["resolutions"][r]
@@ -1970,11 +2016,18 @@ def _encode_tile(cs, t, cod, q, comps, reversible,
         if cod.sop:
             body += struct.pack(">HHH", _SOP, 4, nsop & 0xFFFF)
             nsop += 1
-        body += full
-        if cod.eph:
-            body += struct.pack(">H", _EPH)
+        if ppt:
+            hdrbuf += full
+            if cod.eph:
+                hdrbuf += struct.pack(">H", _EPH)
+        else:
+            body += full
+            if cod.eph:
+                body += struct.pack(">H", _EPH)
         for cb, chunk in contributing:
             body.extend(chunk)
+    if ppt:
+        return bytes(body), bytes(hdrbuf)
     return bytes(body)
 
 

@@ -259,3 +259,21 @@ def test_rgn_maxshift_roi():
     mut[pos + 5] = 1  # Srgn != 0
     with pytest.raises(ValueError, match="maxshift"):
         decode_jpx(bytes(mut))
+
+
+def test_ppt_packed_headers():
+    """B.10.8 PPT: packet headers live in Zppt-ordered tile-header
+    segments while bodies stay in the bitstream — same pixels, and
+    combinable with precincts/layers/tiles/bypass."""
+    rng = np.random.default_rng(47)
+    img = _photo_like(rng, 40, 52)
+    base = encode_j2k(img, levels=2, cb_exp=(4, 4))
+    for kw in (
+        dict(ppt=True),
+        dict(ppt=True, precinct_exp=(4, 4), layers=2),
+        dict(ppt=True, tile_size=(32, 32), eph=True),
+        dict(ppt=True, bypass=True),
+    ):
+        data = encode_j2k(img, levels=2, cb_exp=(4, 4), **kw)
+        assert data != base
+        assert np.array_equal(decode_jpx(data), img), kw
