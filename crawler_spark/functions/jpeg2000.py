@@ -728,10 +728,6 @@ def _pass_is_raw(k: int, bypass: bool) -> bool:
     return bypass and k >= 10 and (k - 10) % 3 < 2
 
 
-def _seg_is_raw(seg: int) -> bool:
-    return seg >= 1 and (seg % 2) == 1
-
-
 def _piece_split(a: int, b: int, bypass: bool,
                  termall: bool = False) -> list[tuple[int, int]]:
     """Split the pass range [a, b) at codeword-segment boundaries →
