@@ -33,14 +33,20 @@ RGN maxshift ROI decodes too (Annex H: SPrgn raises the component's
 Mb; decoded magnitudes at or above 2^SPrgn are region-of-interest
 coefficients and scale back down).
 
-PPT tile packed headers decode too (B.10.8): the Zppt-ordered
-segments concatenate into the tile's header stream, packet headers
-read from it while bodies stay in the bitstream.
+Packed packet headers decode in both forms: PPT (B.10.8 — the
+Zppt-ordered tile-header segments concatenate into the tile's header
+stream) and PPM (A.7.4 — the Zppm-ordered main-header segments carry
+Nppm-delimited groups, one per tile-part in codestream order); packet
+headers read from the packed stream while bodies stay in the
+bitstream. POC progression order changes apply too (A.6.6 / B.12.1.7:
+each entry replays its bounded progression, packets already emitted
+by an earlier entry are skipped; a tile-header POC overrides the
+main-header one). Component depths up to 32 bits decode (output dtype
+widens to uint32 above 16).
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
-the row as ok=False, never garbage pixels): PPM main-header packed
-headers, POC progression changes, non-maxshift RGN styles, and
-depths above 16 bits.
+the row as ok=False, never garbage pixels): non-maxshift RGN styles
+and depths above 32 bits.
 
 The encoder twin (`encode_j2k`) emits the plain shape real lossless
 encoders produce — single tile, LRCP, one layer, default precincts,
@@ -352,7 +358,41 @@ class _Codestream:
     __slots__ = (
         "xsiz", "ysiz", "xosiz", "yosiz", "xtsiz", "ytsiz", "xtosiz",
         "ytosiz", "comps", "cod", "coc", "qcd", "qcc", "tiles", "rgn",
+        "ppm", "tp_order", "poc",
     )
+
+
+def _parse_poc(body: bytes, ncomp: int) -> list[tuple[int, int, int, int, int, int]]:
+    """A.6.6 progression order change: (RSpoc, CSpoc, LYEpoc, REpoc,
+    CEpoc, Ppoc) entries. Component fields are 2 bytes when the image
+    has ≥ 257 components; an 8-bit CEpoc of 0 means 256."""
+    wide = ncomp >= 257
+    step = 9 if wide else 7
+    if not body or len(body) % step:
+        raise ValueError("JPX: malformed POC segment")
+    entries = []
+    for off in range(0, len(body), step):
+        rs = body[off]
+        if wide:
+            (cs_,) = struct.unpack_from(">H", body, off + 1)
+            o = off + 3
+        else:
+            cs_ = body[off + 1]
+            o = off + 2
+        (lye,) = struct.unpack_from(">H", body, o)
+        re_ = body[o + 2]
+        if wide:
+            (ce,) = struct.unpack_from(">H", body, o + 3)
+            pp = body[o + 5]
+        else:
+            ce = body[o + 3] or 256
+            pp = body[o + 4]
+        if pp > 4:
+            raise ValueError("JPX: unknown progression order in POC")
+        if rs >= re_ or cs_ >= ce or lye == 0:
+            raise ValueError("JPX: empty POC progression bounds")
+        entries.append((rs, cs_, lye, re_, ce, pp))
+    return entries
 
 
 def _parse_codestream(data: bytes) -> _Codestream:
@@ -364,6 +404,9 @@ def _parse_codestream(data: bytes) -> _Codestream:
     cs.tiles = {}
     cs.rgn = {}
     cs.comps = []
+    cs.ppm = []
+    cs.tp_order = []
+    cs.poc = None
     pos = 2
     cs.cod = None
     cs.qcd = None
@@ -381,9 +424,11 @@ def _parse_codestream(data: bytes) -> _Codestream:
             # tile-part header markers (COD/QCD overrides per tile are
             # parsed; the payload after SOD is appended)
             tpos = 0
+            cs.tp_order.append(isot)
             tile = cs.tiles.setdefault(
                 isot, {"cod": None, "qcd": None, "coc": {}, "qcc": {},
-                       "data": bytearray(), "ppt": []}
+                       "data": bytearray(), "ppt": [], "ppm": bytearray(),
+                       "poc": None}
             )
             while tpos < len(seg):
                 (m,) = struct.unpack_from(">H", seg, tpos)
@@ -404,7 +449,8 @@ def _parse_codestream(data: bytes) -> _Codestream:
                     # B.10.8 tile packed headers: Zppt index + data
                     tile["ppt"].append((body[0], body[1:]))
                 elif m == _POC:
-                    raise ValueError("JPX: POC progression change unsupported")
+                    # tile-header POC overrides the main-header one
+                    tile["poc"] = _parse_poc(body, len(cs.comps))
                 elif m in _SKIPPABLE:
                     pass
                 else:
@@ -436,8 +482,8 @@ def _parse_codestream(data: bytes) -> _Codestream:
                         "dy": body[38 + 3 * c],
                     }
                 )
-                if cs.comps[-1]["depth"] > 16:
-                    raise ValueError("JPX: depth > 16 unsupported")
+                if cs.comps[-1]["depth"] > 32:
+                    raise ValueError("JPX: depth > 32 unsupported")
         elif marker == _COD:
             cs.cod = _parse_cod(body)
         elif marker == _QCD:
@@ -460,9 +506,14 @@ def _parse_codestream(data: bytes) -> _Codestream:
                 raise ValueError("JPX: non-maxshift RGN style")
             cs.rgn[crgn] = body[off + 1]
         elif marker == _POC:
-            raise ValueError("JPX: POC progression change unsupported")
+            if not cs.comps:
+                raise ValueError("JPX: POC before SIZ")
+            cs.poc = _parse_poc(body, len(cs.comps))
         elif marker == _PPM:
-            raise ValueError("JPX: PPM packed headers unsupported")
+            # A.7.4 main-header packed headers: Zppm index + data; the
+            # Nppm-delimited groups are resolved after the marker walk
+            # because they straddle segment boundaries
+            cs.ppm.append((body[0], body[1:]))
         elif marker in _SKIPPABLE:
             pass
         else:
@@ -470,6 +521,22 @@ def _parse_codestream(data: bytes) -> _Codestream:
         pos += 2 + ln
     if cs.cod is None or cs.qcd is None or not cs.tiles:
         raise ValueError("JPX: incomplete codestream")
+    if cs.ppm:
+        if any(t["ppt"] for t in cs.tiles.values()):
+            raise ValueError("JPX: PPM and PPT are mutually exclusive")
+        # one Nppm(4)+data group per tile-part, consumed in the order
+        # the tile-parts appear in the codestream (A.7.4)
+        stream = b"".join(d for _z, d in sorted(cs.ppm))
+        spos = 0
+        for t in cs.tp_order:
+            if spos + 4 > len(stream):
+                raise ValueError("JPX: truncated PPM stream")
+            (nppm,) = struct.unpack_from(">I", stream, spos)
+            spos += 4
+            if spos + nppm > len(stream):
+                raise ValueError("JPX: truncated PPM stream")
+            cs.tiles[t]["ppm"].extend(stream[spos : spos + nppm])
+            spos += nppm
     return cs
 
 
@@ -635,45 +702,77 @@ def _precinct_positions(tile, cod):
     return out
 
 
-def _packet_order(tile, cod):
-    """Yield (layer, c, r, pidx) in the COD progression order."""
-    layers = cod.layers
-    if cod.prog == 0:  # LRCP
-        for l in range(layers):
-            for r in range(cod.levels + 1):
-                for c, comp in enumerate(tile["comps"]):
+def _prog_iter(tile, cod, prog, l1, rr, cr):
+    """Yield (layer, c, r, pidx) in progression ``prog``, bounded to
+    layers [0, l1), resolutions [rr), components [cr) — the full
+    ranges reproduce the plain COD orders; POC entries narrow them."""
+    rs, re_ = rr
+    cs_, ce = cr
+    comps = [
+        (c, comp) for c, comp in enumerate(tile["comps"]) if cs_ <= c < ce
+    ]
+    if prog == 0:  # LRCP
+        for l in range(l1):
+            for r in range(rs, re_):
+                for c, comp in comps:
                     res = comp["resolutions"][r]
                     for pidx in range(res["npw"] * res["nph"]):
                         yield (l, c, r, pidx)
-    elif cod.prog == 1:  # RLCP
-        for r in range(cod.levels + 1):
-            for l in range(layers):
-                for c, comp in enumerate(tile["comps"]):
+    elif prog == 1:  # RLCP
+        for r in range(rs, re_):
+            for l in range(l1):
+                for c, comp in comps:
                     res = comp["resolutions"][r]
                     for pidx in range(res["npw"] * res["nph"]):
                         yield (l, c, r, pidx)
-    elif cod.prog == 2:  # RPCL
+    elif prog == 2:  # RPCL
         for r, _y, _x, c, pidx in sorted(_precinct_positions(tile, cod)):
-            for l in range(layers):
-                yield (l, c, r, pidx)
-    elif cod.prog == 3:  # PCRL: position, component, resolution, layer
+            if rs <= r < re_ and cs_ <= c < ce:
+                for l in range(l1):
+                    yield (l, c, r, pidx)
+    elif prog == 3:  # PCRL: position, component, resolution, layer
         key = sorted(
             (y, x, c, r, pidx)
             for r, y, x, c, pidx in _precinct_positions(tile, cod)
         )
         for _y, _x, c, r, pidx in key:
-            for l in range(layers):
-                yield (l, c, r, pidx)
-    elif cod.prog == 4:  # CPRL: component, position, resolution, layer
+            if rs <= r < re_ and cs_ <= c < ce:
+                for l in range(l1):
+                    yield (l, c, r, pidx)
+    elif prog == 4:  # CPRL: component, position, resolution, layer
         key = sorted(
             (c, y, x, r, pidx)
             for r, y, x, c, pidx in _precinct_positions(tile, cod)
         )
         for c, _y, _x, r, pidx in key:
-            for l in range(layers):
-                yield (l, c, r, pidx)
+            if rs <= r < re_ and cs_ <= c < ce:
+                for l in range(l1):
+                    yield (l, c, r, pidx)
     else:
-        raise ValueError(f"JPX: unknown progression order {cod.prog}")
+        raise ValueError(f"JPX: unknown progression order {prog}")
+
+
+def _packet_order(tile, cod, poc=None):
+    """Yield (layer, c, r, pidx) in the COD progression order, or —
+    with a POC segment — the concatenation of its entries' bounded
+    progressions, each packet exactly once (B.12.1.7: packets already
+    emitted by an earlier entry are skipped)."""
+    nres = cod.levels + 1
+    ncomp = len(tile["comps"])
+    if not poc:
+        yield from _prog_iter(
+            tile, cod, cod.prog, cod.layers, (0, nres), (0, ncomp)
+        )
+        return
+    emitted: set[tuple[int, int, int, int]] = set()
+    for rs, cs_, lye, re_, ce, pp in poc:
+        for tup in _prog_iter(
+            tile, cod, pp, min(lye, cod.layers),
+            (min(rs, nres), min(re_, nres)), (min(cs_, ncomp), min(ce, ncomp)),
+        ):
+            if tup not in emitted:
+                emitted.add(tup)
+                yield tup
 
 
 def _read_npasses(rd: _HdrReader) -> int:
@@ -1546,7 +1645,7 @@ def _unwrap_jp2(data: bytes) -> bytes:
 
 def decode_jpx(data: bytes) -> np.ndarray:
     """JPEG 2000 → (h, w) or (h, w, n) array of unsigned samples
-    (uint8 for depths ≤ 8, uint16 above)."""
+    (uint8 for depths ≤ 8, uint16 to 16, uint32 above)."""
     data = _unwrap_jp2(bytes(data))
     cs = _parse_codestream(data)
     gw = cs.xsiz - cs.xosiz
@@ -1578,9 +1677,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
         tdata = bytes(tile_entry["data"])
         pos = 0
         ppt = tile_entry.get("ppt") or []
-        hdr = b"".join(d for _z, d in sorted(ppt)) if ppt else None
+        if ppt:
+            hdr = b"".join(d for _z, d in sorted(ppt))
+        elif tile_entry.get("ppm"):
+            hdr = bytes(tile_entry["ppm"])
+        else:
+            hdr = None
         hpos = 0
-        for layer, c, r, pidx in _packet_order(tile, cod):
+        poc = tile_entry.get("poc") or cs.poc
+        for layer, c, r, pidx in _packet_order(tile, cod, poc):
             res = tile["comps"][c]["resolutions"][r]
             if hdr is not None:
                 pos, hpos = _read_packet(
@@ -1626,7 +1731,12 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 p = np.pad(p, ((0, gh - p.shape[0]), (0, gw - p.shape[1])),
                            mode="edge")
         out_planes.append(p)
-    dt = np.uint8 if maxdepth <= 8 else np.uint16
+    if maxdepth <= 8:
+        dt = np.uint8
+    elif maxdepth <= 16:
+        dt = np.uint16
+    else:
+        dt = np.uint32
     if len(out_planes) == 1:
         return out_planes[0].astype(dt)
     return np.stack(out_planes, axis=-1).astype(dt)
@@ -1663,6 +1773,9 @@ def encode_j2k(
     causal: bool = False,
     roi: bool = False,
     ppt: bool = False,
+    ppm: bool = False,
+    poc: list[tuple[int, int, int, int, int, int]] | None = None,
+    depth: int | None = None,
 ) -> bytes:
     """Encode (h, w) or (h, w, 3) uint8/uint16 → raw JPEG 2000
     codestream. Beyond the plain shape, options exist to emit the
@@ -1678,7 +1791,15 @@ def encode_j2k(
         comps = [img[:, :, k].astype(np.int64) for k in range(3)]
     else:
         raise ValueError("encode_j2k: expects (h,w) or (h,w,3)")
-    depth = 16 if img.dtype == np.uint16 else 8
+    if depth is None:
+        depth = {1: 8, 2: 16, 4: 28}.get(img.dtype.itemsize, 8)
+    # eps = depth + gain must fit the 5-bit QCD exponent field
+    if not 1 <= depth <= 28:
+        raise ValueError("encode_j2k: depth must be 1..28")
+    if int(img.max(initial=0)) >= 1 << depth:
+        raise ValueError("encode_j2k: samples exceed the stated depth")
+    if ppm and ppt:
+        raise ValueError("encode_j2k: PPM and PPT are mutually exclusive")
     h, w = comps[0].shape
     # DC level shift + component transform
     comps = [c - (1 << (depth - 1)) for c in comps]
@@ -1769,6 +1890,12 @@ def encode_j2k(
         ppx, ppy = precinct_exp
         codb += bytes([ppx | (ppy << 4)] * (levels + 1))
     out += struct.pack(">HH", _COD, len(codb) + 2) + codb
+    if poc:
+        pocb = b"".join(
+            bytes([rs, cs_]) + struct.pack(">H", lye) + bytes([re_, ce & 0xFF, pp])
+            for rs, cs_, lye, re_, ce, pp in poc
+        )
+        out += struct.pack(">HH", _POC, len(pocb) + 2) + pocb
     if q.style == 0:
         qcdb = bytes([(q.guard << 5) | 0]) + bytes(
             e << 3 for e in q.exponents
@@ -1783,20 +1910,34 @@ def encode_j2k(
         if ntiles != 1:
             raise ValueError("encode_j2k: ROI fixture is single-tile")
         roi_out = {}
+    capture = ppt or ppm
     results = [
-        _encode_tile(cs, t, cod, q, comps, reversible, roi_out, ppt)
+        _encode_tile(cs, t, cod, q, comps, reversible, roi_out, capture, poc)
         for t in range(ntiles)
     ]
-    bodies = [(r if not ppt else r[0]) for r in results]
-    hdrs = [(None if not ppt else r[1]) for r in results]
+    bodies = [(r if not capture else r[0]) for r in results]
+    hdrs = [(None if not capture else r[1]) for r in results]
     if roi_out:
         # Annex H maxshift: one RGN marker per shifted component
         for c, shift in sorted(roi_out.items()):
             rgn = bytes([c, 0, shift])
             out += struct.pack(">HH", _RGN, len(rgn) + 2) + rgn
+    if ppm:
+        # A.7.4: Nppm(4)+headers per tile-part, concatenated then split
+        # into Zppm-ordered main-header segments at the marker limit
+        stream = b"".join(
+            struct.pack(">I", len(h)) + h for h in hdrs
+        )
+        zppm = 0
+        while True:
+            piece, stream = stream[:65000], stream[65000:]
+            out += struct.pack(">HHB", _PPM, len(piece) + 3, zppm) + piece
+            zppm += 1
+            if not stream:
+                break
     for t, body in enumerate(bodies):
         pptseg = b""
-        if hdrs[t] is not None:
+        if ppt and hdrs[t] is not None:
             # PPT segments in the tile-part header, split at the
             # 16-bit marker-length limit (Zppt orders the pieces)
             hd = hdrs[t]
@@ -1820,7 +1961,7 @@ def encode_j2k(
 
 def _encode_tile(cs, t, cod, q, comps, reversible,
                  roi_out: dict[int, int] | None = None,
-                 ppt: bool = False):
+                 ppt: bool = False, poc=None):
     tile = _build_tile(cs, t, cod, q)
     levels = cod.levels
     # forward DWT per component, scatter into band coeff arrays
@@ -1920,7 +2061,7 @@ def _encode_tile(cs, t, cod, q, comps, reversible,
     body = bytearray()
     hdrbuf = bytearray()
     nsop = 0
-    for layer, c, r, pidx in _packet_order(tile, cod):
+    for layer, c, r, pidx in _packet_order(tile, cod, poc):
         res = tile["comps"][c]["resolutions"][r]
         hw = _HdrWriter()
         contributing: list[tuple[dict, bytes]] = []

@@ -141,8 +141,8 @@ def test_jp2_container():
 
 def test_unsupported_features_raise():
     """Out-of-subset codestream features surface as ValueError so the
-    PDF extractor quarantines: entropy-changing code-block styles,
-    PCRL/CPRL progressions, POC, PPM."""
+    PDF extractor quarantines: undefined code-block style bits and
+    undefined progression orders."""
     rng = np.random.default_rng(31)
     img = rng.integers(0, 256, (16, 16)).astype(np.uint8)
     data = bytearray(encode_j2k(img, levels=1))
@@ -277,3 +277,117 @@ def test_ppt_packed_headers():
         data = encode_j2k(img, levels=2, cb_exp=(4, 4), **kw)
         assert data != base
         assert np.array_equal(decode_jpx(data), img), kw
+
+
+def test_ppm_packed_headers():
+    """A.7.4 PPM: packet headers move to Zppm-ordered MAIN-header
+    segments as Nppm-delimited per-tile-part groups — multi-tile
+    codestreams exercise the group walk; PPM+PPT together must
+    raise."""
+    import struct
+
+    rng = np.random.default_rng(53)
+    img = _photo_like(rng, 40, 52)
+    base = encode_j2k(img, levels=2, cb_exp=(4, 4))
+    for kw in (
+        dict(ppm=True),
+        dict(ppm=True, tile_size=(32, 32)),  # several Nppm groups
+        dict(ppm=True, precinct_exp=(4, 4), layers=2, eph=True),
+        dict(ppm=True, bypass=True, tile_size=(16, 16)),
+    ):
+        data = encode_j2k(img, levels=2, cb_exp=(4, 4), **kw)
+        assert data != base
+        assert b"\xff\x60" in data  # PPM marker present
+        assert np.array_equal(decode_jpx(data), img), kw
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_j2k(img, ppm=True, ppt=True)
+    # truncated PPM stream (Nppm claims more than is there) raises
+    data = bytearray(encode_j2k(img, levels=1, ppm=True))
+    pos = bytes(data).find(b"\xff\x60")
+    (nppm,) = struct.unpack_from(">I", data, pos + 5)
+    struct.pack_into(">I", data, pos + 5, nppm + 10_000)
+    with pytest.raises(ValueError, match="PPM"):
+        decode_jpx(bytes(data))
+
+
+def _move_poc_into_tile_header(data: bytes) -> bytes:
+    """Relocate the main-header POC segment into the first tile-part
+    header (both placements are legal; tile-header POC overrides)."""
+    import struct
+
+    pos = data.find(b"\xff\x5f")
+    (ln,) = struct.unpack_from(">H", data, pos + 2)
+    seg = data[pos : pos + 2 + ln]
+    rest = data[:pos] + data[pos + 2 + ln :]
+    sot = rest.find(b"\xff\x90")
+    (psot,) = struct.unpack_from(">I", rest, sot + 6)
+    out = bytearray(rest[: sot + 12] + seg + rest[sot + 12 :])
+    struct.pack_into(">I", out, sot + 6, psot + len(seg))
+    return bytes(out)
+
+
+def test_poc_progression_changes():
+    """A.6.6 POC: packets follow the concatenated bounded
+    progressions; later entries skip packets an earlier entry already
+    emitted; a tile-header POC works too."""
+    rng = np.random.default_rng(59)
+    img = _photo_like(rng, 40, 52)
+    rgb = _photo_like(rng, 30, 36, 3)
+    # resolution split LRCP→RLCP, with overlap so the skip rule matters
+    cases = [
+        (img, dict(levels=2, poc=[(0, 0, 1, 1, 256, 0),
+                                  (0, 0, 1, 3, 256, 1)])),
+        (img, dict(levels=2, layers=2,
+                   poc=[(0, 0, 1, 3, 256, 0),      # layer 0, all res
+                        (0, 0, 2, 3, 256, 2)])),   # rest via RPCL
+        (rgb, dict(levels=1, poc=[(0, 0, 1, 2, 1, 4),   # comp 0 only
+                                  (0, 0, 1, 2, 256, 0)])),
+        (img, dict(levels=2, tile_size=(32, 32),
+                   poc=[(0, 0, 1, 2, 256, 3),
+                        (0, 0, 1, 3, 256, 0)])),
+    ]
+    for src, kw in cases:
+        data = encode_j2k(src, cb_exp=(4, 4), **kw)
+        plain = encode_j2k(src, cb_exp=(4, 4),
+                           **{k: v for k, v in kw.items() if k != "poc"})
+        assert data != plain
+        assert np.array_equal(decode_jpx(data), src), kw
+    data = encode_j2k(img, levels=2, cb_exp=(4, 4),
+                      poc=[(0, 0, 1, 1, 256, 0), (0, 0, 1, 3, 256, 1)])
+    moved = _move_poc_into_tile_header(data)
+    assert moved != data
+    assert np.array_equal(decode_jpx(moved), img)
+    # malformed POC bodies raise rather than desync
+    with pytest.raises(ValueError, match="POC"):
+        decode_jpx(_corrupt_poc_len(data))
+
+
+def _corrupt_poc_len(data: bytes) -> bytes:
+    import struct
+
+    pos = data.find(b"\xff\x5f")
+    out = bytearray(data)
+    (ln,) = struct.unpack_from(">H", out, pos + 2)
+    # drop the final byte of the POC body: length no longer a multiple
+    # of the entry size
+    struct.pack_into(">H", out, pos + 2, ln - 1)
+    del out[pos + 1 + ln]
+    return bytes(out)
+
+
+def test_depth_beyond_16():
+    """Components deeper than 16 bits decode to uint32 — 24-bit
+    lossless round-trip bit-exact, and the encoder rejects samples
+    that overflow the stated depth."""
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 1 << 24, (19, 27)).astype(np.uint32)
+    out = decode_jpx(encode_j2k(img, levels=2, cb_exp=(4, 4)))
+    assert out.dtype == np.uint32 and np.array_equal(out, img)
+    # explicit sub-byte-boundary depth on narrow data
+    img12 = rng.integers(0, 1 << 12, (16, 16)).astype(np.uint16)
+    out12 = decode_jpx(encode_j2k(img12, levels=1, depth=12))
+    assert out12.dtype == np.uint16 and np.array_equal(out12, img12)
+    with pytest.raises(ValueError, match="depth"):
+        encode_j2k(img, depth=33)
+    with pytest.raises(ValueError, match="exceed"):
+        encode_j2k(img, depth=20)
