@@ -68,11 +68,23 @@ Custom Huffman tables decode too (§7.4.13 table segments → Annex-B
 canonical codes; selection 3 — or 1 for BMSIZE — consumes the
 referred-to table segments in order of need, per §7.4.3.1.6).
 
+Unknown-length segments decode too (§7.2.7: only immediate generic
+regions may declare length 0xFFFFFFFF; the payload closes with FF AC
+under MQ coding — a sequence the stuffed bitstream cannot contain
+internally — or 00 00 under MMR, then a four-byte row count; the
+terminator is located as terminator+height, the same disambiguation
+pdfjs applies, so the region height must be known).
+
+Intermediate region segments decode too (§8.2: types 4/20/36/40 are
+retained keyed by segment number, never composited; a refinement
+region naming one uses its bitmap as the reference — chains of
+intermediates work — and an immediate refinement then lands on the
+page through the external combination operator).
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): the B.7/B.10 standard
-selections (their transcriptions failed the completeness gate),
-refinement under Huffman coding (SDHUFF/SBHUFF=1), intermediate
-region segments, unknown-length segments. These are
+selections (their transcriptions failed the completeness gate) and
+refinement under Huffman coding (SDHUFF/SBHUFF=1). These are
 documented residue; the generic + text + refinement + halftone +
 striped paths cover scanned pages end to end.
 
@@ -1115,6 +1127,7 @@ def decode_halftone_region(
 
 
 _SYMBOL_DICT = 0
+_INTERMEDIATE_TEXT = 4
 _IMM_TEXT = 6
 _IMM_LOSSLESS_TEXT = 7
 _PATTERN_DICT = 16
@@ -1122,6 +1135,7 @@ _INTERMEDIATE_HALFTONE = 20
 _IMM_HALFTONE = 22
 _IMM_LOSSLESS_HALFTONE = 23
 _PAGE_INFO = 48
+_INTERMEDIATE_GENERIC = 36
 _IMM_GENERIC = 38
 _IMM_LOSSLESS_GENERIC = 39
 _INTERMEDIATE_REFINE = 40
@@ -1178,7 +1192,8 @@ def decode_jbig2_embedded(data: bytes, globals_data: bytes | None = None) -> np.
     segments, typically symbol dictionaries, referenced by every page's
     image stream) is processed first into the same segment state.
     Raises on any segment kind outside the subset."""
-    state: dict = {"page": None, "dicts": {}, "pats": {}, "tabs": {}}
+    state: dict = {"page": None, "dicts": {}, "pats": {}, "tabs": {},
+                   "aux": {}}
     if globals_data:
         _run_segments(globals_data, state)
     _run_segments(data, state)
@@ -1201,16 +1216,42 @@ def _grow_page(state: dict, page: np.ndarray, rows: int) -> np.ndarray:
     )
 
 
+def _unknown_length_body(data: bytes, pos: int, hdr: dict) -> tuple[bytes, int]:
+    """§7.2.7 unknown segment length: only an immediate generic region
+    may declare 0xFFFFFFFF; its payload ends with a two-byte terminator
+    (FF AC under MQ coding — a sequence the stuffed bitstream cannot
+    contain internally — or 00 00 under MMR) followed by a four-byte
+    row count. The region height must be known so the terminator can
+    be located as terminator+height, the same disambiguation pdfjs
+    applies."""
+    if hdr["type"] not in (_IMM_GENERIC, _IMM_LOSSLESS_GENERIC):
+        raise ValueError("JBIG2 unknown length on a non-generic segment")
+    if pos + 18 > len(data):
+        raise ValueError("JBIG2 truncated unknown-length segment")
+    _w, h, _x, _y = struct.unpack_from(">IIII", data, pos)
+    if h == 0xFFFFFFFF:
+        raise ValueError("JBIG2 unknown-length region with unknown height")
+    gflags = data[pos + 17]
+    n_at = 0 if gflags & 1 else _GB_AT_COUNT[(gflags >> 1) & 3]
+    start = pos + 18 + 2 * n_at
+    term = b"\x00\x00" if gflags & 1 else b"\xff\xac"
+    end = data.find(term + struct.pack(">I", h), start)
+    if end < 0:
+        raise ValueError("JBIG2 unknown-length segment: no terminator")
+    return data[pos : end + 2], end + 6
+
+
 def _run_segments(data: bytes, state: dict) -> None:
     pos = 0
     page: np.ndarray | None = state["page"]
     dicts: dict[int, list[np.ndarray]] = state["dicts"]  # seg number → syms
     while pos < len(data):
         hdr, pos = _parse_segment_header(data, pos)
-        body = data[pos : pos + hdr["length"]]
         if hdr["length"] == 0xFFFFFFFF:
-            raise ValueError("JBIG2 unknown-length segment unsupported")
-        pos += hdr["length"]
+            body, pos = _unknown_length_body(data, pos, hdr)
+        else:
+            body = data[pos : pos + hdr["length"]]
+            pos += hdr["length"]
         t = hdr["type"]
         if t == _PAGE_INFO:
             page_w, page_h = struct.unpack_from(">II", body, 0)
@@ -1231,7 +1272,8 @@ def _run_segments(data: bytes, state: dict) -> None:
                 raise ValueError("JBIG2 end-of-stripe before page info")
             (y_end,) = struct.unpack_from(">I", body, 0)
             page = _grow_page(state, page, y_end + 1)
-        elif t in (_IMM_GENERIC, _IMM_LOSSLESS_GENERIC):
+        elif t in (_IMM_GENERIC, _IMM_LOSSLESS_GENERIC,
+                   _INTERMEDIATE_GENERIC):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
@@ -1255,6 +1297,11 @@ def _run_segments(data: bytes, state: dict) -> None:
                 region = decode_generic_arith(
                     body[18 + 2 * n_at :], w, h, at, template, tpgdon
                 )
+            if t == _INTERMEDIATE_GENERIC:
+                # §8.2: an intermediate region is retained for later
+                # segments (refinement references), never composited
+                state["aux"][hdr["number"]] = region
+                continue
             page = _grow_page(state, page, y + h)
             if x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
@@ -1309,7 +1356,7 @@ def _run_segments(data: bytes, state: dict) -> None:
                 body[off + 8 :], n_new, n_ex, template, at, inputs,
                 refagg, rtemplate, rat,
             )
-        elif t in (_IMM_TEXT, _IMM_LOSSLESS_TEXT):
+        elif t in (_IMM_TEXT, _IMM_LOSSLESS_TEXT, _INTERMEDIATE_TEXT):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
@@ -1368,6 +1415,9 @@ def _run_segments(data: bytes, state: dict) -> None:
                     body[off + 4 :], w, h, n_inst, log_strips, ref_corner,
                     ds_offset, syms, transposed, refine, rtemplate, rat,
                 )
+            if t == _INTERMEDIATE_TEXT:
+                state["aux"][hdr["number"]] = region
+                continue
             page = _grow_page(state, page, y + h)
             if x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
@@ -1380,7 +1430,8 @@ def _run_segments(data: bytes, state: dict) -> None:
             )
 
             state["tabs"][hdr["number"]] = parse_table_segment(body)
-        elif t in (_IMM_HALFTONE, _IMM_LOSSLESS_HALFTONE):
+        elif t in (_IMM_HALFTONE, _IMM_LOSSLESS_HALFTONE,
+                   _INTERMEDIATE_HALFTONE):
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             pats: list[np.ndarray] = []
@@ -1390,19 +1441,21 @@ def _run_segments(data: bytes, state: dict) -> None:
                 raise ValueError("JBIG2 halftone region with no patterns")
             region, x, y, ext_op = decode_halftone_region(body, pats)
             h, w = region.shape
+            if t == _INTERMEDIATE_HALFTONE:
+                state["aux"][hdr["number"]] = region
+                continue
             page = _grow_page(state, page, y + h)
             if x + w > page.shape[1]:
                 raise ValueError("JBIG2 region exceeds page")
             page[y : y + h, x : x + w] = _compose(
                 page[y : y + h, x : x + w], region, ext_op
             )
-        elif t == _INTERMEDIATE_HALFTONE:
-            raise ValueError("JBIG2 intermediate halftone region unsupported")
-        elif t in (_IMM_REFINE, _IMM_LOSSLESS_REFINE):
-            # §7.4.7: the region refines the page content under it
-            # (intermediate-region references are out of subset), then
-            # lands via the external combination operator — REPLACE is
-            # the shape refinement exists for.
+        elif t in (_IMM_REFINE, _IMM_LOSSLESS_REFINE, _INTERMEDIATE_REFINE):
+            # §7.4.7.2: the reference is the referred-to intermediate
+            # region's bitmap when one is named, else the page content
+            # under the region; the result lands via the external
+            # combination operator (or is retained, if itself
+            # intermediate).
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
@@ -1423,20 +1476,34 @@ def _run_segments(data: bytes, state: dict) -> None:
                     for k in range(2)
                 ]
                 off += 4
-            if hdr["refs"]:
+            aux_refs = [r for r in hdr["refs"] if r in state["aux"]]
+            if [r for r in hdr["refs"] if r not in state["aux"]]:
                 raise ValueError(
-                    "JBIG2 refinement of intermediate regions unsupported"
+                    "JBIG2 refinement references an unknown segment"
                 )
-            if y + h > page.shape[0] or x + w > page.shape[1]:
-                raise ValueError("JBIG2 region exceeds page")
-            ref = page[y : y + h, x : x + w]
+            if aux_refs:
+                ref = state["aux"][aux_refs[0]]
+                if ref.shape != (h, w):
+                    raise ValueError(
+                        "JBIG2 refinement reference shape mismatch"
+                    )
+            else:
+                if y + h > page.shape[0] or x + w > page.shape[1]:
+                    raise ValueError("JBIG2 region exceeds page")
+                ref = page[y : y + h, x : x + w]
             mq = MQDecoder(body[off:])
             region = _refine_decode_with(
                 mq, w, h, ref, 0, 0, template, rat, tpgron
             )
-            page[y : y + h, x : x + w] = _compose(ref, region, comb_op)
-        elif t == _INTERMEDIATE_REFINE:
-            raise ValueError("JBIG2 intermediate refinement region unsupported")
+            if t == _INTERMEDIATE_REFINE:
+                state["aux"][hdr["number"]] = region
+                continue
+            page = _grow_page(state, page, y + h)
+            if x + w > page.shape[1]:
+                raise ValueError("JBIG2 region exceeds page")
+            page[y : y + h, x : x + w] = _compose(
+                page[y : y + h, x : x + w], region, comb_op
+            )
         elif t in (_END_OF_PAGE, _END_OF_FILE):
             continue
         else:
@@ -1444,32 +1511,36 @@ def _run_segments(data: bytes, state: dict) -> None:
     state["page"] = page
 
 
-def encode_jbig2_mmr(img: np.ndarray) -> bytes:
+def encode_jbig2_mmr(img: np.ndarray, unknown_length: bool = False) -> bytes:
     """Fixture encoder: one page-info segment + one immediate lossless
     MMR generic region covering the page (embedded format)."""
-    return _encode_jbig2(img, mmr=True)
+    return _encode_jbig2(img, mmr=True, unknown_length=unknown_length)
 
 
 def encode_jbig2_arith(
-    img: np.ndarray, template: int = 0, tpgdon: bool = False
+    img: np.ndarray, template: int = 0, tpgdon: bool = False,
+    unknown_length: bool = False,
 ) -> bytes:
     """Fixture encoder: arithmetic (MQ, nominal ATs) immediate
     lossless generic region with the given GB template / TPGDON."""
-    return _encode_jbig2(img, mmr=False, template=template, tpgdon=tpgdon)
+    return _encode_jbig2(img, mmr=False, template=template, tpgdon=tpgdon,
+                         unknown_length=unknown_length)
 
 
 def _encode_jbig2(
-    img: np.ndarray, mmr: bool, template: int = 0, tpgdon: bool = False
+    img: np.ndarray, mmr: bool, template: int = 0, tpgdon: bool = False,
+    unknown_length: bool = False,
 ) -> bytes:
     img = np.asarray(img).astype(bool)
     h, w = img.shape
     out = bytearray()
 
-    def segment(num: int, seg_type: int, page: int, body: bytes) -> None:
+    def segment(num: int, seg_type: int, page: int, body: bytes,
+                length: int | None = None) -> None:
         out.extend(struct.pack(">IB", num, seg_type))  # page_assoc_4=0
         out.append(0)  # zero referred-to segments (short form)
         out.append(page)
-        out.extend(struct.pack(">I", len(body)))
+        out.extend(struct.pack(">I", len(body) if length is None else length))
         out.extend(body)
 
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x01" + b"\x00\x00"
@@ -1488,7 +1559,14 @@ def _encode_jbig2(
             + ats
             + encode_generic_arith(img, template=template, tpgdon=tpgdon)
         )
-    segment(1, _IMM_LOSSLESS_GENERIC, 1, body)
+    if unknown_length:
+        # §7.2.7: declare 0xFFFFFFFF, close the payload with the
+        # terminator sequence and the true row count
+        term = b"\x00\x00" if mmr else b"\xff\xac"
+        segment(1, _IMM_LOSSLESS_GENERIC, 1,
+                body + term + struct.pack(">I", h), length=0xFFFFFFFF)
+    else:
+        segment(1, _IMM_LOSSLESS_GENERIC, 1, body)
     return bytes(out)
 
 
@@ -1808,6 +1886,70 @@ def encode_jbig2_refine_page(
     out.append(1)  # page 1
     out.extend(struct.pack(">I", len(body)))
     out.extend(body)
+    return bytes(out)
+
+
+def encode_jbig2_intermediate_refine(
+    base: np.ndarray,
+    refined: np.ndarray,
+    chain: bool = False,
+) -> bytes:
+    """Fixture: page info + an INTERMEDIATE generic region (type 36)
+    holding ``base`` — retained, never composited — then an immediate
+    refinement region (type 42, REPLACE) naming it as the reference
+    and landing ``refined`` on the page. With ``chain`` an
+    intermediate refinement region (type 40) sits between the two:
+    aux results feeding aux results."""
+    base = np.asarray(base).astype(bool)
+    refined = np.asarray(refined).astype(bool)
+    h, w = base.shape
+    assert refined.shape == (h, w)
+    out = bytearray()
+
+    def segment(num, seg_type, body, refs=()):
+        out.extend(struct.pack(">IB", num, seg_type))
+        out.append(len(refs) << 5)
+        for r in refs:
+            out.append(r)
+        out.append(1)
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(body)
+
+    segment(0, _PAGE_INFO,
+            struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
+    ats = b"".join(
+        struct.pack(">bb", ax, ay) for ax, ay in _GB_AT_NOMINAL[0]
+    )
+    segment(1, _INTERMEDIATE_GENERIC,
+            struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00" + ats
+            + encode_generic_arith(base, template=0))
+
+    def refine_body(tgt, ref):
+        mq = MQEncoder()
+        _refine_encode_with(
+            mq, tgt.astype(np.uint8), ref.astype(np.uint8), 0, 0, 0,
+            None, False,
+        )
+        rats = b"".join(
+            struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL
+        )
+        return (
+            struct.pack(">IIII", w, h, 0, 0)
+            + bytes([4])  # external combination: REPLACE
+            + bytes([0])  # GR template 0, no TPGRON
+            + rats
+            + mq.flush()
+        )
+
+    if chain:
+        mid = base.copy()
+        mid[: h // 2] = refined[: h // 2]
+        segment(2, _INTERMEDIATE_REFINE, refine_body(mid, base), refs=(1,))
+        segment(3, _IMM_LOSSLESS_REFINE, refine_body(refined, mid),
+                refs=(2,))
+    else:
+        segment(2, _IMM_LOSSLESS_REFINE, refine_body(refined, base),
+                refs=(1,))
     return bytes(out)
 
 

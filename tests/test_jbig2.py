@@ -40,10 +40,10 @@ def test_embedded_roundtrip():
 
 
 def test_unsupported_segment_kinds_raise():
-    # intermediate generic region (type 36) — out of subset
+    # reserved segment type (37) — out of subset
     import struct
 
-    seg = struct.pack(">IB", 0, 36) + b"\x00\x01" + struct.pack(">I", 0)
+    seg = struct.pack(">IB", 0, 37) + b"\x00\x01" + struct.pack(">I", 0)
     with pytest.raises(ValueError, match="unsupported"):
         decode_jbig2_embedded(seg)
     # TPGDON with MMR is invalid per spec
@@ -575,7 +575,9 @@ def test_refinement_region_replaces_page():
                 encode_jbig2_refine_page(base, refined, template, tpgron)
             )
             assert np.array_equal(page == 0, refined), (template, tpgron)
-    # intermediate refinement region (type 40) raises, never garbage
+    # retyping the segment as an intermediate refinement region (type
+    # 40) retains the result instead of compositing: the page shows
+    # only the base generic region
     import struct
 
     data = bytearray(encode_jbig2_refine_page(base, refined))
@@ -585,8 +587,8 @@ def test_refinement_region_replaces_page():
     pos = bytes(data).find(hdr)
     assert pos > 0
     data[pos + 4] = 40
-    with pytest.raises(ValueError, match="intermediate refinement"):
-        decode_jbig2_embedded(bytes(data))
+    page = decode_jbig2_embedded(bytes(data))
+    assert np.array_equal(page == 0, base)
 
 
 def test_refined_jbig2_xobject_extraction():
@@ -694,8 +696,9 @@ def test_halftone_skewed_grid_with_skip():
 
 
 def test_halftone_out_of_subset_raises():
-    """Skip-with-MMR (spec-invalid) and intermediate halftone regions
-    must surface as ValueError, never garbage."""
+    """Skip-with-MMR (spec-invalid) must surface as ValueError, never
+    garbage; an intermediate halftone region is retained, not
+    composited."""
     import struct
 
     from crawler_spark.functions.jbig2 import encode_jbig2_halftone
@@ -715,9 +718,9 @@ def test_halftone_out_of_subset_raises():
     with pytest.raises(ValueError, match="HENABLESKIP"):
         decode_jbig2_embedded(bytes(mut))
     mut = bytearray(data)
-    mut[ht_hdr + 4] = 20  # intermediate halftone region
-    with pytest.raises(ValueError, match="intermediate halftone"):
-        decode_jbig2_embedded(bytes(mut))
+    mut[ht_hdr + 4] = 20  # intermediate halftone region: retained,
+    page = decode_jbig2_embedded(bytes(mut))  # never composited
+    assert not (page == 0).any()
 
 
 def test_halftone_xobject_extraction():
@@ -815,3 +818,68 @@ def test_text_region_refcorners_both_orientations():
                 data, W, H, len(adj), 0, corner, 0, syms, transposed
             )
             assert np.array_equal(page, want), (corner, transposed)
+
+
+def test_unknown_length_segments():
+    """§7.2.7: an immediate generic region may declare length
+    0xFFFFFFFF; the payload closes with FF AC (MQ) / 00 00 (MMR) plus
+    a four-byte row count. Round-trips for both coders, and malformed
+    shapes raise."""
+    import struct
+
+    from crawler_spark.functions.jbig2 import encode_jbig2_arith
+
+    rng = np.random.default_rng(67)
+    img = _scan_like(rng, 33, 57)
+    for data in (
+        encode_jbig2_mmr(img, unknown_length=True),
+        encode_jbig2_arith(img, unknown_length=True),
+        encode_jbig2_arith(img, template=2, tpgdon=True,
+                           unknown_length=True),
+    ):
+        assert struct.pack(">I", 0xFFFFFFFF) in data
+        back = decode_jbig2_embedded(data)
+        assert np.array_equal(back == 0, img)
+    # unknown length on a non-generic segment type raises
+    seg = struct.pack(">IB", 0, 0) + b"\x00\x01" + struct.pack(
+        ">I", 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="non-generic"):
+        decode_jbig2_embedded(seg)
+    # a stream whose terminator never appears raises, not loops
+    data = bytearray(encode_jbig2_arith(img, unknown_length=True))
+    trunc = bytes(data[:-7])  # cut into the terminator+rowcount tail
+    with pytest.raises(ValueError, match="terminator"):
+        decode_jbig2_embedded(trunc)
+
+
+def test_intermediate_regions_feed_refinement():
+    """§8.2 intermediate regions: a type-36 generic region is retained
+    (never composited); an immediate refinement region names it as the
+    reference and lands the refined bitmap. A chained type-40
+    intermediate refinement works too, and dangling/misshapen
+    references raise."""
+    import struct
+
+    from crawler_spark.functions.jbig2 import (
+        encode_jbig2_intermediate_refine,
+    )
+
+    rng = np.random.default_rng(71)
+    base = _scan_like(rng, 29, 46)
+    refined = base.copy()
+    refined[4:9, 6:30] ^= True  # a correction pass over the base
+    for chain in (False, True):
+        data = encode_jbig2_intermediate_refine(base, refined, chain=chain)
+        back = decode_jbig2_embedded(data)
+        # REPLACE composition: the page is exactly the refined bitmap —
+        # the intermediate base never touched it
+        assert np.array_equal(back == 0, refined), chain
+    # a refinement naming a segment that never existed raises
+    data = bytearray(encode_jbig2_intermediate_refine(base, refined))
+    # last segment's single ref byte: rewrite 1 -> 9
+    hdr_at = data.rfind(struct.pack(">IB", 2, 42))
+    assert data[hdr_at + 6] == 1
+    data[hdr_at + 6] = 9
+    with pytest.raises(ValueError, match="unknown segment"):
+        decode_jbig2_embedded(bytes(data))
