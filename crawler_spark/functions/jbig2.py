@@ -81,12 +81,20 @@ region naming one uses its bitmap as the reference — chains of
 intermediates work — and an immediate refinement then lands on the
 page through the external combination operator).
 
+Refinement under Huffman coding decodes too: SBHUFF=1 text regions
+read a raw RI bit per instance, RDW/RDH/RDX/RDY through B.14/B.15,
+BMSIZE through B.1, then a byte-aligned MQ-coded refinement blob
+(§6.4.11); SDHUFF=1 + REFAGG=1 symbol dictionaries decode every new
+symbol as an individually-framed refinement (§6.5.8.2.2,
+REFAGGNINST=1: raw-bit symbol ID, RDX/RDY via B.15, BMSIZE via B.1).
+
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): the B.7/B.10 standard
-selections (their transcriptions failed the completeness gate) and
-refinement under Huffman coding (SDHUFF/SBHUFF=1). These are
-documented residue; the generic + text + refinement + halftone +
-striped paths cover scanned pages end to end.
+selections (their transcriptions failed the completeness gate),
+custom RSIZE tables, and Huffman aggregate text regions
+(REFAGGNINST>1 under SDHUFF=1). These are documented residue; the
+generic + text + refinement + halftone + striped paths cover scanned
+pages end to end.
 
 JBIG2 bit sense: 1 = black (T.88 §4), i.e. the same sense as the G4
 decoder's output convention here (0=black pixels after mapping).
@@ -794,11 +802,18 @@ def decode_symbol_dict_huffman(
     bm_sel: int,
     input_syms: list[np.ndarray] | None = None,
     custom: list | None = None,
+    refagg: bool = False,
+    rtemplate: int = 0,
+    rat_pairs: list[tuple[int, int]] | None = None,
 ) -> list[np.ndarray]:
-    """§6.5 with SDHUFF=1, REFAGG=0 → exported glyph bitmaps.
-    Selection 3 (DH/DW) or 1 (BMSIZE) consumes the next custom table
-    from ``custom`` — the referred-to table segments in order of
-    need, per §7.4.3.1.6."""
+    """§6.5 with SDHUFF=1 → exported glyph bitmaps. Selection 3
+    (DH/DW) or 1 (BMSIZE) consumes the next custom table from
+    ``custom`` — the referred-to table segments in order of need, per
+    §7.4.3.1.6. With REFAGG=0 each height class arrives as one
+    collective bitmap sliced by widths; with REFAGG=1 every new symbol
+    is an individual refinement (§6.5.8.2.2, REFAGGNINST=1: raw-bit
+    symbol ID, RDX/RDY through B.15, BMSIZE through B.1, byte-aligned
+    MQ blob; Huffman aggregate text regions stay out of subset)."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitReader,
@@ -820,6 +835,9 @@ def decode_symbol_dict_huffman(
     dw_t = take() if dw_sel == 3 else STANDARD_TABLES[2 if dw_sel == 0 else 3]
     bm_t = take() if bm_sel == 1 else STANDARD_TABLES[1]
     ex_t = STANDARD_TABLES[1]
+    rd_t = STANDARD_TABLES[15]  # SDHUFFRDX/RDY (§6.5.8.2.2)
+    inputs = list(input_syms or [])
+    code_len = max(1, (len(inputs) + n_new - 1).bit_length())
     r = BitReader(data)
     newsyms: list[np.ndarray] = []
     hcheight = 0
@@ -841,8 +859,35 @@ def decode_symbol_dict_huffman(
                 or len(newsyms) + len(widths) >= n_new
             ):
                 raise ValueError("JBIG2 Huffman symbol dict: bad size/count")
+            if refagg:  # §6.5.8.2: one refined symbol, decoded in place
+                n_inst = ex_t.decode(r)  # REFAGGNINST rides Table B.1
+                if n_inst != 1:
+                    raise ValueError(
+                        "JBIG2 Huffman symbol dict: aggregate text "
+                        "regions unsupported"
+                    )
+                pool = inputs + newsyms
+                ref_id = r.read_bits(code_len)
+                rdx = rd_t.decode(r)
+                rdy = rd_t.decode(r)
+                bmsize = ex_t.decode(r)
+                if (
+                    HOOB in (rdx, rdy, bmsize) or bmsize <= 0
+                    or not 0 <= ref_id < len(pool)
+                ):
+                    raise ValueError(
+                        "JBIG2 Huffman symbol dict: bad refinement"
+                    )
+                blob = r.take_bytes(bmsize)
+                newsyms.append(
+                    _refine_decode_with(
+                        MQDecoder(blob), symwidth, hcheight,
+                        pool[ref_id], rdx, rdy, rtemplate, rat_pairs,
+                    )
+                )
+                continue
             widths.append(symwidth)
-        if not widths:
+        if refagg or not widths:
             continue
         bmsize = bm_t.decode(r)
         totwidth = sum(widths)
@@ -893,10 +938,18 @@ def decode_text_region_huffman(
     ds_sel: int,
     dt_sel: int,
     custom: list | None = None,
+    refine: bool = False,
+    rtemplate: int = 0,
+    rat: list[tuple[int, int]] | None = None,
+    rd_sels: tuple[int, int, int, int] = (0, 0, 0, 0),
 ) -> np.ndarray:
-    """§6.4.5 with SBHUFF=1 (no refinement). ``data`` starts at the
-    §7.4.3.1.7 symbol-ID runcode table. Selection 3 consumes the next
-    custom table (referred table segments in FS, DS, DT order)."""
+    """§6.4.5 with SBHUFF=1. ``data`` starts at the §7.4.3.1.7
+    symbol-ID runcode table. Selection 3 consumes the next custom
+    table (referred table segments in FS, DS, DT, RDW, RDH, RDX, RDY
+    order of need). With ``refine`` each instance carries an RI bit
+    (§6.4.11: one bit under SBHUFF); a nonzero RI reads RDW/RDH/RDX/
+    RDY through B.14/B.15 (``rd_sels``), BMSIZE through B.1, then a
+    byte-aligned BMSIZE-byte MQ-coded refinement of the glyph."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitReader,
@@ -924,11 +977,16 @@ def decode_text_region_huffman(
             take() if dt_sel == 3
             else STANDARD_TABLES[{0: 11, 1: 12, 2: 13}[dt_sel]]
         )
+        rd_ts = [
+            take() if sel == 3 else STANDARD_TABLES[{0: 14, 1: 15}[sel]]
+            for sel in rd_sels
+        ] if refine else []
     except KeyError:
         raise ValueError(
             "JBIG2 Huffman text region: unavailable table selection "
-            f"(fs={fs_sel} ds={ds_sel} dt={dt_sel})"
+            f"(fs={fs_sel} ds={ds_sel} dt={dt_sel} rd={rd_sels})"
         ) from None
+    rs_t = STANDARD_TABLES[1]  # SBHUFFRSIZE selection 0
     r = BitReader(data)
     sym_t = symbol_id_table(decode_symbol_id_lengths(r, len(syms)))
     r.byte_align()  # §7.4.3.1.7: skip remaining bits of the last byte
@@ -957,6 +1015,23 @@ def decode_text_region_huffman(
             curt = r.read_bits(log_strips) if strips > 1 else 0
             t = stript + curt
             sym = syms[sym_t.decode(r)]
+            if refine and r.read_bit():
+                rdw, rdh, rdx, rdy = (tt.decode(r) for tt in rd_ts)
+                bmsize = rs_t.decode(r)
+                if (
+                    HOOB in (rdw, rdh, rdx, rdy, bmsize)
+                    or sym.shape[1] + rdw <= 0
+                    or sym.shape[0] + rdh <= 0
+                    or bmsize <= 0
+                ):
+                    raise ValueError(
+                        "JBIG2 Huffman text region: bad refinement"
+                    )
+                blob = r.take_bytes(bmsize)
+                sym = _refine_decode_with(
+                    MQDecoder(blob), sym.shape[1] + rdw, sym.shape[0] + rdh,
+                    sym, (rdw >> 1) + rdx, (rdh >> 1) + rdy, rtemplate, rat,
+                )
             hs, ws = sym.shape
             row_ref, col_ref = (curs, t) if transposed else (t, curs)
             y0 = row_ref if ref_corner in (1, 3) else row_ref - hs + 1
@@ -1314,19 +1389,31 @@ def _run_segments(data: bytes, state: dict) -> None:
             for r in hdr["refs"]:
                 inputs.extend(dicts.get(r, []))
             if sdflags & 1:  # SDHUFF=1: no AT pixels follow the flags
-                if refagg:
-                    raise ValueError(
-                        "JBIG2 Huffman symbol dict with refinement unsupported"
-                    )
-                n_ex, n_new = struct.unpack_from(">II", body, 2)
+                off = 2
+                rat: list[tuple[int, int]] | None = None
+                if refagg and rtemplate == 0:  # SDRAT: 2 AT pairs
+                    rat = [
+                        (
+                            int.from_bytes(
+                                body[off + 2 * k : off + 1 + 2 * k],
+                                "big", signed=True),
+                            int.from_bytes(
+                                body[off + 1 + 2 * k : off + 2 + 2 * k],
+                                "big", signed=True),
+                        )
+                        for k in range(2)
+                    ]
+                    off += 4
+                n_ex, n_new = struct.unpack_from(">II", body, off)
                 customs = [
                     state["tabs"][r] for r in hdr["refs"]
                     if r in state["tabs"]
                 ]
                 dicts[hdr["number"]] = decode_symbol_dict_huffman(
-                    body[10:], n_new, n_ex,
+                    body[off + 8 :], n_new, n_ex,
                     (sdflags >> 2) & 3, (sdflags >> 4) & 3,
                     (sdflags >> 6) & 1, inputs, customs,
+                    refagg, rtemplate, rat,
                 )
                 continue
             template = (sdflags >> 10) & 3
@@ -1376,23 +1463,36 @@ def _run_segments(data: bytes, state: dict) -> None:
             if not syms:
                 raise ValueError("JBIG2 text region with no symbols")
             if sbhuff:  # extra Huffman-flags halfword before n_inst
-                if refine:
-                    raise ValueError(
-                        "JBIG2 Huffman text region with refinement unsupported"
-                    )
                 (hflags,) = struct.unpack_from(">H", body, 19)
                 if hflags & (1 << 14):  # custom RSIZE table
                     raise ValueError("JBIG2 Huffman text region: custom RSIZE")
-                (n_inst,) = struct.unpack_from(">I", body, 21)
+                off = 21
+                rat: list[tuple[int, int]] | None = None
+                if refine and rtemplate == 0:  # SBRAT: 2 AT pairs
+                    rat = [
+                        (
+                            int.from_bytes(
+                                body[off + 2 * k : off + 1 + 2 * k],
+                                "big", signed=True),
+                            int.from_bytes(
+                                body[off + 1 + 2 * k : off + 2 + 2 * k],
+                                "big", signed=True),
+                        )
+                        for k in range(2)
+                    ]
+                    off += 4
+                (n_inst,) = struct.unpack_from(">I", body, off)
                 customs = [
                     state["tabs"][r] for r in hdr["refs"]
                     if r in state["tabs"]
                 ]
                 region = decode_text_region_huffman(
-                    body[25:], w, h, n_inst, log_strips, ref_corner,
+                    body[off + 4 :], w, h, n_inst, log_strips, ref_corner,
                     ds_offset, syms, transposed,
                     hflags & 3, (hflags >> 2) & 3, (hflags >> 4) & 3,
-                    customs,
+                    customs, refine, rtemplate, rat,
+                    ((hflags >> 6) & 3, (hflags >> 8) & 3,
+                     (hflags >> 10) & 3, (hflags >> 12) & 3),
                 )
             else:
                 off = 19
@@ -1959,13 +2059,19 @@ def encode_jbig2_text_huffman(
     page_wh: tuple[int, int],
     transposed: bool = False,
     custom_dt: bool = False,
+    refinements: list | None = None,
+    rd_sel: int = 0,
 ) -> bytes:
     """Fixture twin of :func:`encode_jbig2_text` for the SDHUFF=1 /
     SBHUFF=1 form: height-class collective bitmaps ride MMR (T.6),
     parameters ride the Annex-B standard tables (selections 0), symbol
     ids ride the §7.4.3.1.7 runcode scheme with equal code lengths.
     ``custom_dt`` routes the strip deltas through a CUSTOM table
-    segment (§7.4.13, selection 3) instead of B.11."""
+    segment (§7.4.13, selection 3) instead of B.11. ``refinements``
+    (one entry per placement, None or ``(bitmap, rdw, rdh, rdx,
+    rdy)``) turns on SBREFINE — per §6.4.11 each refined instance
+    writes an RI bit, RDW/RDH/RDX/RDY through B.14 (``rd_sel`` 0) or
+    B.15 (1), BMSIZE through B.1, then the byte-aligned MQ blob."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitWriter,
@@ -2021,16 +2127,20 @@ def encode_jbig2_text_huffman(
     )
     # text region
     code_len = max(1, (len(syms) - 1).bit_length())
+    refine = refinements is not None
+    rd_t = STANDARD_TABLES[14 if rd_sel == 0 else 15]
+    rs_t = STANDARD_TABLES[1]
     tw = BitWriter()
     encode_symbol_id_lengths(tw, [code_len] * len(syms))
     tw.byte_align()
     sym_t = symbol_id_table([code_len] * len(syms))
     strips = 1
-    by_strip: dict[int, list[tuple[int, int, int]]] = {}
-    for x, y, si in placements:
+    by_strip: dict[int, list[tuple[int, int, int, object]]] = {}
+    for i, (x, y, si) in enumerate(placements):
+        ref = refinements[i] if refine else None
         if transposed:
             x, y = y, x
-        by_strip.setdefault(y, []).append((x, y, si))
+        by_strip.setdefault(y, []).append((x, y, si, ref))
     dt_t.encode(tw, 1)  # STRIPT starts at -1 strip (B.11 floor is 1)
     stript = -strips
     firsts = 0
@@ -2039,7 +2149,9 @@ def encode_jbig2_text_huffman(
         stript = st
         first = True
         curs = 0
-        for x, _y, si in sorted(by_strip[st]):
+        for x, _y, si, ref in sorted(
+            by_strip[st], key=lambda p: (p[0], p[2])
+        ):
             if first:
                 fs_t.encode(tw, x - firsts)
                 firsts = x
@@ -2049,15 +2161,47 @@ def encode_jbig2_text_huffman(
                 ds_t.encode(tw, x - curs)
                 curs = x
             sym_t.encode(tw, sym_order[si])
-            curs += syms[si].shape[0 if transposed else 1] - 1
+            inst = syms[si]
+            if refine:
+                if ref is None:
+                    tw.write_bit(0)
+                else:
+                    bitmap, rdw, rdh, rdx, rdy = ref
+                    inst = np.asarray(bitmap).astype(bool)
+                    assert inst.shape == (
+                        syms[si].shape[0] + rdh, syms[si].shape[1] + rdw
+                    )
+                    tw.write_bit(1)
+                    for v in (rdw, rdh, rdx, rdy):
+                        rd_t.encode(tw, v)
+                    mq = MQEncoder()
+                    _refine_encode_with(
+                        mq, inst.astype(np.uint8),
+                        syms[si].astype(np.uint8),
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, 0, None, False,
+                    )
+                    blob = mq.flush()
+                    rs_t.encode(tw, len(blob))
+                    tw.put_bytes(blob)
+            curs += inst.shape[0 if transposed else 1] - 1
         ds_t.encode(tw, HOOB)
-    tflags = 1 | (1 << 4) | ((1 << 6) if transposed else 0)
+    tflags = (
+        1 | (1 << 4) | ((1 << 6) if transposed else 0)
+        | ((1 << 1) if refine else 0)
+    )
     hflags = (3 << 4) if custom_dt else 0  # DT selection 3 = custom
+    if refine:
+        hflags |= (rd_sel << 6) | (rd_sel << 8) | (rd_sel << 10) | (rd_sel << 12)
+    sbrat = (
+        b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL)
+        if refine else b""
+    )
     tr_body = (
         struct.pack(">IIII", w, h, 0, 0)
         + b"\x00"
         + struct.pack(">H", tflags)
         + struct.pack(">H", hflags)
+        + sbrat
         + struct.pack(">I", len(placements))
         + tw.flush()
     )
@@ -2079,6 +2223,167 @@ def encode_jbig2_text_huffman(
         segment(3, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1, 2))
     else:
         segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
+    return bytes(out)
+
+
+def encode_jbig2_huffman_refagg_page(
+    base_syms: list[np.ndarray],
+    derived: list[tuple[np.ndarray, int, int, int]],
+    placements: list[tuple[int, int, int]],
+    page_wh: tuple[int, int],
+) -> bytes:
+    """Fixture: a plain SDHUFF dictionary exports ``base_syms``; a
+    second SDHUFF+REFAGG dictionary (§6.5.8.2.2) derives each
+    ``(bitmap, ref_id, rdx, rdy)`` entry as an individual Huffman-
+    framed refinement of a base glyph (raw-bit symbol ID, RDX/RDY via
+    B.15, BMSIZE via B.1, byte-aligned MQ blob); an SBHUFF text region
+    places the derived glyphs."""
+    from crawler_spark.functions.jbig2_huffman import (
+        OOB as HOOB,
+        BitWriter,
+        STANDARD_TABLES,
+        encode_symbol_id_lengths,
+        symbol_id_table,
+    )
+
+    w, h = page_wh
+    dh_t, dw_t, bm_t, ex_t = (STANDARD_TABLES[k] for k in (4, 2, 1, 1))
+    fs_t, ds_t, dt_t = (STANDARD_TABLES[k] for k in (6, 8, 11))
+    rd_t = STANDARD_TABLES[15]
+
+    def plain_dict(syms):
+        order = sorted(range(len(syms)), key=lambda k: syms[k].shape)
+        bw = BitWriter()
+        hcheight = 0
+        k = 0
+        while k < len(order):
+            ch = syms[order[k]].shape[0]
+            dh_t.encode(bw, ch - hcheight)
+            hcheight = ch
+            symwidth = 0
+            cls = []
+            while k < len(order) and syms[order[k]].shape[0] == ch:
+                ww = syms[order[k]].shape[1]
+                dw_t.encode(bw, ww - symwidth)
+                symwidth = ww
+                cls.append(syms[order[k]].astype(bool))
+                k += 1
+            dw_t.encode(bw, HOOB)
+            payload = encode_g4(np.hstack(cls))
+            bm_t.encode(bw, len(payload))
+            bw.put_bytes(payload)
+        ex_t.encode(bw, 0)
+        ex_t.encode(bw, len(syms))
+        return (
+            struct.pack(">H", 1)
+            + struct.pack(">II", len(syms), len(syms))
+            + bw.flush()
+        ), order
+
+    sd1, base_order = plain_dict(base_syms)
+    base_sorted = [base_syms[i] for i in sorted(
+        range(len(base_syms)), key=lambda k: base_syms[k].shape
+    )]
+    # exported pool order of dict 1 is its sorted decode order
+    base_pos = {i: base_order.index(i) for i in range(len(base_syms))}
+
+    n_new = len(derived)
+    code_len = max(1, (len(base_syms) + n_new - 1).bit_length())
+    order2 = sorted(range(n_new), key=lambda k: derived[k][0].shape)
+    bw = BitWriter()
+    hcheight = 0
+    k = 0
+    while k < len(order2):
+        bm0 = derived[order2[k]][0]
+        ch = bm0.shape[0]
+        dh_t.encode(bw, ch - hcheight)
+        hcheight = ch
+        symwidth = 0
+        while k < len(order2) and derived[order2[k]][0].shape[0] == ch:
+            bitmap, ref_id, rdx, rdy = derived[order2[k]]
+            bitmap = np.asarray(bitmap).astype(bool)
+            dw_t.encode(bw, bitmap.shape[1] - symwidth)
+            symwidth = bitmap.shape[1]
+            ex_t.encode(bw, 1)  # REFAGGNINST
+            bw.write_bits(base_pos[ref_id], code_len)
+            rd_t.encode(bw, rdx)
+            rd_t.encode(bw, rdy)
+            mq = MQEncoder()
+            _refine_encode_with(
+                mq, bitmap.astype(np.uint8),
+                base_sorted[base_pos[ref_id]].astype(np.uint8),
+                rdx, rdy, 0, None, False,
+            )
+            blob = mq.flush()
+            ex_t.encode(bw, len(blob))
+            bw.put_bytes(blob)
+            k += 1
+        dw_t.encode(bw, HOOB)
+    ex_t.encode(bw, len(base_syms))  # inputs: not exported
+    ex_t.encode(bw, n_new)           # new symbols: exported
+    sdrat = b"".join(
+        struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL
+    )
+    sd2 = (
+        struct.pack(">H", 3)  # SDHUFF=1, REFAGG=1, SDRTEMPLATE=0
+        + sdrat
+        + struct.pack(">II", n_new, n_new)
+        + bw.flush()
+    )
+
+    # text region over dict 2's exports
+    tw = BitWriter()
+    tcode_len = max(1, (n_new - 1).bit_length())
+    encode_symbol_id_lengths(tw, [tcode_len] * n_new)
+    tw.byte_align()
+    sym_t = symbol_id_table([tcode_len] * n_new)
+    by_strip: dict[int, list[tuple[int, int]]] = {}
+    for x, y, si in placements:
+        by_strip.setdefault(y, []).append((x, si))
+    dt_t.encode(tw, 1)
+    stript = -1
+    firsts = 0
+    for st in sorted(by_strip):
+        dt_t.encode(tw, st - stript)
+        stript = st
+        first = True
+        curs = 0
+        for x, si in sorted(by_strip[st]):
+            if first:
+                fs_t.encode(tw, x - firsts)
+                firsts = x
+                curs = x
+                first = False
+            else:
+                ds_t.encode(tw, x - curs)
+                curs = x
+            sym_t.encode(tw, order2.index(si))
+            curs += derived[si][0].shape[1] - 1
+        ds_t.encode(tw, HOOB)
+    tr_body = (
+        struct.pack(">IIII", w, h, 0, 0)
+        + b"\x00"
+        + struct.pack(">H", 1 | (1 << 4))  # SBHUFF, TOPLEFT
+        + struct.pack(">H", 0)
+        + struct.pack(">I", len(placements))
+        + tw.flush()
+    )
+    out = bytearray()
+
+    def segment(num, seg_type, page, body, refs=()):
+        out.extend(struct.pack(">IB", num, seg_type))
+        out.append(len(refs) << 5)
+        for rnum in refs:
+            out.append(rnum)
+        out.append(page)
+        out.extend(struct.pack(">I", len(body)))
+        out.extend(body)
+
+    segment(0, _PAGE_INFO, 1,
+            struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
+    segment(1, _SYMBOL_DICT, 1, sd1)
+    segment(2, _SYMBOL_DICT, 1, sd2, refs=(1,))
+    segment(3, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(2,))
     return bytes(out)
 
 

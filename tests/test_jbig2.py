@@ -883,3 +883,84 @@ def test_intermediate_regions_feed_refinement():
     data[hdr_at + 6] = 9
     with pytest.raises(ValueError, match="unknown segment"):
         decode_jbig2_embedded(bytes(data))
+
+
+def test_huffman_refined_text_region_page():
+    """SBHUFF=1 + SBREFINE=1 (§6.4.11): the RI bit is a raw bit, the
+    RDW/RDH/RDX/RDY deltas ride B.14 or B.15, BMSIZE rides B.1, and
+    each refinement is a byte-aligned MQ blob refining the glyph —
+    including size-changing deltas."""
+    from crawler_spark.functions.jbig2 import encode_jbig2_text_huffman
+
+    rng = np.random.default_rng(107)
+    syms = [rng.random((6, 5)) < 0.5, rng.random((7, 6)) < 0.5]
+
+    def variant(si, rdw, rdh):
+        h = syms[si].shape[0] + rdh
+        w = syms[si].shape[1] + rdw
+        bm = np.zeros((h, w), bool)
+        ch, cw = min(h, syms[si].shape[0]), min(w, syms[si].shape[1])
+        bm[:ch, :cw] = syms[si][:ch, :cw]
+        bm ^= rng.random((h, w)) < 0.12
+        bm[0, 0] = bm[-1, -1] = True
+        return (bm, rdw, rdh, 0, 0)
+
+    placements = [(2, 2, 0), (12, 2, 1), (24, 2, 0), (2, 14, 1), (14, 14, 0)]
+    W, H = 36, 28
+    for rd_sel, refinements in (
+        (0, [None, variant(1, 1, -1), variant(0, 0, 0), None,
+             variant(0, -1, 2)]),
+        (1, [None, variant(1, 4, -3), None, variant(1, 6, 5), None]),
+    ):
+        page = decode_jbig2_embedded(
+            encode_jbig2_text_huffman(
+                syms, placements, (W, H), refinements=refinements,
+                rd_sel=rd_sel,
+            )
+        )
+        want = np.full((H, W), 255, np.uint8)
+        for (x, y, si), spec in zip(placements, refinements):
+            bm = syms[si] if spec is None else spec[0]
+            h, w = bm.shape
+            want[y : y + h, x : x + w][bm] = 0
+        assert np.array_equal(page, want), rd_sel
+
+
+def test_huffman_refagg_symbol_dict_page():
+    """SDHUFF=1 + REFAGG=1 (§6.5.8.2.2): every new dictionary symbol
+    is an individually-framed Huffman refinement — raw-bit symbol ID,
+    RDX/RDY via B.15, BMSIZE via B.1, byte-aligned MQ blob — of a
+    glyph exported by a referred-to dictionary."""
+    from crawler_spark.functions.jbig2 import (
+        encode_jbig2_huffman_refagg_page,
+    )
+
+    rng = np.random.default_rng(109)
+    base = [rng.random((6, 5)) < 0.5, rng.random((8, 7)) < 0.5]
+
+    def derive(ref_id, rdh, rdw, rdx, rdy):
+        h = base[ref_id].shape[0] + rdh
+        w = base[ref_id].shape[1] + rdw
+        bm = np.zeros((h, w), bool)
+        ch, cw = min(h, base[ref_id].shape[0]), min(w, base[ref_id].shape[1])
+        bm[:ch, :cw] = base[ref_id][:ch, :cw]
+        bm ^= rng.random((h, w)) < 0.1
+        bm[0, 0] = bm[-1, -1] = True
+        return (bm, ref_id, rdx, rdy)
+
+    derived = [
+        derive(0, 0, 0, 0, 0),
+        derive(1, -2, 1, 1, 0),
+        derive(0, 3, 2, 0, -1),
+    ]
+    placements = [(2, 2, 0), (12, 2, 1), (2, 16, 2), (22, 16, 0)]
+    W, H = 34, 30
+    page = decode_jbig2_embedded(
+        encode_jbig2_huffman_refagg_page(base, derived, placements, (W, H))
+    )
+    want = np.full((H, W), 255, np.uint8)
+    for x, y, si in placements:
+        bm = derived[si][0]
+        h, w = bm.shape
+        want[y : y + h, x : x + w][bm] = 0
+    assert np.array_equal(page, want)
