@@ -83,16 +83,20 @@ page through the external combination operator).
 
 Refinement under Huffman coding decodes too: SBHUFF=1 text regions
 read a raw RI bit per instance, RDW/RDH/RDX/RDY through B.14/B.15,
-BMSIZE through B.1, then a byte-aligned MQ-coded refinement blob
-(§6.4.11); SDHUFF=1 + REFAGG=1 symbol dictionaries decode every new
-symbol as an individually-framed refinement (§6.5.8.2.2,
-REFAGGNINST=1: raw-bit symbol ID, RDX/RDY via B.15, BMSIZE via B.1).
+BMSIZE through B.1 (or a custom RSIZE table, hflags bit 14), then a
+byte-aligned MQ-coded refinement blob (§6.4.11); SDHUFF=1 + REFAGG=1
+symbol dictionaries decode every new symbol as an individually-framed
+refinement (§6.5.8.2.2, REFAGGNINST=1: raw-bit symbol ID, RDX/RDY via
+B.15, BMSIZE via B.1) or, for REFAGGNINST>1, as an inline SBHUFF
+aggregate text region (§6.5.8.2.1/.3: raw SBSYMCODELEN-bit ids over
+the pool, Table-16 fixed tables) read from the dictionary's own
+bitstream.
 
 Out of scope — raises ValueError (the PDF image extractor quarantines
 the row as ok=False, never garbage pixels): the B.7/B.10 standard
-selections (their transcriptions failed the completeness gate),
-custom RSIZE tables, and Huffman aggregate text regions
-(REFAGGNINST>1 under SDHUFF=1). These are documented residue; the
+selections (their transcriptions failed the completeness gate — a
+complete-but-wrong table would decode garbage silently, so their
+selections stay errors). That is the whole documented residue; the
 generic + text + refinement + halftone + striped paths cover scanned
 pages end to end.
 
@@ -861,12 +865,24 @@ def decode_symbol_dict_huffman(
                 raise ValueError("JBIG2 Huffman symbol dict: bad size/count")
             if refagg:  # §6.5.8.2: one refined symbol, decoded in place
                 n_inst = ex_t.decode(r)  # REFAGGNINST rides Table B.1
-                if n_inst != 1:
-                    raise ValueError(
-                        "JBIG2 Huffman symbol dict: aggregate text "
-                        "regions unsupported"
-                    )
                 pool = inputs + newsyms
+                if n_inst is HOOB or n_inst < 1:
+                    raise ValueError(
+                        "JBIG2 Huffman symbol dict: bad REFAGGNINST"
+                    )
+                if n_inst != 1:
+                    # §6.5.8.2.1: the aggregate is a TEXT REGION of
+                    # n_inst refined instances over the pool, read
+                    # inline from THIS bitstream with raw
+                    # SBSYMCODELEN-bit ids and the Table-16 fixed
+                    # tables (FS=B.6, DS=B.8, DT=B.11, RD*=B.15,
+                    # RSIZE=B.1; SBSTRIPS=1, TOPLEFT, DSOFFSET 0)
+                    newsyms.append(decode_text_region_huffman(
+                        b"", symwidth, hcheight, n_inst, 0, 1, 0, pool,
+                        False, 0, 0, 0, None, True, rtemplate,
+                        rat_pairs, (1, 1, 1, 1), False, r, code_len,
+                    ))
+                    continue
                 ref_id = r.read_bits(code_len)
                 rdx = rd_t.decode(r)
                 rdy = rd_t.decode(r)
@@ -942,14 +958,21 @@ def decode_text_region_huffman(
     rtemplate: int = 0,
     rat: list[tuple[int, int]] | None = None,
     rd_sels: tuple[int, int, int, int] = (0, 0, 0, 0),
+    rsize_custom: bool = False,
+    reader=None,
+    raw_id_len: int | None = None,
 ) -> np.ndarray:
     """§6.4.5 with SBHUFF=1. ``data`` starts at the §7.4.3.1.7
     symbol-ID runcode table. Selection 3 consumes the next custom
-    table (referred table segments in FS, DS, DT, RDW, RDH, RDX, RDY
-    order of need). With ``refine`` each instance carries an RI bit
-    (§6.4.11: one bit under SBHUFF); a nonzero RI reads RDW/RDH/RDX/
-    RDY through B.14/B.15 (``rd_sels``), BMSIZE through B.1, then a
-    byte-aligned BMSIZE-byte MQ-coded refinement of the glyph."""
+    table (referred table segments in FS, DS, DT, RDW, RDH, RDX, RDY,
+    RSIZE order of need). With ``refine`` each instance carries an RI
+    bit (§6.4.11: one bit under SBHUFF); a nonzero RI reads RDW/RDH/
+    RDX/RDY through B.14/B.15 (``rd_sels``), BMSIZE through B.1, then
+    a byte-aligned BMSIZE-byte MQ-coded refinement of the glyph.
+    ``reader``/``raw_id_len`` let a symbol dictionary run the
+    procedure inline on its OWN bitstream for REFAGGNINST>1 aggregates
+    (§6.5.8.2.1/.3: symbol IDs are raw SBSYMCODELEN-bit codes, no
+    runcode table)."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitReader,
@@ -986,10 +1009,15 @@ def decode_text_region_huffman(
             "JBIG2 Huffman text region: unavailable table selection "
             f"(fs={fs_sel} ds={ds_sel} dt={dt_sel} rd={rd_sels})"
         ) from None
-    rs_t = STANDARD_TABLES[1]  # SBHUFFRSIZE selection 0
-    r = BitReader(data)
-    sym_t = symbol_id_table(decode_symbol_id_lengths(r, len(syms)))
-    r.byte_align()  # §7.4.3.1.7: skip remaining bits of the last byte
+    # SBHUFFRSIZE: selection 0 = B.1, 1 = the last custom table
+    rs_t = take() if rsize_custom else STANDARD_TABLES[1]
+    r = reader if reader is not None else BitReader(data)
+    if raw_id_len is not None:
+        decode_id = lambda: r.read_bits(raw_id_len)  # noqa: E731
+    else:
+        sym_t = symbol_id_table(decode_symbol_id_lengths(r, len(syms)))
+        r.byte_align()  # §7.4.3.1.7: skip remaining bits of last byte
+        decode_id = lambda: sym_t.decode(r)  # noqa: E731
     strips = 1 << log_strips
     page = np.zeros((h, w), dtype=bool)
     stript = -dt_t.decode(r) * strips
@@ -1014,7 +1042,10 @@ def decode_text_region_huffman(
                 curs += ds + ds_offset
             curt = r.read_bits(log_strips) if strips > 1 else 0
             t = stript + curt
-            sym = syms[sym_t.decode(r)]
+            sid = decode_id()
+            if not 0 <= sid < len(syms):
+                raise ValueError("JBIG2 Huffman text region: bad symbol id")
+            sym = syms[sid]
             if refine and r.read_bit():
                 rdw, rdh, rdx, rdy = (tt.decode(r) for tt in rd_ts)
                 bmsize = rs_t.decode(r)
@@ -1464,8 +1495,6 @@ def _run_segments(data: bytes, state: dict) -> None:
                 raise ValueError("JBIG2 text region with no symbols")
             if sbhuff:  # extra Huffman-flags halfword before n_inst
                 (hflags,) = struct.unpack_from(">H", body, 19)
-                if hflags & (1 << 14):  # custom RSIZE table
-                    raise ValueError("JBIG2 Huffman text region: custom RSIZE")
                 off = 21
                 rat: list[tuple[int, int]] | None = None
                 if refine and rtemplate == 0:  # SBRAT: 2 AT pairs
@@ -1493,6 +1522,7 @@ def _run_segments(data: bytes, state: dict) -> None:
                     customs, refine, rtemplate, rat,
                     ((hflags >> 6) & 3, (hflags >> 8) & 3,
                      (hflags >> 10) & 3, (hflags >> 12) & 3),
+                    bool(hflags & (1 << 14)),
                 )
             else:
                 off = 19
@@ -2061,6 +2091,7 @@ def encode_jbig2_text_huffman(
     custom_dt: bool = False,
     refinements: list | None = None,
     rd_sel: int = 0,
+    custom_rsize: bool = False,
 ) -> bytes:
     """Fixture twin of :func:`encode_jbig2_text` for the SDHUFF=1 /
     SBHUFF=1 form: height-class collective bitmaps ride MMR (T.6),
@@ -2129,7 +2160,13 @@ def encode_jbig2_text_huffman(
     code_len = max(1, (len(syms) - 1).bit_length())
     refine = refinements is not None
     rd_t = STANDARD_TABLES[14 if rd_sel == 0 else 15]
-    rs_t = STANDARD_TABLES[1]
+    rsize_seg: bytes | None = None
+    if custom_rsize:
+        # complete code: [0, 64) on a 1-bit prefix + 1-bit upper line
+        rsize_seg = make_table_segment([(1, 6)], 0, 64, 0, 1)
+        rs_t = parse_table_segment(rsize_seg)
+    else:
+        rs_t = STANDARD_TABLES[1]
     tw = BitWriter()
     encode_symbol_id_lengths(tw, [code_len] * len(syms))
     tw.byte_align()
@@ -2192,6 +2229,8 @@ def encode_jbig2_text_huffman(
     hflags = (3 << 4) if custom_dt else 0  # DT selection 3 = custom
     if refine:
         hflags |= (rd_sel << 6) | (rd_sel << 8) | (rd_sel << 10) | (rd_sel << 12)
+    if custom_rsize:
+        hflags |= 1 << 14
     sbrat = (
         b"".join(struct.pack(">bb", ax, ay) for ax, ay in _GR_AT_NOMINAL)
         if refine else b""
@@ -2218,11 +2257,15 @@ def encode_jbig2_text_huffman(
 
     segment(0, _PAGE_INFO, 1, struct.pack(">IIII", w, h, 0, 0) + b"\x01\x00\x00")
     segment(1, _SYMBOL_DICT, 1, sd_body)
-    if table_seg is not None:
-        segment(2, _TABLE, 1, table_seg)
-        segment(3, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1, 2))
-    else:
-        segment(2, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=(1,))
+    # table segments in consumption order: DT before RSIZE (§7.4.3.1.6)
+    refs = [1]
+    num = 2
+    for seg in (table_seg, rsize_seg):
+        if seg is not None:
+            segment(num, _TABLE, 1, seg)
+            refs.append(num)
+            num += 1
+    segment(num, _IMM_LOSSLESS_TEXT, 1, tr_body, refs=tuple(refs))
     return bytes(out)
 
 
@@ -2236,8 +2279,12 @@ def encode_jbig2_huffman_refagg_page(
     second SDHUFF+REFAGG dictionary (§6.5.8.2.2) derives each
     ``(bitmap, ref_id, rdx, rdy)`` entry as an individual Huffman-
     framed refinement of a base glyph (raw-bit symbol ID, RDX/RDY via
-    B.15, BMSIZE via B.1, byte-aligned MQ blob); an SBHUFF text region
-    places the derived glyphs."""
+    B.15, BMSIZE via B.1, byte-aligned MQ blob) — or, for the
+    aggregate form ``("agg", h, w, placements)`` with ``placements =
+    [(x, y, base_id)]``, as an inline SBHUFF TEXT REGION of those
+    instances (REFAGGNINST > 1, §6.5.8.2.1: raw ids, Table-16 fixed
+    tables, RI bits 0); an SBHUFF text region places the derived
+    glyphs."""
     from crawler_spark.functions.jbig2_huffman import (
         OOB as HOOB,
         BitWriter,
@@ -2289,34 +2336,74 @@ def encode_jbig2_huffman_refagg_page(
 
     n_new = len(derived)
     code_len = max(1, (len(base_syms) + n_new - 1).bit_length())
-    order2 = sorted(range(n_new), key=lambda k: derived[k][0].shape)
+    # normalize: every derived entry's bitmap, plus how to code it
+    norm: list[tuple[np.ndarray, tuple]] = []
+    for spec in derived:
+        if isinstance(spec[0], str) and spec[0] == "agg":
+            _tag, hh, ww, placs = spec
+            mapped = [(x, y, base_pos[pid]) for x, y, pid in placs]
+            bm = compose_placements(base_sorted, mapped, hh, ww)
+            norm.append((np.asarray(bm).astype(bool), ("agg", mapped)))
+        else:
+            bitmap, ref_id, rdx, rdy = spec
+            norm.append((
+                np.asarray(bitmap).astype(bool), ("ref", ref_id, rdx, rdy)
+            ))
+    order2 = sorted(range(n_new), key=lambda k: norm[k][0].shape)
     bw = BitWriter()
     hcheight = 0
     k = 0
     while k < len(order2):
-        bm0 = derived[order2[k]][0]
-        ch = bm0.shape[0]
+        ch = norm[order2[k]][0].shape[0]
         dh_t.encode(bw, ch - hcheight)
         hcheight = ch
         symwidth = 0
-        while k < len(order2) and derived[order2[k]][0].shape[0] == ch:
-            bitmap, ref_id, rdx, rdy = derived[order2[k]]
-            bitmap = np.asarray(bitmap).astype(bool)
+        while k < len(order2) and norm[order2[k]][0].shape[0] == ch:
+            bitmap, info = norm[order2[k]]
             dw_t.encode(bw, bitmap.shape[1] - symwidth)
             symwidth = bitmap.shape[1]
-            ex_t.encode(bw, 1)  # REFAGGNINST
-            bw.write_bits(base_pos[ref_id], code_len)
-            rd_t.encode(bw, rdx)
-            rd_t.encode(bw, rdy)
-            mq = MQEncoder()
-            _refine_encode_with(
-                mq, bitmap.astype(np.uint8),
-                base_sorted[base_pos[ref_id]].astype(np.uint8),
-                rdx, rdy, 0, None, False,
-            )
-            blob = mq.flush()
-            ex_t.encode(bw, len(blob))
-            bw.put_bytes(blob)
+            if info[0] == "agg":
+                mapped = info[1]
+                ex_t.encode(bw, len(mapped))  # REFAGGNINST > 1
+                by_row: dict[int, list[tuple[int, int]]] = {}
+                for x, y, pid in mapped:
+                    by_row.setdefault(y, []).append((x, pid))
+                dt_t.encode(bw, 1)
+                stript = -1
+                firsts = 0
+                for st in sorted(by_row):
+                    dt_t.encode(bw, st - stript)
+                    stript = st
+                    first = True
+                    curs = 0
+                    for x, pid in sorted(by_row[st]):
+                        if first:
+                            fs_t.encode(bw, x - firsts)
+                            firsts = x
+                            curs = x
+                            first = False
+                        else:
+                            ds_t.encode(bw, x - curs)
+                            curs = x
+                        bw.write_bits(pid, code_len)
+                        bw.write_bit(0)  # RI: instance unrefined
+                        curs += base_sorted[pid].shape[1] - 1
+                    ds_t.encode(bw, HOOB)
+            else:
+                _tag, ref_id, rdx, rdy = info
+                ex_t.encode(bw, 1)  # REFAGGNINST
+                bw.write_bits(base_pos[ref_id], code_len)
+                rd_t.encode(bw, rdx)
+                rd_t.encode(bw, rdy)
+                mq = MQEncoder()
+                _refine_encode_with(
+                    mq, bitmap.astype(np.uint8),
+                    base_sorted[base_pos[ref_id]].astype(np.uint8),
+                    rdx, rdy, 0, None, False,
+                )
+                blob = mq.flush()
+                ex_t.encode(bw, len(blob))
+                bw.put_bytes(blob)
             k += 1
         dw_t.encode(bw, HOOB)
     ex_t.encode(bw, len(base_syms))  # inputs: not exported
@@ -2358,7 +2445,7 @@ def encode_jbig2_huffman_refagg_page(
                 ds_t.encode(tw, x - curs)
                 curs = x
             sym_t.encode(tw, order2.index(si))
-            curs += derived[si][0].shape[1] - 1
+            curs += norm[si][0].shape[1] - 1
         ds_t.encode(tw, HOOB)
     tr_body = (
         struct.pack(">IIII", w, h, 0, 0)

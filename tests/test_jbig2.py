@@ -907,15 +907,17 @@ def test_huffman_refined_text_region_page():
 
     placements = [(2, 2, 0), (12, 2, 1), (24, 2, 0), (2, 14, 1), (14, 14, 0)]
     W, H = 36, 28
-    for rd_sel, refinements in (
-        (0, [None, variant(1, 1, -1), variant(0, 0, 0), None,
-             variant(0, -1, 2)]),
-        (1, [None, variant(1, 4, -3), None, variant(1, 6, 5), None]),
+    for rd_sel, custom_rsize, refinements in (
+        (0, False, [None, variant(1, 1, -1), variant(0, 0, 0), None,
+                    variant(0, -1, 2)]),
+        (1, False, [None, variant(1, 4, -3), None, variant(1, 6, 5), None]),
+        # BMSIZE through a CUSTOM table segment (hflags bit 14)
+        (0, True, [variant(0, 1, 1), None, None, variant(1, -1, 0), None]),
     ):
         page = decode_jbig2_embedded(
             encode_jbig2_text_huffman(
                 syms, placements, (W, H), refinements=refinements,
-                rd_sel=rd_sel,
+                rd_sel=rd_sel, custom_rsize=custom_rsize,
             )
         )
         want = np.full((H, W), 255, np.uint8)
@@ -948,19 +950,28 @@ def test_huffman_refagg_symbol_dict_page():
         bm[0, 0] = bm[-1, -1] = True
         return (bm, ref_id, rdx, rdy)
 
+    # entry 3 is an AGGREGATE (REFAGGNINST > 1, §6.5.8.2.1): an inline
+    # SBHUFF text region of two base glyphs composes the new symbol
+    agg_placs = [(0, 1, 0), (6, 0, 1)]
     derived = [
         derive(0, 0, 0, 0, 0),
         derive(1, -2, 1, 1, 0),
         derive(0, 3, 2, 0, -1),
+        ("agg", 9, 14, agg_placs),
     ]
-    placements = [(2, 2, 0), (12, 2, 1), (2, 16, 2), (22, 16, 0)]
-    W, H = 34, 30
+    placements = [(2, 2, 0), (12, 2, 1), (2, 16, 2), (22, 16, 0),
+                  (12, 20, 3)]
+    W, H = 38, 32
     page = decode_jbig2_embedded(
         encode_jbig2_huffman_refagg_page(base, derived, placements, (W, H))
     )
+    agg_bm = np.zeros((9, 14), bool)
+    for x, y, pid in agg_placs:
+        bh, bw = base[pid].shape
+        agg_bm[y : y + bh, x : x + bw] |= base[pid]
     want = np.full((H, W), 255, np.uint8)
     for x, y, si in placements:
-        bm = derived[si][0]
+        bm = derived[si][0] if si < 3 else agg_bm
         h, w = bm.shape
         want[y : y + h, x : x + w][bm] = 0
     assert np.array_equal(page, want)
