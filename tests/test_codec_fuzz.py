@@ -167,3 +167,70 @@ def test_jpx_size_bomb_rejected():
     struct.pack_into(">II", data, siz_off + 6, 1 << 20, 1 << 20)
     with pytest.raises(ValueError, match="too large"):
         decode_jpx(bytes(data))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pos_frac=st.floats(0.0, 1.0), newbyte=st.integers(0, 255),
+       mode=st.integers(0, 2))
+def test_jpx_packed_headers_poc_corruption_contained(pos_frac, newbyte, mode):
+    """The new header indirections (PPM groups, POC entry walks) are
+    attacker inputs too: corrupt streams decode or raise ValueError,
+    never hang or blow memory."""
+    from crawler_spark.functions.jpeg2000 import decode_jpx, encode_j2k
+
+    rng = np.random.default_rng(19 + mode)
+    arr = rng.integers(0, 256, (14, 18), dtype=np.uint8)
+    kw = (
+        dict(ppm=True, tile_size=(10, 10)),
+        dict(poc=[(0, 0, 1, 1, 256, 0), (0, 0, 1, 2, 256, 1)]),
+        dict(ppt=True, poc=[(0, 0, 1, 2, 256, 3)]),
+    )[mode]
+    data = bytearray(encode_j2k(arr, levels=1, cb_exp=(4, 4), **kw))
+    pos = min(len(data) - 1, int(pos_frac * len(data)))
+    data[pos] = newbyte
+    try:
+        out = decode_jpx(bytes(data))
+        assert isinstance(out, np.ndarray)
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, (MemoryError, RecursionError))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(pos_frac=st.floats(0.0, 1.0), newbyte=st.integers(0, 255),
+       mode=st.integers(0, 2))
+def test_jbig2_new_structures_corruption_contained(pos_frac, newbyte, mode):
+    """Unknown-length terminators, Huffman-refined text regions and
+    intermediate-region chains under single-byte corruption: decode
+    or ValueError, never hang/MemoryError/IndexError-from-trust."""
+    from crawler_spark.functions.jbig2 import (
+        decode_jbig2_embedded,
+        encode_jbig2_arith,
+        encode_jbig2_intermediate_refine,
+        encode_jbig2_text_huffman,
+    )
+
+    rng = np.random.default_rng(23 + mode)
+    img = rng.random((14, 22)) < 0.4
+    if mode == 0:
+        data = encode_jbig2_arith(img, unknown_length=True)
+    elif mode == 1:
+        syms = [rng.random((5, 4)) < 0.5]
+        ref = (np.pad(syms[0], ((0, 1), (0, 1))), 1, 1, 0, 0)
+        data = encode_jbig2_text_huffman(
+            syms, [(2, 2, 0), (10, 2, 0)], (20, 12),
+            refinements=[ref, None],
+        )
+    else:
+        refined = img.copy()
+        refined[3:7, 4:12] ^= True
+        data = encode_jbig2_intermediate_refine(img, refined, chain=True)
+    data = bytearray(data)
+    pos = min(len(data) - 1, int(pos_frac * len(data)))
+    data[pos] = newbyte
+    try:
+        out = decode_jbig2_embedded(bytes(data))
+        assert isinstance(out, np.ndarray)
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, (MemoryError, RecursionError))
