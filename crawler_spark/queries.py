@@ -2875,11 +2875,21 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 mode = doc_id % 8
                 if mode == 7:
                     # JPEG 2000: reversible 5/3 + RCT → bit-exact, so
-                    # the expected phash comes from the source pixels
+                    # the expected phash comes from the source pixels.
+                    # The codestream STRUCTURE rotates too (plain /
+                    # PPM packed headers / POC progression change) —
+                    # identical pixels, so the oracle row is untouched
+                    # while the driver gate exercises the new paths.
                     from crawler_spark.functions.jpeg2000 import encode_j2k
 
-                    spec = {"data": encode_j2k(arr, levels=1), "w": w,
-                            "h": h, "filter": "JPXDecode"}
+                    extra = (
+                        {},
+                        {"ppm": True},
+                        {"poc": [(0, 0, 1, 1, 256, 0),
+                                 (0, 0, 1, 2, 256, 1)]},
+                    )[(doc_id // 8) % 3]
+                    spec = {"data": encode_j2k(arr, levels=1, **extra),
+                            "w": w, "h": h, "filter": "JPXDecode"}
                     doc = make_pdf_with_images([spec])
                     exp_ph, fmt = im.phash64(arr), "jpx"
                 elif mode >= 4:
@@ -2895,7 +2905,12 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                     bil = arr[:, :, 0] >= 128
                     if mode == 6:
-                        spec = {"data": encode_jbig2_mmr(bil), "w": w, "h": h,
+                        # alternate §7.2.7 unknown-length framing so
+                        # the driver gate covers that wire shape too
+                        spec = {"data": encode_jbig2_mmr(
+                                    bil,
+                                    unknown_length=(doc_id // 8) % 2 == 1,
+                                ), "w": w, "h": h,
                                 "filter": "JBIG2Decode",
                                 "colorspace": "DeviceGray", "bpc": 1}
                         fmt = "jbig2"
