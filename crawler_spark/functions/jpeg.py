@@ -1,21 +1,37 @@
-"""Baseline JFIF JPEG codec — pure numpy + stdlib, no codec libs.
+"""JFIF JPEG codec — pure numpy + stdlib, no codec libs.
 
-Implements ITU-T T.81 baseline sequential DCT (SOF0) with 4:4:4
-sampling, the Annex-K quantization + Huffman tables, byte stuffing,
-and a JFIF APP0 header. The encoder is a *real* JPEG writer (any
-external baseline decoder can read the output); the decoder reads the
-quantization and Huffman tables from the file rather than assuming
-this encoder produced it.
+Implements ITU-T T.81 Huffman DCT coding in the shapes that dominate
+the real web corpus this crawler targets:
+
+- baseline sequential (SOF0) with the Annex-K quantization + Huffman
+  tables, byte stuffing, restart intervals, and a JFIF APP0 header;
+- chroma subsampling 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 (arbitrary
+  integer-ratio sampling factors on decode — the MCU interleave of
+  A.2.3), with box-filter downsampling on encode and sample
+  replication on upsample;
+- single-component grayscale;
+- progressive (SOF2): DC/AC first scans with spectral selection +
+  successive approximation, EOB-run coding, and the G.1.2.3 AC
+  refinement scans, on both encode and decode.
+
+The encoder is a *real* JPEG writer (any external decoder can read the
+output); the decoder reads quantization and Huffman tables from the
+file rather than assuming this encoder produced it.
 
 Why it exists: the reference crawl drops images entirely
 (``src/lib/md/mdUtils.ts:23-44``); the graft's input_hint keeps
 image+caption pairs with a per-row "decoded-pixel allclose (PSNR >= 40
 dB for lossy formats)" invariant. The env has no PIL/libjpeg, so the
 lossy leg of that invariant is exercised here from the public spec.
+The reference's pdfjs path decodes arbitrary real-world JPEGs inside
+PDFs — progressive and 4:2:0 streams are the two most common shapes —
+so ``extract_pdf_images``'s DCTDecode route needs them too.
 
-Scope (documented subset): baseline SOF0 only, 8-bit, 1x1 sampling
-factors (4:4:4), three components, no progressive/arithmetic coding,
-no restart-interval emission (RST markers are tolerated on decode).
+Scope (documented residue): 8-bit precision only; no arithmetic
+coding (SOF9/SOF10 — patent-historic, ~absent from the web); no
+hierarchical (SOF5-7/13-15); no 4-component Adobe CMYK/YCCK; no
+fractional sampling ratios (hmax % h != 0). All quarantine as typed
+decode failures, never silent garbage.
 
 Design notes for the Spark path: encode/decode run inside Arrow-batched
 pandas UDFs (``functions/images.py``); the per-image work is
@@ -23,6 +39,12 @@ numpy-vectorized DCT/IDCT over all 8x8 blocks at once (einsum), with
 the entropy coder the only per-symbol Python loop. Decode uses a
 16-bit prefix lookup table per Huffman table (one array index per
 symbol instead of bit-by-bit tree walks).
+
+Key cross-check (tests/test_jpeg.py): a progressive encode carries the
+exact same quantized coefficients as a baseline encode of the same
+input, so ``decode(encode(arr, progressive=True))`` must equal
+``decode(encode(arr))`` bit-for-bit — any drift in the successive-
+approximation logic breaks exact equality, not a PSNR threshold.
 """
 
 from __future__ import annotations
@@ -134,6 +156,17 @@ _AC_CHROMA_VALS = [
 assert sum(_AC_LUMA_BITS) == len(_AC_LUMA_VALS) == 162
 assert sum(_AC_CHROMA_BITS) == len(_AC_CHROMA_VALS) == 162
 
+# Progressive AC scans emit EOBn symbols (RS = n<<4, 0<n<15) that the
+# Annex-K sequential tables don't define (they are complete codes with
+# no spare space), so the progressive encoder uses a flat
+# near-fixed-length AC table covering all 256 RS byte values: 254
+# nine-bit codes + 4 ten-bit codes (Kraft sum exactly 1/2; canonical
+# assignment never produces an all-ones code word). The decoder still
+# reads whatever DHT the file carries.
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = list(range(256))
+assert sum(_PROG_AC_BITS) == len(_PROG_AC_VALS)
+
 # Orthonormal 8-point DCT-II matrix: D @ B @ D.T is exactly T.81's FDCT
 # (c(0)=1/(2*sqrt(2)), c(u)=1/2 reproduce the 1/4*C(u)*C(v) scaling).
 _D8 = np.array(
@@ -146,6 +179,10 @@ _D8 = np.array(
         for i in range(8)
     ]
 )
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 def _scale_qtab(tab: np.ndarray, quality: int) -> np.ndarray:
@@ -261,80 +298,342 @@ def _rgb_to_ycc(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return y - 128.0, cb, cr  # level-shifted; chroma already zero-centred
 
 
+_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "440": ((1, 2), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _emit_eobrun(
+    bw: _BitWriter, ac: dict[int, tuple[int, int]], eobrun: int, bits: list[int]
+) -> None:
+    """Flush a pending EOB run (G.1.2.2) + its buffered correction bits."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        code, ln = ac[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(eobrun & ((1 << nb) - 1), nb)
+        for b in bits:
+            bw.write(b, 1)
+
+
+def _encode_ac_first(
+    bw: _BitWriter,
+    ac: dict[int, tuple[int, int]],
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC first scan (G.1.2.2): spectral band, point transform, EOB runs."""
+    eobrun = 0
+    for zz in blocks:
+        band = [int(v) for v in zz[ss : se + 1]]
+        # AC point transform truncates toward zero (T.81 §G.1.2.1)
+        t = [(v >> al) if v >= 0 else -((-v) >> al) for v in band]
+        nz = [i for i, v in enumerate(t) if v]
+        if not nz:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bw, ac, eobrun, [])
+                eobrun = 0
+            continue
+        _emit_eobrun(bw, ac, eobrun, [])
+        eobrun = 0
+        run = 0
+        last = nz[-1]
+        for i in range(last + 1):
+            v = t[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s, extra = _mag_bits(v)
+            code, ln = ac[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(extra, s)
+            run = 0
+        if last < se - ss:
+            eobrun += 1
+    _emit_eobrun(bw, ac, eobrun, [])
+
+
+def _encode_ac_refine(
+    bw: _BitWriter,
+    ac: dict[int, tuple[int, int]],
+    blocks: list[np.ndarray],
+    ss: int,
+    se: int,
+    al: int,
+) -> None:
+    """AC refinement scan (G.1.2.3).
+
+    Correction bits for already-nonzero coefficients are buffered and
+    emitted immediately after the Huffman code + sign/EOB bits of the
+    run they fall inside — the exact order the decoder's band walk
+    consumes them in.
+    """
+    eobrun = 0
+    eob_bits: list[int] = []
+    for zz in blocks:
+        band = [int(v) for v in zz[ss : se + 1]]
+        mag = [abs(v) >> al for v in band]
+        newly = [i for i, m in enumerate(mag) if m == 1]
+        eob_idx = newly[-1] + 1 if newly else 0
+        run = 0
+        br: list[int] = []  # correction bits pending inside the current run
+        for i, m in enumerate(mag):
+            if m == 0:
+                run += 1
+                continue
+            # fold trailing ZRLs into the EOB run when no newly-nonzero
+            # coefficient remains ahead (G.1.2.3)
+            while run > 15 and i < eob_idx:
+                _emit_eobrun(bw, ac, eobrun, eob_bits)
+                eobrun, eob_bits = 0, []
+                code, ln = ac[0xF0]
+                bw.write(code, ln)
+                run -= 16
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+            if m > 1:  # previously nonzero: one correction bit
+                br.append(m & 1)
+                continue
+            # newly nonzero at this precision: terminate the run
+            _emit_eobrun(bw, ac, eobrun, eob_bits)
+            eobrun, eob_bits = 0, []
+            code, ln = ac[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if band[i] > 0 else 0, 1)
+            for b in br:
+                bw.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            eob_bits.extend(br)
+            if eobrun == 0x7FFF:
+                _emit_eobrun(bw, ac, eobrun, eob_bits)
+                eobrun, eob_bits = 0, []
+    _emit_eobrun(bw, ac, eobrun, eob_bits)
+
+
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 98, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 98,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as baseline JFIF 4:4:4.
+    """Encode an (h, w, 3) RGB or (h, w[, 1]) grayscale uint8 array.
 
     Default quality 98 keeps PSNR >= 40 dB even on uniform-noise images
-    (the worst case for transform coding — see tests); natural/smooth
-    content lands far higher.  ``restart_interval`` > 0 emits a DRI
-    segment and RSTn markers every that-many MCUs (byte-aligned, DC
-    predictors reset — T.81 §F.1.2.3 / E.1.4), matching what external
-    encoders produce for error resilience.
+    (the worst case for transform coding — see tests) at 4:4:4;
+    subsampled modes trade chroma detail for size the way every web
+    encoder does. ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs (byte-aligned, DC predictors reset —
+    T.81 §F.1.2.3 / E.1.4). ``progressive=True`` writes SOF2 with a
+    spectral-selection + successive-approximation scan script (DC Al=1
+    then DC refine; per-component AC first at Al=1 then AC refine) —
+    the same quantized coefficients as the sequential path, so decode
+    output is bit-identical to the baseline encoding's.
     """
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError("expected (h, w, 3) RGB")
-    h, w, _ = arr.shape
+    if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 1):
+        arr = arr.reshape(arr.shape[0], arr.shape[1])
+        ncomp = 1
+        samp: tuple[tuple[int, int], ...] = ((1, 1),)
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ncomp = 3
+        if subsampling not in _SAMPLING:
+            raise ValueError(f"unknown subsampling {subsampling!r}")
+        samp = _SAMPLING[subsampling]
+    else:
+        raise ValueError("expected (h, w, 3) RGB or (h, w[, 1]) grayscale")
+    if progressive and restart_interval:
+        raise ValueError("restart intervals unsupported in progressive mode")
+    h, w = arr.shape[:2]
     if not (0 < h <= 0xFFFF and 0 < w <= 0xFFFF):
         raise ValueError("bad dimensions")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    img = np.pad(
-        arr.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
-    )
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = _ceil_div(w, 8 * hmax), _ceil_div(h, 8 * vmax)
+    ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
+    pads = ((0, ph - h), (0, pw - w)) + (((0, 0),) if ncomp == 3 else ())
+    img = np.pad(arr.astype(np.float64), pads, mode="edge")
     qt_y = _scale_qtab(_QT_LUMA, quality)
     qt_c = _scale_qtab(_QT_CHROMA, quality)
-    y, cb, cr = _rgb_to_ycc(img)
+    if ncomp == 3:
+        planes = list(_rgb_to_ycc(img))
+        qts = [qt_y, qt_c, qt_c]
+    else:
+        planes = [img - 128.0]
+        qts = [qt_y]
 
-    def blockify(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
-        blocks = plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    comps = []
+    for c in range(ncomp):
+        hx, vy = samp[c]
+        fy, fx = vmax // vy, hmax // hx
+        plane = planes[c]
+        if fy > 1 or fx > 1:  # box-filter chroma downsample
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        gy, gx = mcuy * vy, mcux * hx  # MCU-padded block grid
+        blocks = plane.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3)
         coef = np.einsum("ij,abjk,lk->abil", _D8, blocks, _D8)
-        q = np.round(coef / qt).astype(np.int32).reshape(-1, 64)
-        return q[:, _ZZ]  # zigzag order
-
-    comps = [blockify(y, qt_y), blockify(cb, qt_c), blockify(cr, qt_c)]
-
-    dc_y = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_y = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    tables = [(dc_y, ac_y), (dc_c, ac_c), (dc_c, ac_c)]
-
-    bw = _BitWriter()
-    preds = [0, 0, 0]
-    for b in range(comps[0].shape[0]):  # MCU raster; 4:4:4 -> 1 block/comp
-        if restart_interval and b and b % restart_interval == 0:
-            bw.flush()  # byte-align with 1-fill
-            n = (b // restart_interval - 1) % 8
-            bw.buf += bytes((0xFF, 0xD0 + n))  # RSTn: raw, never stuffed
-            preds = [0, 0, 0]
-        for c in range(3):
-            preds[c] = _encode_block(bw, comps[c][b], preds[c], *tables[c])
-    bw.flush()
+        q = np.round(coef / qts[c]).astype(np.int32).reshape(-1, 64)[:, _ZZ]
+        comps.append(
+            {
+                "zz": q, "gx": gx, "gy": gy, "hx": hx, "vy": vy,
+                # true block dims (unpadded) — non-interleaved scans
+                # cover exactly these (A.2.2), not the MCU-padded grid
+                "bx": _ceil_div(_ceil_div(w * hx, hmax), 8),
+                "by": _ceil_div(_ceil_div(h * vy, vmax), 8),
+            }
+        )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    for tid, qt in ((0, qt_y), (1, qt_c)):
+    qt_emit = ((0, qt_y),) if ncomp == 1 else ((0, qt_y), (1, qt_c))
+    for tid, qt in qt_emit:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(qt.reshape(64)[i]) for i in _ZZ)  # DQT in zigzag
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid in (1, 2, 3):
-        out += struct.pack("BBB", cid, 0x11, 0 if cid == 1 else 1)
-    for tc, th, bits, vals in (
+    sof = 0xC2 if progressive else 0xC0
+    out += bytes((0xFF, sof)) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for c in range(ncomp):
+        hx, vy = samp[c]
+        out += struct.pack("BBB", c + 1, (hx << 4) | vy, 0 if c == 0 else 1)
+
+    ac_bits_vals = (
+        ((_PROG_AC_BITS, _PROG_AC_VALS), (_PROG_AC_BITS, _PROG_AC_VALS))
+        if progressive
+        else ((_AC_LUMA_BITS, _AC_LUMA_VALS), (_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+    )
+    dht = [
         (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
-        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
-        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
-        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
-    ):
+        (1, 0, *ac_bits_vals[0]),
+    ]
+    if ncomp == 3:
+        dht += [
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, *ac_bits_vals[1]),
+        ]
+    for tc, th, bits, vals in dht:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
         out += bytes(bits) + bytes(vals)
-    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
-    for cid in (1, 2, 3):
-        out += struct.pack("BB", cid, 0x00 if cid == 1 else 0x11)
-    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
-    out += bw.buf
+
+    dc_codes = [
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        if c == 0
+        else _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        for c in range(ncomp)
+    ]
+    ac_codes = [
+        _build_codes(*ac_bits_vals[0 if c == 0 else 1]) for c in range(ncomp)
+    ]
+
+    def sos_header(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        ns = len(comp_specs)
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for cid, tsel in comp_specs:
+            hdr += struct.pack("BB", cid, tsel)
+        return hdr + bytes((ss, se, (ah << 4) | al))
+
+    def mcu_block_indices(ci: int) -> list[list[int]]:
+        cp = comps[ci]
+        idx = []
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            idx.append(
+                [
+                    (my * cp["vy"] + dv) * cp["gx"] + mx * cp["hx"] + dh
+                    for dv in range(cp["vy"])
+                    for dh in range(cp["hx"])
+                ]
+            )
+        return idx
+
+    if not progressive:
+        out += sos_header(
+            [(c + 1, 0x00 if c == 0 else 0x11) for c in range(ncomp)], 0, 63, 0, 0
+        )
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        per_comp = [mcu_block_indices(c) for c in range(ncomp)]
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                bw.flush()  # byte-align with 1-fill
+                n = (m // restart_interval - 1) % 8
+                bw.buf += bytes((0xFF, 0xD0 + n))  # RSTn: raw, never stuffed
+                preds = [0] * ncomp
+            for c in range(ncomp):
+                for bi in per_comp[c][m]:
+                    preds[c] = _encode_block(
+                        bw, comps[c]["zz"][bi], preds[c], dc_codes[c], ac_codes[c]
+                    )
+        bw.flush()
+        out += bw.buf
+    else:
+        al = 1  # one successive-approximation level on every band
+        # --- DC first (interleaved, Al=1)
+        out += sos_header([(c + 1, 0 if c == 0 else 0x10) for c in range(ncomp)], 0, 0, 0, al)
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        per_comp = [mcu_block_indices(c) for c in range(ncomp)]
+        for m in range(mcux * mcuy):
+            for c in range(ncomp):
+                for bi in per_comp[c][m]:
+                    dc = int(comps[c]["zz"][bi][0]) >> al  # arithmetic shift (F.1.5.1)
+                    s, extra = _mag_bits(dc - preds[c])
+                    code, ln = dc_codes[c][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(extra, s)
+                    preds[c] = dc
+        bw.flush()
+        out += bw.buf
+        # --- AC first scans (per component, non-interleaved, Al=1)
+        bands = {0: [(1, 5), (6, 63)]} if ncomp == 3 else {}
+        for c in range(ncomp):
+            cp = comps[c]
+            order = [
+                (b // cp["bx"]) * cp["gx"] + b % cp["bx"]
+                for b in range(cp["bx"] * cp["by"])
+            ]
+            blocks = [cp["zz"][bi] for bi in order]
+            cp["scan_blocks"] = blocks
+            for ss, se in bands.get(c, [(1, 63)]):
+                out += sos_header([(c + 1, 0x00 if c == 0 else 0x01)], ss, se, 0, al)
+                bw = _BitWriter()
+                _encode_ac_first(bw, ac_codes[c], blocks, ss, se, al)
+                bw.flush()
+                out += bw.buf
+        # --- DC refine (interleaved, Ah=1 -> Al=0)
+        out += sos_header([(c + 1, 0) for c in range(ncomp)], 0, 0, al, 0)
+        bw = _BitWriter()
+        for m in range(mcux * mcuy):
+            for c in range(ncomp):
+                for bi in per_comp[c][m]:
+                    bw.write(int(comps[c]["zz"][bi][0]) & 1, 1)
+        bw.flush()
+        out += bw.buf
+        # --- AC refine scans (per component, Ah=1 -> Al=0)
+        for c in range(ncomp):
+            for ss, se in bands.get(c, [(1, 63)]):
+                out += sos_header([(c + 1, 0x00 if c == 0 else 0x01)], ss, se, al, 0)
+                bw = _BitWriter()
+                _encode_ac_refine(bw, ac_codes[c], comps[c]["scan_blocks"], ss, se, 0)
+                bw.flush()
+                out += bw.buf
+            del comps[c]["scan_blocks"]
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -393,22 +692,215 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline 4:4:4 JPEG to an (h, w, 3) uint8 RGB array.
+def _read_huff(br: _BitReader, lut: tuple[np.ndarray, np.ndarray], what: str) -> int:
+    p = br.peek16()
+    sym, ln = int(lut[0][p]), int(lut[1][p])
+    if ln == 0:
+        raise ValueError(f"invalid {what} Huffman prefix")
+    br.skip(ln)
+    return sym
 
-    Tables (DQT/DHT) are taken from the stream. Raises ValueError on
-    progressive scans, subsampled components, or malformed markers.
+
+def _refine_nonzero(br: _BitReader, blk: np.ndarray, k: int, one: int) -> None:
+    """Apply one correction bit to an already-nonzero coefficient."""
+    if br.bits(1) and not (int(blk[k]) & one):
+        blk[k] += one if blk[k] > 0 else -one
+
+
+def _decode_scan(
+    frame: dict,
+    scan_comps: list[tuple[dict, int, int]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff: dict,
+    segments: list[bytes],
+    restart_interval: int,
+) -> None:
+    """Decode one entropy-coded scan into the frame's coefficient grids.
+
+    Handles sequential full-block scans, progressive DC first/refine
+    (interleaved or not) and AC first/refine (single-component by
+    A.2.2), with restart segments resetting predictors, the EOB run,
+    and byte alignment.
+    """
+    prog = frame["progressive"]
+    if not prog and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("bad sequential scan header")
+    if prog:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("AC scans must be non-interleaved")
+        if not (0 <= ss <= se <= 63):
+            raise ValueError("bad spectral band")
+    interleaved = len(scan_comps) > 1
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    if interleaved:
+        nunits = mcux * mcuy
+    else:
+        comp0 = scan_comps[0][0]
+        nunits = comp0["bx"] * comp0["by"]
+    if len(segments) > 1 and not restart_interval:
+        raise ValueError("RST markers without DRI")
+    if restart_interval and len(segments) != _ceil_div(nunits, restart_interval):
+        raise ValueError("restart segment count mismatch")
+
+    luts = []
+    for _comp, td, ta in scan_comps:
+        need_dc = ss == 0 and not (prog and ah > 0)
+        need_ac = se > 0
+        dlut = huff.get((0, td))
+        alut = huff.get((1, ta))
+        if (need_dc and dlut is None) or (need_ac and alut is None):
+            raise ValueError("scan references a missing Huffman table")
+        luts.append((dlut, alut))
+
+    one = 1 << al
+    br = _BitReader(segments[0])
+    preds = [0] * len(scan_comps)
+    eobrun = 0
+
+    def seq_block(blk: np.ndarray, ci: int) -> None:
+        dlut, alut = luts[ci]
+        s = _read_huff(br, dlut, "DC")
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[ci] += diff
+        blk[0] = preds[ci]
+        k = 1
+        while k <= 63:
+            sym = _read_huff(br, alut, "AC")
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 15
+            if k > 63:
+                raise ValueError("AC run past block end")
+            blk[k] = _extend(br.bits(size), size)
+            k += 1
+
+    def ac_first(blk: np.ndarray, alut) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _read_huff(br, alut, "AC")
+            r, s = sym >> 4, sym & 15
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _extend(br.bits(s), s) << al
+                k += 1
+            elif r == 15:
+                k += 16  # ZRL
+            else:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.bits(r)
+                break
+
+    def ac_refine(blk: np.ndarray, alut) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            for k in range(ss, se + 1):
+                if blk[k]:
+                    _refine_nonzero(br, blk, k, one)
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _read_huff(br, alut, "AC")
+            r, s = sym >> 4, sym & 15
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude category")
+                newval = one if br.bits(1) else -one
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.bits(r)
+                for kk in range(k, se + 1):  # finish this block's band
+                    if blk[kk]:
+                        _refine_nonzero(br, blk, kk, one)
+                eobrun -= 1
+                return
+            # advance past r zero-history coefficients, refining the
+            # nonzero-history ones encountered along the way (G.1.2.3)
+            while k <= se:
+                if blk[k]:
+                    _refine_nonzero(br, blk, k, one)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("refinement position past band end")
+                blk[k] = newval
+            k += 1
+
+    for u in range(nunits):
+        if restart_interval and u and u % restart_interval == 0:
+            br = _BitReader(segments[u // restart_interval])
+            preds = [0] * len(scan_comps)
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            targets = [
+                (ci, (my * comp["vy"] + dv) * comp["gx"] + mx * comp["hx"] + dh)
+                for ci, (comp, _td, _ta) in enumerate(scan_comps)
+                for dv in range(comp["vy"])
+                for dh in range(comp["hx"])
+            ]
+        else:
+            comp = scan_comps[0][0]
+            targets = [(0, (u // comp["bx"]) * comp["gx"] + u % comp["bx"])]
+        for ci, bi in targets:
+            blk = scan_comps[ci][0]["coef"][bi]
+            if not prog:
+                seq_block(blk, ci)
+            elif ss == 0 and ah == 0:  # DC first
+                dlut, _ = luts[ci]
+                s = _read_huff(br, dlut, "DC")
+                diff = _extend(br.bits(s), s) if s else 0
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+            elif ss == 0:  # DC refine
+                blk[0] |= br.bits(1) << al
+            elif ah == 0:
+                ac_first(blk, luts[ci][1])
+            else:
+                ac_refine(blk, luts[ci][1])
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a JPEG to an (h, w, 3) uint8 RGB array.
+
+    Accepts baseline/extended sequential (SOF0/SOF1) and progressive
+    (SOF2) Huffman streams, 1- or 3-component, integer-ratio sampling
+    factors, restart intervals in any scan type. Grayscale decodes to
+    replicated RGB so downstream shape contracts hold. Tables (DQT/DHT)
+    are taken from the stream. Raises ValueError on anything outside
+    that envelope (arithmetic coding, 12-bit, CMYK, lossless,
+    hierarchical) — quarantine, never silent garbage.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-    h = w = 0
-    comp_q: list[int] = []
-    scan_tables: list[tuple[int, int]] = []
-    i = 2
-    segments: list[bytes] | None = None
+    frame: dict | None = None
     restart_interval = 0
+    any_scan = False
+    i = 2
     while i < len(data):
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at {i}")
@@ -440,30 +932,56 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + n])
                 huff[(tc, th)] = _build_lut(bits, vals)
                 j += 17 + n
-        elif m == 0xC0:  # SOF0 baseline
-            _prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if nc != 3:
-                raise ValueError("only 3-component JPEGs supported")
-            comp_q = []
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEGs supported")
+            if not (h and w):
+                raise ValueError("bad dimensions")
+            comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
-                if hv != 0x11:
-                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
-                comp_q.append(tq)
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"non-baseline SOF 0x{m:02x} unsupported")
+                comps.append({"cid": cid, "hx": hv >> 4, "vy": hv & 15, "tq": tq})
+            hmax = max(c["hx"] for c in comps)
+            vmax = max(c["vy"] for c in comps)
+            for c in comps:
+                if not (1 <= c["hx"] <= 4 and 1 <= c["vy"] <= 4):
+                    raise ValueError("bad sampling factors")
+                if hmax % c["hx"] or vmax % c["vy"]:
+                    raise ValueError("fractional sampling ratios unsupported")
+            mcux, mcuy = _ceil_div(w, 8 * hmax), _ceil_div(h, 8 * vmax)
+            for c in comps:
+                c["gx"], c["gy"] = mcux * c["hx"], mcuy * c["vy"]
+                c["bx"] = _ceil_div(_ceil_div(w * c["hx"], hmax), 8)
+                c["by"] = _ceil_div(_ceil_div(h * c["vy"], vmax), 8)
+                c["coef"] = np.zeros((c["gy"] * c["gx"], 64), dtype=np.int64)
+            frame = {
+                "h": h, "w": w, "progressive": m == 0xC2, "comps": comps,
+                "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            }
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported SOF 0x{m:02x}")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan_tables = [
-                (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)
-            ]
+            by_id = {c["cid"]: c for c in frame["comps"]}
+            scan_comps = []
+            for c in range(ns):
+                cs, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in by_id:
+                    raise ValueError("scan references unknown component")
+                scan_comps.append((by_id[cs], tsel >> 4, tsel & 15))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             # entropy data runs to the next non-stuffed, non-RST marker;
             # RSTn boundaries split it into restart segments (E.1.4)
             j = i
             raw = bytearray()
-            segments = []
+            segments: list[bytes] = []
             expect_rst = 0
             while j < len(data) - 1:
                 b = data[j]
@@ -486,70 +1004,50 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 j += 1
             segments.append(bytes(raw))
             i = j
+            _decode_scan(
+                frame, scan_comps, ss, se, ahal >> 4, ahal & 15,
+                huff, segments, restart_interval,
+            )
+            any_scan = True
         # APPn/COM and anything else: skipped via seglen
-    if segments is None or not h:
-        raise ValueError("missing SOS/SOF0")
-    if len(segments) > 1 and not restart_interval:
-        raise ValueError("RST markers without DRI")
+    if frame is None or not any_scan:
+        raise ValueError("missing SOS/SOF")
 
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    nblocks = bh * bw_
-    if restart_interval and len(segments) != -(-nblocks // restart_interval):
-        raise ValueError("restart segment count mismatch")
-    br = _BitReader(segments[0])
-    coefs = [np.zeros((nblocks, 64), dtype=np.int64) for _ in range(3)]
-    preds = [0, 0, 0]
-    luts = [(huff[(0, td)], huff[(1, ta)]) for td, ta in scan_tables]
-    for b in range(nblocks):
-        if restart_interval and b and b % restart_interval == 0:
-            # new restart segment: byte-aligned reader, DC preds reset
-            br = _BitReader(segments[b // restart_interval])
-            preds = [0, 0, 0]
-        for c in range(3):
-            (dsym, dlen), (asym, alen) = luts[c]
-            p = br.peek16()
-            s, ln = int(dsym[p]), int(dlen[p])
-            if ln == 0:
-                raise ValueError("invalid DC Huffman prefix")
-            br.skip(ln)
-            diff = _extend(br.bits(s), s) if s else 0
-            preds[c] += diff
-            blk = coefs[c][b]
-            blk[0] = preds[c]
-            k = 1
-            while k <= 63:
-                p = br.peek16()
-                sym, ln = int(asym[p]), int(alen[p])
-                if ln == 0:
-                    raise ValueError("invalid AC Huffman prefix")
-                br.skip(ln)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 15
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                blk[k] = _extend(br.bits(size), size)
-                k += 1
-
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for c in range(3):
-        qt = qtabs[comp_q[c]]
-        zz = coefs[c]
+    for c in frame["comps"]:
+        if c["tq"] not in qtabs:
+            raise ValueError("missing quantization table")
+        qt = qtabs[c["tq"]]
+        zz = c["coef"]
         raster = np.zeros_like(zz)
         raster[:, _ZZ] = zz  # inverse zigzag
-        deq = raster.reshape(nblocks, 8, 8).astype(np.float64) * qt
+        n = zz.shape[0]
+        deq = raster.reshape(n, 8, 8).astype(np.float64) * qt
         blocks = np.einsum("ji,ajk,kl->ail", _D8, deq, _D8)  # D^T F D
         plane = (
-            blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+            blocks.reshape(c["gy"], c["gx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["gy"] * 8, c["gx"] * 8)
         )
+        # crop to the component's true sample dims, then replicate up
+        ch = _ceil_div(h * c["vy"], vmax)
+        cw = _ceil_div(w * c["hx"], hmax)
+        plane = plane[:ch, :cw]
+        fy, fx = vmax // c["vy"], hmax // c["hx"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
         planes.append(plane[:h, :w])
-    y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
-    r = y + 1.402 * cr
-    g = y - 0.344136286 * cb - 0.714136286 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
+    if len(planes) == 1:
+        g = planes[0] + 128.0
+        rgb = np.stack([g, g, g], axis=-1)
+    else:
+        y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+        r = y + 1.402 * cr
+        g = y - 0.344136286 * cb - 0.714136286 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

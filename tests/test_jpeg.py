@@ -31,10 +31,13 @@ def _markers(data: bytes) -> list[int]:
             break
         (ln,) = struct.unpack_from(">H", data, i)
         i += ln
-        if m == 0xDA:  # entropy data until EOI (encoder emits no RSTs)
-            j = data.find(b"\xff\xd9", i)
-            assert j != -1
-            i = j
+        if m == 0xDA:  # entropy data runs to the next real marker
+            while i < len(data) - 1:
+                if data[i] == 0xFF and data[i + 1] != 0x00 and not (
+                    0xD0 <= data[i + 1] <= 0xD7
+                ):
+                    break
+                i += 1
     return out
 
 
@@ -193,11 +196,138 @@ def test_rejects_malformed():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG\r\n")
     with pytest.raises(ValueError):
-        encode_jpeg(np.zeros((4, 4), dtype=np.uint8))  # not RGB
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))  # 2 channels
     rng = np.random.default_rng(29)
     arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     data = bytearray(encode_jpeg(arr))
     i = data.index(0xC0, 2)  # SOF0 marker byte (after 0xFF)
     data[i] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+# ------------------------------------------------- subsampling / grayscale
+
+
+def _smooth(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [yy * 3 % 256, xx * 2 % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub", ["422", "440", "420"])
+def test_subsampled_roundtrip_smooth(sub):
+    # chroma subsampling trades color detail; smooth content must still
+    # clear the 40 dB line at the default quality (odd dims exercise the
+    # padded-MCU vs true-block split)
+    grad = _smooth(33, 49)
+    data = encode_jpeg(grad, subsampling=sub)
+    back = decode_jpeg(data)
+    assert back.shape == grad.shape
+    assert im.psnr(grad, back) >= 40.0
+    # SOF carries the subsampled factors for comp 1
+    i = data.find(b"\xff\xc0")
+    hv = data[i + 2 + 9]  # first component's (h<<4)|v
+    assert hv == {"422": 0x21, "440": 0x12, "420": 0x22}[sub]
+
+
+def test_420_zero_chroma_noise_holds_40db():
+    # gray-content RGB has zero chroma, so 4:2:0 loses nothing there;
+    # even uniform noise must clear 40 dB (the worst case for the luma
+    # channel alone)
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    grgb = np.stack([g] * 3, -1)
+    back = decode_jpeg(encode_jpeg(grgb, subsampling="420"))
+    assert im.psnr(grgb, back) >= 40.0
+
+
+def test_grayscale_single_component():
+    rng = np.random.default_rng(37)
+    g = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    data = encode_jpeg(g)
+    # one component in SOF, two DHTs, one DQT
+    i = data.find(b"\xff\xc0")
+    _ln, _prec, h, w, nc = struct.unpack_from(">HBHHB", data, i + 2)
+    assert (h, w, nc) == (17, 23, 1)
+    ms = _markers(data)
+    assert ms.count(0xDB) == 1 and ms.count(0xC4) == 2
+    back = decode_jpeg(data)
+    assert back.shape == (17, 23, 3)
+    assert np.array_equal(back[..., 0], back[..., 1])
+    assert np.array_equal(back[..., 0], back[..., 2])
+    assert im.psnr(np.stack([g] * 3, -1), back) >= 40.0
+    # (h, w, 1) spelling is accepted too and produces identical bytes
+    assert encode_jpeg(g.reshape(17, 23, 1)) == data
+
+
+def test_subsampled_restart_interval_matches_plain():
+    rng = np.random.default_rng(41)
+    arr = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    with_rst = encode_jpeg(arr, subsampling="420", restart_interval=2)
+    assert b"\xff\xdd" in with_rst
+    assert np.array_equal(
+        decode_jpeg(with_rst), decode_jpeg(encode_jpeg(arr, subsampling="420"))
+    )
+
+
+# ------------------------------------------------------------- progressive
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "440", "420"])
+@pytest.mark.parametrize("shape", [(24, 20), (33, 49), (8, 8), (1, 1)])
+def test_progressive_decodes_bit_identical_to_baseline(sub, shape):
+    # both scan scripts carry the same quantized coefficients, so the
+    # decoded pixels must match EXACTLY — any drift in the successive-
+    # approximation or EOB-run logic breaks equality, not a threshold
+    rng = np.random.default_rng(43)
+    arr = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    d_base = decode_jpeg(encode_jpeg(arr, subsampling=sub))
+    d_prog = decode_jpeg(encode_jpeg(arr, subsampling=sub, progressive=True))
+    assert np.array_equal(d_base, d_prog)
+
+
+def test_progressive_grayscale_bit_identical():
+    rng = np.random.default_rng(47)
+    g = rng.integers(0, 256, (19, 27), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g)), decode_jpeg(encode_jpeg(g, progressive=True))
+    )
+
+
+def test_progressive_structure():
+    rng = np.random.default_rng(53)
+    arr = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    data = encode_jpeg(arr, progressive=True)
+    ms = _markers(data)
+    assert 0xC2 in ms and 0xC0 not in ms
+    # DC first + 4 AC first (luma split 1-5/6-63, chroma 1-63 each)
+    # + DC refine + 4 AC refine = 10 scans
+    assert ms.count(0xDA) == 10
+    # a progressive stream is structurally different but decodes the same
+    assert data != encode_jpeg(arr)
+
+
+def test_progressive_truncation_raises():
+    rng = np.random.default_rng(59)
+    arr = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = encode_jpeg(arr, progressive=True)
+    # cut inside the LAST scan's entropy data so the final refinement
+    # pass hits reader exhaustion
+    last_sos = data.rfind(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", data, last_sos + 2)
+    scan_start = last_sos + 2 + ln
+    cut = scan_start + max(1, (len(data) - 2 - scan_start) // 2)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:cut] + b"\xff\xd9")
+
+
+def test_progressive_rejects_bad_scan_shapes():
+    rng = np.random.default_rng(61)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(arr))
+    i = data.index(0xC0, 2)
+    data[i] = 0xC2  # sequential scan header under a progressive frame
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))

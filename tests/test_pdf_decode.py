@@ -911,3 +911,44 @@ def test_pubsec_image_xobjects():
         assert rows[0]["ok"] and rows[0]["phash"] == im.phash64(decode_jpeg(jp))
     finally:
         clear_pubsec_keys()
+
+
+def test_pdf_image_extraction_progressive_and_subsampled_jpeg():
+    # real-world PDFs embed camera/web JPEGs: progressive SOF2 and
+    # 4:2:0 subsampling are the dominant shapes. Both must extract
+    # through the DCTDecode route with the correct phash, and the
+    # decoded pixels must agree with the direct decode exactly.
+    import numpy as np
+
+    from crawler_spark.functions import images as im
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from crawler_spark.operators.pdf_decode import (
+        extract_pdf_images,
+        make_pdf_with_images,
+    )
+
+    rng = np.random.default_rng(67)
+    arr = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    g = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    jp_prog = encode_jpeg(arr, progressive=True)
+    jp_420 = encode_jpeg(arr, subsampling="420")
+    jp_gray = encode_jpeg(g)
+    pdf = make_pdf_with_images(
+        [
+            {"data": jp_prog, "w": 16, "h": 24, "filter": "DCTDecode"},
+            {"data": jp_420, "w": 16, "h": 24, "filter": "DCTDecode"},
+            {"data": jp_gray, "w": 16, "h": 16, "filter": "DCTDecode"},
+            {"data": jp_prog, "w": 16, "h": 24, "filter": "DCTDecode",
+             "prefix": ["FlateDecode"]},
+        ]
+    )
+    got = extract_pdf_images(pdf)
+    assert [r["ok"] for r in got] == [True] * 4
+    assert got[0]["phash"] == im.phash64(decode_jpeg(jp_prog))
+    assert got[1]["phash"] == im.phash64(decode_jpeg(jp_420))
+    assert got[2]["phash"] == im.phash64(decode_jpeg(jp_gray))
+    assert got[3]["phash"] == got[0]["phash"]
+    # progressive carries the same coefficients as baseline: identical
+    # pixels, and both >= 40 dB vs the source
+    assert np.array_equal(decode_jpeg(jp_prog), decode_jpeg(encode_jpeg(arr)))
+    assert im.psnr(arr, decode_jpeg(jp_prog)) >= 40.0
