@@ -2835,7 +2835,11 @@ ORACLE_SQL["q57_image_embed_topk"] = Q57_SQL
 # the plan, compared JVM-side), and the oracle pins id/dims/fmt/
 # verdict. Mode rotation: plain DCT / Flate-wrapped DCT / raw RGB /
 # AES-128-encrypted DCT / CCITT G4 / mixed G3 / JBIG2 / JPX
-# (lossless JPEG 2000 through functions/jpeg2000.py).
+# (lossless JPEG 2000 through functions/jpeg2000.py). Within the DCT
+# modes the JPEG shape itself rotates over the real-web envelope —
+# progressive SOF2, 4:2:0/4:2:2/4:4:0 subsampling, grayscale — with
+# exp_phash always computed from the same bytes, so the oracle row is
+# shape-invariant while the driver gate walks every decode path.
 # ---------------------------------------------------------------------------
 
 
@@ -2929,8 +2933,18 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     gray = np.where(bil, 0, 255).astype(np.uint8)
                     exp_ph = im.phash64(np.repeat(gray[:, :, None], 3, axis=2))
                 elif mode == 3:
-                    spec = {"data": encode_jpeg(arr), "w": w, "h": h,
-                            "filter": "DCTDecode"}
+                    # the JPEG shape under encryption rotates across the
+                    # real-web envelope (444 / progressive / 4:2:0 /
+                    # progressive 4:2:0) — exp_phash is computed from the
+                    # SAME bytes, so the oracle row never changes while
+                    # the driver gate exercises every decode path
+                    sub, prog = (
+                        ("444", False), ("444", True),
+                        ("420", False), ("420", True),
+                    )[(doc_id // 8) % 4]
+                    spec = {"data": encode_jpeg(arr, subsampling=sub,
+                                                progressive=prog),
+                            "w": w, "h": h, "filter": "DCTDecode"}
                     doc = make_pdf_with_images([spec], encrypt="aes-128")
                     exp_ph, fmt = im.phash64(decode_jpeg(spec["data"])), "jpg"
                 elif mode == 2:
@@ -2939,7 +2953,18 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     exp_ph, fmt = im.phash64(arr), "raw"
                 else:
-                    jp = encode_jpeg(arr)
+                    if mode == 0:
+                        # plain DCT rotation: 4:2:2 / 4:4:0 / grayscale /
+                        # progressive grayscale (single-component scans)
+                        variant = (doc_id // 8) % 4
+                        src = arr[:, :, 0] if variant >= 2 else arr
+                        jp = encode_jpeg(
+                            src,
+                            subsampling=("422", "440", "444", "444")[variant],
+                            progressive=variant == 3,
+                        )
+                    else:
+                        jp = encode_jpeg(arr, progressive=(doc_id // 8) % 2 == 1)
                     doc = make_pdf_with_images(
                         [{"data": jp, "w": w, "h": h, "filter": "DCTDecode",
                           "prefix": ["FlateDecode"] if mode == 1 else None}]

@@ -234,3 +234,72 @@ def test_jbig2_new_structures_corruption_contained(pos_frac, newbyte, mode):
         assert isinstance(out, np.ndarray)
     except Exception as e:  # noqa: BLE001
         assert not isinstance(e, (MemoryError, RecursionError))
+
+
+# --------------------------------------------------------------------------
+# Progressive / subsampled / grayscale JPEG (r4): the widened T.81
+# envelope meets the same contract — decode, or raise ValueError; a
+# mutated successive-approximation stream must never hang, recurse, or
+# blow memory, and a valid one must decode bit-identically to its
+# baseline twin.
+
+
+@st.composite
+def _jpeg_variants(draw, max_side: int = 24):
+    h = draw(st.integers(1, max_side))
+    w = draw(st.integers(1, max_side))
+    seed = draw(st.integers(0, 2**31 - 1))
+    gray = draw(st.booleans())
+    rng = np.random.default_rng(seed)
+    if gray:
+        arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        sub = "444"
+    else:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        sub = draw(st.sampled_from(["444", "422", "440", "420"]))
+    return arr, sub
+
+
+@settings(**_SETTINGS)
+@given(av=_jpeg_variants())
+def test_progressive_equals_baseline_property(av):
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    arr, sub = av
+    base = decode_jpeg(encode_jpeg(arr, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg(arr, subsampling=sub, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+@settings(**_SETTINGS)
+@given(
+    av=_jpeg_variants(max_side=16),
+    pos_frac=st.floats(0.0, 1.0),
+    newbyte=st.integers(0, 255),
+    prog=st.booleans(),
+)
+def test_jpeg_variant_corruption_is_contained(av, pos_frac, newbyte, prog):
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    arr, sub = av
+    data = bytearray(encode_jpeg(arr, subsampling=sub, progressive=prog))
+    pos = min(len(data) - 1, int(pos_frac * len(data)))
+    data[pos] = newbyte
+    try:
+        out = decode_jpeg(bytes(data))
+        assert isinstance(out, np.ndarray)
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, (MemoryError, RecursionError))
+
+
+@settings(**_SETTINGS)
+@given(av=_jpeg_variants(max_side=16), cut_frac=st.floats(0.0, 0.99), prog=st.booleans())
+def test_jpeg_variant_truncation_is_contained(av, cut_frac, prog):
+    from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    arr, sub = av
+    data = encode_jpeg(arr, subsampling=sub, progressive=prog)
+    try:
+        decode_jpeg(data[: int(len(data) * cut_frac)])
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, (MemoryError, RecursionError))
