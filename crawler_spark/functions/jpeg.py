@@ -12,7 +12,11 @@ the real web corpus this crawler targets:
 - single-component grayscale;
 - progressive (SOF2): DC/AC first scans with spectral selection +
   successive approximation, EOB-run coding, and the G.1.2.3 AC
-  refinement scans, on both encode and decode.
+  refinement scans, on both encode and decode;
+- Adobe APP14 color spaces: 4-component CMYK (transform 0) and YCCK
+  (transform 2) with the inverted-ink storage convention, and
+  3-component RGB (transform 0) — the print-world shapes that show up
+  inside PDF DCTDecode streams.
 
 The encoder is a *real* JPEG writer (any external decoder can read the
 output); the decoder reads quantization and Huffman tables from the
@@ -29,9 +33,9 @@ so ``extract_pdf_images``'s DCTDecode route needs them too.
 
 Scope (documented residue): 8-bit precision only; no arithmetic
 coding (SOF9/SOF10 — patent-historic, ~absent from the web); no
-hierarchical (SOF5-7/13-15); no 4-component Adobe CMYK/YCCK; no
-fractional sampling ratios (hmax % h != 0). All quarantine as typed
-decode failures, never silent garbage.
+hierarchical (SOF5-7/13-15); no fractional sampling ratios
+(hmax % h != 0). All quarantine as typed decode failures, never
+silent garbage.
 
 Design notes for the Spark path: encode/decode run inside Arrow-batched
 pandas UDFs (``functions/images.py``); the per-image work is
@@ -306,6 +310,20 @@ _SAMPLING = {
 }
 
 
+def _rgb_to_stored_cmyk(img: np.ndarray) -> list[np.ndarray]:
+    """RGB -> Adobe-stored CMYK planes (float, unshifted 0..255).
+
+    GCR ink split K = 255 - max(r,g,b), C = 255 - r - K (all exact in
+    integers), then the Adobe APP14 convention stores INVERTED ink
+    (stored = 255 - ink), which collapses to stored_C = r + K_ink and
+    stored_K = 255 - K_ink — so decode recovers r = stored_C +
+    stored_K - 255 exactly.
+    """
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    k_ink = 255.0 - np.maximum(np.maximum(r, g), b)
+    return [r + k_ink, g + k_ink, b + k_ink, 255.0 - k_ink]
+
+
 def _emit_eobrun(
     bw: _BitWriter, ac: dict[int, tuple[int, int]], eobrun: int, bits: list[int]
 ) -> None:
@@ -431,6 +449,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     subsampling: str = "444",
     progressive: bool = False,
+    colorspace: str = "auto",
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w[, 1]) grayscale uint8 array.
 
@@ -444,16 +463,32 @@ def encode_jpeg(
     then DC refine; per-component AC first at Al=1 then AC refine) —
     the same quantized coefficients as the sequential path, so decode
     output is bit-identical to the baseline encoding's.
+
+    ``colorspace`` picks the stored representation of an RGB input:
+    ``"auto"``/``"ycc"`` = JFIF YCbCr (the web default); ``"rgb"`` =
+    Adobe APP14 transform 0, planes stored as-is (color-lossless);
+    ``"cmyk"`` / ``"ycck"`` = 4-component Adobe APP14 transform 0 / 2
+    with the GCR ink split of :func:`_rgb_to_stored_cmyk`, which makes
+    the ink round-trip exact in integers. Non-YCbCr spaces are stored
+    4:4:4 (Adobe print files don't subsample ink planes).
     """
+    if colorspace not in ("auto", "ycc", "rgb", "cmyk", "ycck"):
+        raise ValueError(f"unknown colorspace {colorspace!r}")
     if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 1):
         arr = arr.reshape(arr.shape[0], arr.shape[1])
         ncomp = 1
         samp: tuple[tuple[int, int], ...] = ((1, 1),)
     elif arr.ndim == 3 and arr.shape[2] == 3:
-        ncomp = 3
-        if subsampling not in _SAMPLING:
-            raise ValueError(f"unknown subsampling {subsampling!r}")
-        samp = _SAMPLING[subsampling]
+        if colorspace in ("auto", "ycc"):
+            ncomp = 3
+            if subsampling not in _SAMPLING:
+                raise ValueError(f"unknown subsampling {subsampling!r}")
+            samp = _SAMPLING[subsampling]
+        else:
+            if subsampling != "444":
+                raise ValueError("Adobe RGB/CMYK/YCCK streams are stored 4:4:4")
+            ncomp = 3 if colorspace == "rgb" else 4
+            samp = ((1, 1),) * ncomp
     else:
         raise ValueError("expected (h, w, 3) RGB or (h, w[, 1]) grayscale")
     if progressive and restart_interval:
@@ -465,16 +500,28 @@ def encode_jpeg(
     vmax = max(s[1] for s in samp)
     mcux, mcuy = _ceil_div(w, 8 * hmax), _ceil_div(h, 8 * vmax)
     ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
-    pads = ((0, ph - h), (0, pw - w)) + (((0, 0),) if ncomp == 3 else ())
+    pads = ((0, ph - h), (0, pw - w)) + (((0, 0),) if arr.ndim == 3 else ())
     img = np.pad(arr.astype(np.float64), pads, mode="edge")
     qt_y = _scale_qtab(_QT_LUMA, quality)
     qt_c = _scale_qtab(_QT_CHROMA, quality)
-    if ncomp == 3:
-        planes = list(_rgb_to_ycc(img))
-        qts = [qt_y, qt_c, qt_c]
-    else:
+    # tsel[c] = quant/Huffman table class per component (0 luma, 1 chroma)
+    if ncomp == 1:
         planes = [img - 128.0]
-        qts = [qt_y]
+        tsel = [0]
+    elif colorspace in ("auto", "ycc"):
+        planes = list(_rgb_to_ycc(img))
+        tsel = [0, 1, 1]
+    elif colorspace == "rgb":
+        planes = [img[..., c] - 128.0 for c in range(3)]
+        tsel = [0, 0, 0]
+    elif colorspace == "cmyk":
+        planes = [p - 128.0 for p in _rgb_to_stored_cmyk(img)]
+        tsel = [0, 0, 0, 0]
+    else:  # ycck: YCbCr over the stored (inverted-ink) CMY, K separate
+        stored = _rgb_to_stored_cmyk(img)
+        planes = [*_rgb_to_ycc(np.stack(stored[:3], axis=-1)), stored[3] - 128.0]
+        tsel = [0, 1, 1, 0]
+    qts = [(qt_y, qt_c)[t] for t in tsel]
 
     comps = []
     for c in range(ncomp):
@@ -498,10 +545,17 @@ def encode_jpeg(
         )
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if ncomp == 1 or colorspace in ("auto", "ycc"):
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    else:
+        # APP14 Adobe: transform 0 = RGB/CMYK stored as-is, 2 = YCCK.
+        # JFIF APP0 is omitted — it mandates YCbCr/grayscale.
+        transform = 2 if colorspace == "ycck" else 0
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe"
+        out += struct.pack(">HHHB", 100, 0, 0, transform)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    qt_emit = ((0, qt_y),) if ncomp == 1 else ((0, qt_y), (1, qt_c))
+    qt_emit = ((0, qt_y),) + (((1, qt_c),) if 1 in tsel else ())
     for tid, qt in qt_emit:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(qt.reshape(64)[i]) for i in _ZZ)  # DQT in zigzag
@@ -509,7 +563,7 @@ def encode_jpeg(
     out += bytes((0xFF, sof)) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
     for c in range(ncomp):
         hx, vy = samp[c]
-        out += struct.pack("BBB", c + 1, (hx << 4) | vy, 0 if c == 0 else 1)
+        out += struct.pack("BBB", c + 1, (hx << 4) | vy, tsel[c])
 
     ac_bits_vals = (
         ((_PROG_AC_BITS, _PROG_AC_VALS), (_PROG_AC_BITS, _PROG_AC_VALS))
@@ -520,7 +574,7 @@ def encode_jpeg(
         (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
         (1, 0, *ac_bits_vals[0]),
     ]
-    if ncomp == 3:
+    if 1 in tsel:
         dht += [
             (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
             (1, 1, *ac_bits_vals[1]),
@@ -529,15 +583,13 @@ def encode_jpeg(
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | th)
         out += bytes(bits) + bytes(vals)
 
-    dc_codes = [
-        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-        if c == 0
-        else _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-        for c in range(ncomp)
-    ]
-    ac_codes = [
-        _build_codes(*ac_bits_vals[0 if c == 0 else 1]) for c in range(ncomp)
-    ]
+    dc_tabs = (
+        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
+        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+    )
+    ac_tabs = (_build_codes(*ac_bits_vals[0]), _build_codes(*ac_bits_vals[1]))
+    dc_codes = [dc_tabs[t] for t in tsel]
+    ac_codes = [ac_tabs[t] for t in tsel]
 
     def sos_header(comp_specs: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
         ns = len(comp_specs)
@@ -562,7 +614,7 @@ def encode_jpeg(
 
     if not progressive:
         out += sos_header(
-            [(c + 1, 0x00 if c == 0 else 0x11) for c in range(ncomp)], 0, 63, 0, 0
+            [(c + 1, (tsel[c] << 4) | tsel[c]) for c in range(ncomp)], 0, 63, 0, 0
         )
         bw = _BitWriter()
         preds = [0] * ncomp
@@ -583,7 +635,7 @@ def encode_jpeg(
     else:
         al = 1  # one successive-approximation level on every band
         # --- DC first (interleaved, Al=1)
-        out += sos_header([(c + 1, 0 if c == 0 else 0x10) for c in range(ncomp)], 0, 0, 0, al)
+        out += sos_header([(c + 1, tsel[c] << 4) for c in range(ncomp)], 0, 0, 0, al)
         bw = _BitWriter()
         preds = [0] * ncomp
         per_comp = [mcu_block_indices(c) for c in range(ncomp)]
@@ -600,7 +652,7 @@ def encode_jpeg(
         bw.flush()
         out += bw.buf
         # --- AC first scans (per component, non-interleaved, Al=1)
-        bands = {0: [(1, 5), (6, 63)]} if ncomp == 3 else {}
+        bands = {0: [(1, 5), (6, 63)]} if ncomp >= 3 else {}
         for c in range(ncomp):
             cp = comps[c]
             order = [
@@ -610,7 +662,7 @@ def encode_jpeg(
             blocks = [cp["zz"][bi] for bi in order]
             cp["scan_blocks"] = blocks
             for ss, se in bands.get(c, [(1, 63)]):
-                out += sos_header([(c + 1, 0x00 if c == 0 else 0x01)], ss, se, 0, al)
+                out += sos_header([(c + 1, tsel[c])], ss, se, 0, al)
                 bw = _BitWriter()
                 _encode_ac_first(bw, ac_codes[c], blocks, ss, se, al)
                 bw.flush()
@@ -627,7 +679,7 @@ def encode_jpeg(
         # --- AC refine scans (per component, Ah=1 -> Al=0)
         for c in range(ncomp):
             for ss, se in bands.get(c, [(1, 63)]):
-                out += sos_header([(c + 1, 0x00 if c == 0 else 0x01)], ss, se, al, 0)
+                out += sos_header([(c + 1, tsel[c])], ss, se, al, 0)
                 bw = _BitWriter()
                 _encode_ac_refine(bw, ac_codes[c], comps[c]["scan_blocks"], ss, se, 0)
                 bw.flush()
@@ -886,12 +938,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a JPEG to an (h, w, 3) uint8 RGB array.
 
     Accepts baseline/extended sequential (SOF0/SOF1) and progressive
-    (SOF2) Huffman streams, 1- or 3-component, integer-ratio sampling
-    factors, restart intervals in any scan type. Grayscale decodes to
-    replicated RGB so downstream shape contracts hold. Tables (DQT/DHT)
-    are taken from the stream. Raises ValueError on anything outside
-    that envelope (arithmetic coding, 12-bit, CMYK, lossless,
-    hierarchical) — quarantine, never silent garbage.
+    (SOF2) Huffman streams, 1-, 3- or 4-component, integer-ratio
+    sampling factors, restart intervals in any scan type. Grayscale
+    decodes to replicated RGB so downstream shape contracts hold.
+    Color interpretation follows the Adobe APP14 marker when present:
+    3-component transform 0 = stored RGB, 4-component transform 0 =
+    CMYK / transform 2 = YCCK (inverted-ink convention, additive GCR
+    un-ink — the ghostscript convention, exact against this module's
+    own encoder). 4 components without APP14 default to CMYK, the
+    libjpeg convention. Tables (DQT/DHT) are taken from the stream.
+    Raises ValueError on anything outside that envelope (arithmetic
+    coding, 12-bit, lossless, hierarchical) — quarantine, never
+    silent garbage.
     """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -900,6 +958,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     frame: dict | None = None
     restart_interval = 0
     any_scan = False
+    adobe_transform: int | None = None
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -936,8 +995,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if nc not in (1, 3):
-                raise ValueError("only 1- or 3-component JPEGs supported")
+            if nc not in (1, 3, 4):
+                raise ValueError("only 1-, 3- or 4-component JPEGs supported")
             if not (h and w):
                 raise ValueError("bad dimensions")
             comps = []
@@ -965,6 +1024,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError(f"unsupported SOF 0x{m:02x}")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -1044,10 +1105,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(planes) == 1:
         g = planes[0] + 128.0
         rgb = np.stack([g, g, g], axis=-1)
-    else:
+    elif len(planes) == 3 and adobe_transform == 0:
+        rgb = np.stack([p + 128.0 for p in planes], axis=-1)
+    elif len(planes) == 3:
         y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
         r = y + 1.402 * cr
         g = y - 0.344136286 * cb - 0.714136286 * cr
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=-1)
+    else:  # 4 components: Adobe CMYK (transform 0/absent) or YCCK (2)
+        if adobe_transform == 2:  # YCbCr over the stored CMY planes
+            y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+            stored = [
+                y + 1.402 * cr,
+                y - 0.344136286 * cb - 0.714136286 * cr,
+                y + 1.772 * cb,
+                planes[3] + 128.0,
+            ]
+        elif adobe_transform in (None, 0):
+            stored = [p + 128.0 for p in planes]
+        else:
+            raise ValueError(
+                f"bad Adobe transform {adobe_transform} for 4 components"
+            )
+        # Inverted-ink convention: stored = 255 - ink. Additive un-ink
+        # r = 255 - (c_ink + k_ink) = stored_C + stored_K - 255 — the
+        # exact inverse of _rgb_to_stored_cmyk's GCR split.
+        k = stored[3]
+        rgb = np.stack([stored[0] + k - 255.0,
+                        stored[1] + k - 255.0,
+                        stored[2] + k - 255.0], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -331,3 +331,82 @@ def test_progressive_rejects_bad_scan_shapes():
     data[i] = 0xC2  # sequential scan header under a progressive frame
     with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+# ------------------------------------------------- Adobe APP14 colorspaces
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("cs", ["rgb", "cmyk", "ycck"])
+@pytest.mark.parametrize("progressive", [False, True])
+def test_adobe_colorspaces_roundtrip_40db(cs, progressive):
+    rng = np.random.default_rng(67)
+    arr = rng.integers(0, 256, (41, 57, 3), dtype=np.uint8)
+    data = encode_jpeg(arr, colorspace=cs, progressive=progressive)
+    assert _psnr(arr, decode_jpeg(data)) >= 40.0
+    # APP14 Adobe present, JFIF APP0 absent (it mandates YCbCr/gray)
+    ms = _markers(data)
+    assert 0xEE in ms and 0xE0 not in ms
+    i = data.index(b"Adobe")
+    assert data[i + 11] == (2 if cs == "ycck" else 0)
+
+
+@pytest.mark.parametrize("cs", ["rgb", "cmyk", "ycck"])
+def test_adobe_progressive_bit_identical_to_sequential(cs):
+    rng = np.random.default_rng(71)
+    arr = rng.integers(0, 256, (24, 20, 3), dtype=np.uint8)
+    d_seq = decode_jpeg(encode_jpeg(arr, colorspace=cs))
+    d_prog = decode_jpeg(encode_jpeg(arr, colorspace=cs, progressive=True))
+    assert np.array_equal(d_seq, d_prog)
+
+
+def test_adobe_rgb_beats_ycc_on_smooth_content():
+    # transform 0 skips the lossy color transform entirely, so smooth
+    # content round-trips strictly better than the JFIF YCbCr path
+    ramp = np.linspace(0, 255, 64 * 48, dtype=np.float64).reshape(64, 48)
+    arr = np.stack([ramp, ramp[::-1], np.full_like(ramp, 128)], axis=-1).astype(np.uint8)
+    p_rgb = _psnr(arr, decode_jpeg(encode_jpeg(arr, colorspace="rgb")))
+    p_ycc = _psnr(arr, decode_jpeg(encode_jpeg(arr)))
+    assert p_rgb >= 60.0 and p_rgb > p_ycc
+
+
+def test_cmyk_restart_interval_matches_plain():
+    rng = np.random.default_rng(73)
+    arr = rng.integers(0, 256, (33, 31, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(arr, colorspace="cmyk"))
+    rst = decode_jpeg(encode_jpeg(arr, colorspace="cmyk", restart_interval=2))
+    assert np.array_equal(plain, rst)
+
+
+def test_four_components_without_app14_default_cmyk():
+    # libjpeg convention: 4 components with no Adobe marker = CMYK
+    rng = np.random.default_rng(79)
+    arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(arr, colorspace="cmyk")
+    assert data[2:4] == b"\xff\xee"
+    (seglen,) = struct.unpack_from(">H", data, 4)
+    stripped = data[:2] + data[4 + seglen :]
+    assert np.array_equal(decode_jpeg(data), decode_jpeg(stripped))
+
+
+def test_ycck_marked_transform_1_rejected():
+    # transform 1 (YCbCr) is meaningless for a 4-component frame
+    rng = np.random.default_rng(83)
+    arr = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(arr, colorspace="cmyk"))
+    i = data.index(b"Adobe")
+    data[i + 11] = 1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+def test_adobe_colorspace_rejects_subsampling():
+    arr = np.zeros((16, 16, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg(arr, colorspace="cmyk", subsampling="420")
+    with pytest.raises(ValueError):
+        encode_jpeg(arr, colorspace="nope")
