@@ -2837,8 +2837,9 @@ ORACLE_SQL["q57_image_embed_topk"] = Q57_SQL
 # AES-128-encrypted DCT / CCITT G4 / mixed G3 / JBIG2 / JPX
 # (lossless JPEG 2000 through functions/jpeg2000.py). Within the DCT
 # modes the JPEG shape itself rotates over the real-web envelope —
-# progressive SOF2, 4:2:0/4:2:2/4:4:0 subsampling, grayscale — with
-# exp_phash always computed from the same bytes, so the oracle row is
+# progressive SOF2, 4:2:0/4:2:2/4:4:0 subsampling, grayscale, and the
+# Adobe APP14 color spaces (CMYK/YCCK/stored-RGB) — with exp_phash
+# always computed from the same bytes, so the oracle row is
 # shape-invariant while the driver gate walks every decode path.
 # ---------------------------------------------------------------------------
 
@@ -2964,7 +2965,14 @@ def q58_pdf_image_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             progressive=variant == 3,
                         )
                     else:
-                        jp = encode_jpeg(arr, progressive=(doc_id // 8) % 2 == 1)
+                        # Flate-wrapped DCT rotation additionally walks the
+                        # Adobe APP14 color spaces (print-world DCTDecode):
+                        # JFIF YCbCr / CMYK / progressive YCCK / stored RGB
+                        cs, prog = (
+                            ("auto", True), ("cmyk", False),
+                            ("ycck", True), ("rgb", False),
+                        )[(doc_id // 8) % 4]
+                        jp = encode_jpeg(arr, colorspace=cs, progressive=prog)
                     doc = make_pdf_with_images(
                         [{"data": jp, "w": w, "h": h, "filter": "DCTDecode",
                           "prefix": ["FlateDecode"] if mode == 1 else None}]

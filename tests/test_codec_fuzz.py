@@ -237,8 +237,8 @@ def test_jbig2_new_structures_corruption_contained(pos_frac, newbyte, mode):
 
 
 # --------------------------------------------------------------------------
-# Progressive / subsampled / grayscale JPEG (r4): the widened T.81
-# envelope meets the same contract — decode, or raise ValueError; a
+# Progressive / subsampled / grayscale / Adobe-CMYK JPEG (r4): the
+# widened T.81 envelope meets the same contract — decode, or raise ValueError; a
 # mutated successive-approximation stream must never hang, recurse, or
 # blow memory, and a valid one must decode bit-identically to its
 # baseline twin.
@@ -253,11 +253,16 @@ def _jpeg_variants(draw, max_side: int = 24):
     rng = np.random.default_rng(seed)
     if gray:
         arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
-        sub = "444"
+        sub, cs = "444", "auto"
     else:
         arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-        sub = draw(st.sampled_from(["444", "422", "440", "420"]))
-    return arr, sub
+        cs = draw(st.sampled_from(["auto", "rgb", "cmyk", "ycck"]))
+        sub = (
+            draw(st.sampled_from(["444", "422", "440", "420"]))
+            if cs == "auto"
+            else "444"  # Adobe spaces are stored 4:4:4
+        )
+    return arr, sub, cs
 
 
 @settings(**_SETTINGS)
@@ -265,9 +270,11 @@ def _jpeg_variants(draw, max_side: int = 24):
 def test_progressive_equals_baseline_property(av):
     from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
-    arr, sub = av
-    base = decode_jpeg(encode_jpeg(arr, subsampling=sub))
-    prog = decode_jpeg(encode_jpeg(arr, subsampling=sub, progressive=True))
+    arr, sub, cs = av
+    base = decode_jpeg(encode_jpeg(arr, subsampling=sub, colorspace=cs))
+    prog = decode_jpeg(
+        encode_jpeg(arr, subsampling=sub, colorspace=cs, progressive=True)
+    )
     assert np.array_equal(base, prog)
 
 
@@ -281,8 +288,10 @@ def test_progressive_equals_baseline_property(av):
 def test_jpeg_variant_corruption_is_contained(av, pos_frac, newbyte, prog):
     from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
-    arr, sub = av
-    data = bytearray(encode_jpeg(arr, subsampling=sub, progressive=prog))
+    arr, sub, cs = av
+    data = bytearray(
+        encode_jpeg(arr, subsampling=sub, colorspace=cs, progressive=prog)
+    )
     pos = min(len(data) - 1, int(pos_frac * len(data)))
     data[pos] = newbyte
     try:
@@ -297,8 +306,8 @@ def test_jpeg_variant_corruption_is_contained(av, pos_frac, newbyte, prog):
 def test_jpeg_variant_truncation_is_contained(av, cut_frac, prog):
     from crawler_spark.functions.jpeg import decode_jpeg, encode_jpeg
 
-    arr, sub = av
-    data = encode_jpeg(arr, subsampling=sub, progressive=prog)
+    arr, sub, cs = av
+    data = encode_jpeg(arr, subsampling=sub, colorspace=cs, progressive=prog)
     try:
         decode_jpeg(data[: int(len(data) * cut_frac)])
     except Exception as e:  # noqa: BLE001
