@@ -31,11 +31,16 @@ The reference's pdfjs path decodes arbitrary real-world JPEGs inside
 PDFs — progressive and 4:2:0 streams are the two most common shapes —
 so ``extract_pdf_images``'s DCTDecode route needs them too.
 
-Scope (documented residue): 8-bit precision only; no arithmetic
-coding (SOF9/SOF10 — patent-historic, ~absent from the web); no
-hierarchical (SOF5-7/13-15); no fractional sampling ratios
-(hmax % h != 0). All quarantine as typed decode failures, never
-silent garbage.
+Scope (documented residue): no arithmetic coding (SOF9/SOF10 —
+patent-historic, ~absent from the web; its 113-state QM table can't
+be conformance-pinned offline, so a from-memory transcription would
+claim interop it can't prove); no hierarchical (SOF5-7/13-15); no
+fractional sampling ratios (hmax % h != 0). 12-bit precision decodes
+(SOF1/SOF2, Pq=1 16-bit DQT) with an encoder twin whose Huffman
+tables are module-generated via the Annex-K.2 optimization (the
+spec's own tables have zero Kraft slack for the larger magnitude
+categories). Everything outside the envelope quarantines as typed
+decode failures, never silent garbage.
 
 Design notes for the Spark path: encode/decode run inside Arrow-batched
 pandas UDFs (``functions/images.py``); the per-image work is
@@ -189,11 +194,102 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _scale_qtab(tab: np.ndarray, quality: int) -> np.ndarray:
-    """IJG quality scaling: 50 = Annex-K as-is, 100 = all-ones."""
+def _scale_qtab(tab: np.ndarray, quality: int, precision: int = 8) -> np.ndarray:
+    """IJG quality scaling: 50 = Annex-K as-is, 100 = all-ones.
+
+    For 12-bit precision the Annex-K base is scaled by 16 (the sample
+    range grew 16x) so the relative quantization — and therefore the
+    PSNR-vs-quality behavior — matches the 8-bit path; entries above
+    255 force a 16-bit (Pq=1) DQT segment.
+    """
     quality = max(1, min(100, int(quality)))
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    return np.clip((tab * scale + 50) // 100, 1, 255).astype(np.int64)
+    if precision == 12:
+        tab = tab * 16
+    cap = 255 if precision == 8 else 65535
+    return np.clip((tab * scale + 50) // 100, 1, cap).astype(np.int64)
+
+
+def _make_huff(weights: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Generate a JPEG-legal Huffman table from symbol weights.
+
+    The Annex K.2 optimization procedure (Figures K.1-K.4, the same
+    shape as IJG's ``jpeg_gen_optimal_table``): pairwise merge of the
+    two least-weight chains (ties broken toward the larger symbol),
+    a reserved 257th pseudo-symbol that guarantees no real symbol is
+    assigned the all-ones code, the Figure-K.3 redistribution that
+    limits code lengths to 16 bits, and Figure-K.4 value ordering
+    (by code size, then symbol). Needed because the Annex-K AC tables
+    have zero Kraft slack — they cannot be extended with the size-11+
+    magnitude categories 12-bit precision requires.
+    """
+    freq = [0] * 257
+    for s, wgt in weights.items():
+        if wgt > 0:
+            freq[s] = int(wgt)
+    freq[256] = 1  # reserved pseudo-symbol
+    others = [-1] * 257
+    codesize = [0] * 257
+    while True:
+        nz = [(f, i) for i, f in enumerate(freq) if f > 0]
+        if len(nz) < 2:
+            break
+        c1 = min(f for f, _ in nz)
+        v1 = max(i for f, i in nz if f == c1)
+        c2 = min(f for f, i in nz if i != v1)
+        v2 = max(i for f, i in nz if f == c2 and i != v1)
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    i = 32
+    while i > 16:  # Figure K.3: push over-long codes up the tree
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    j = 16
+    while bits[j] == 0:  # drop the reserved symbol's (longest) code
+        j -= 1
+    bits[j] -= 1
+    vals = [
+        i for sz in range(1, 33) for i in range(256) if codesize[i] == sz
+    ]
+    return bits[1:17], vals
+
+
+# Static tables for 12-bit precision: magnitude categories reach 15
+# (DC diffs to +-32760) / size 15 ACs, which the Annex-K tables cannot
+# express. Weights are a geometric prior over (run, size) — lossless
+# coding, so only stream size depends on how good the prior is.
+_DC12_BITS, _DC12_VALS = _make_huff({s: 1 << (16 - s) for s in range(16)})
+_AC12_BITS, _AC12_VALS = _make_huff(
+    {0x00: 1 << 18, 0xF0: 1 << 10}
+    # EOBn run-length symbols (r<<4, progressive G.1.2.2) included so
+    # one table serves both the sequential and progressive scan scripts
+    | {r << 4: 1 << max(0, 14 - r) for r in range(1, 15)}
+    | {
+        (r << 4) | s: 1 << max(0, 18 - 2 * s - r)
+        for r in range(16)
+        for s in range(1, 16)
+    }
+)
 
 
 def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
@@ -294,12 +390,14 @@ def _encode_block(
     return dc
 
 
-def _rgb_to_ycc(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _rgb_to_ycc(
+    img: np.ndarray, mid: float = 128.0
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     r, g, b = img[..., 0], img[..., 1], img[..., 2]
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b
     cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b
-    return y - 128.0, cb, cr  # level-shifted; chroma already zero-centred
+    return y - mid, cb, cr  # level-shifted; chroma already zero-centred
 
 
 _SAMPLING = {
@@ -450,8 +548,15 @@ def encode_jpeg(
     subsampling: str = "444",
     progressive: bool = False,
     colorspace: str = "auto",
+    precision: int = 8,
 ) -> bytes:
     """Encode an (h, w, 3) RGB or (h, w[, 1]) grayscale uint8 array.
+
+    ``precision=12`` encodes a 0..4095 integer array as an extended
+    sequential (SOF1) or progressive stream with 16-bit (Pq=1) DQT
+    segments and module-generated Huffman tables (the Annex-K tables
+    cannot express the larger magnitude categories); YCbCr/grayscale
+    only — 12-bit Adobe ink spaces don't occur in practice.
 
     Default quality 98 keeps PSNR >= 40 dB even on uniform-noise images
     (the worst case for transform coding — see tests) at 4:4:4;
@@ -474,6 +579,13 @@ def encode_jpeg(
     """
     if colorspace not in ("auto", "ycc", "rgb", "cmyk", "ycck"):
         raise ValueError(f"unknown colorspace {colorspace!r}")
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    if precision == 12:
+        if colorspace not in ("auto", "ycc"):
+            raise ValueError("12-bit precision supports YCbCr/grayscale only")
+        if not np.issubdtype(arr.dtype, np.integer) or arr.max(initial=0) > 4095:
+            raise ValueError("12-bit input must be an integer array in 0..4095")
     if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 1):
         arr = arr.reshape(arr.shape[0], arr.shape[1])
         ncomp = 1
@@ -502,14 +614,15 @@ def encode_jpeg(
     ph, pw = mcuy * 8 * vmax, mcux * 8 * hmax
     pads = ((0, ph - h), (0, pw - w)) + (((0, 0),) if arr.ndim == 3 else ())
     img = np.pad(arr.astype(np.float64), pads, mode="edge")
-    qt_y = _scale_qtab(_QT_LUMA, quality)
-    qt_c = _scale_qtab(_QT_CHROMA, quality)
+    mid = float(1 << (precision - 1))
+    qt_y = _scale_qtab(_QT_LUMA, quality, precision)
+    qt_c = _scale_qtab(_QT_CHROMA, quality, precision)
     # tsel[c] = quant/Huffman table class per component (0 luma, 1 chroma)
     if ncomp == 1:
-        planes = [img - 128.0]
+        planes = [img - mid]
         tsel = [0]
     elif colorspace in ("auto", "ycc"):
-        planes = list(_rgb_to_ycc(img))
+        planes = list(_rgb_to_ycc(img, mid))
         tsel = [0, 1, 1]
     elif colorspace == "rgb":
         planes = [img[..., c] - 128.0 for c in range(3)]
@@ -557,26 +670,42 @@ def encode_jpeg(
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     qt_emit = ((0, qt_y),) + (((1, qt_c),) if 1 in tsel else ())
     for tid, qt in qt_emit:
-        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
-        out += bytes(int(qt.reshape(64)[i]) for i in _ZZ)  # DQT in zigzag
-    sof = 0xC2 if progressive else 0xC0
-    out += bytes((0xFF, sof)) + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+        zzq = [int(qt.reshape(64)[i]) for i in _ZZ]  # DQT in zigzag
+        if max(zzq) > 255:  # Pq=1: 16-bit entries (12-bit precision)
+            out += b"\xff\xdb" + struct.pack(">HB", 131, 0x10 | tid)
+            out += b"".join(struct.pack(">H", q) for q in zzq)
+        else:
+            out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+            out += bytes(zzq)
+    # 12-bit baseline is illegal (B.2.2) — use extended sequential SOF1
+    sof = 0xC2 if progressive else (0xC1 if precision == 12 else 0xC0)
+    out += bytes((0xFF, sof)) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, precision, h, w, ncomp
+    )
     for c in range(ncomp):
         hx, vy = samp[c]
         out += struct.pack("BBB", c + 1, (hx << 4) | vy, tsel[c])
 
-    ac_bits_vals = (
-        ((_PROG_AC_BITS, _PROG_AC_VALS), (_PROG_AC_BITS, _PROG_AC_VALS))
-        if progressive
-        else ((_AC_LUMA_BITS, _AC_LUMA_VALS), (_AC_CHROMA_BITS, _AC_CHROMA_VALS))
-    )
+    if precision == 12:
+        dc_bits_vals = ((_DC12_BITS, _DC12_VALS),) * 2
+        ac_bits_vals = ((_AC12_BITS, _AC12_VALS),) * 2
+    else:
+        dc_bits_vals = (
+            (_DC_LUMA_BITS, _DC_LUMA_VALS),
+            (_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        )
+        ac_bits_vals = (
+            ((_PROG_AC_BITS, _PROG_AC_VALS), (_PROG_AC_BITS, _PROG_AC_VALS))
+            if progressive
+            else ((_AC_LUMA_BITS, _AC_LUMA_VALS), (_AC_CHROMA_BITS, _AC_CHROMA_VALS))
+        )
     dht = [
-        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (0, 0, *dc_bits_vals[0]),
         (1, 0, *ac_bits_vals[0]),
     ]
     if 1 in tsel:
         dht += [
-            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (0, 1, *dc_bits_vals[1]),
             (1, 1, *ac_bits_vals[1]),
         ]
     for tc, th, bits, vals in dht:
@@ -584,8 +713,8 @@ def encode_jpeg(
         out += bytes(bits) + bytes(vals)
 
     dc_tabs = (
-        _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS),
-        _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        _build_codes(*dc_bits_vals[0]),
+        _build_codes(*dc_bits_vals[1]),
     )
     ac_tabs = (_build_codes(*ac_bits_vals[0]), _build_codes(*ac_bits_vals[1]))
     dc_codes = [dc_tabs[t] for t in tsel]
@@ -972,16 +1101,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", data, i)
         seg = data[i + 2 : i + seglen]
         i += seglen
-        if m == 0xDB:  # DQT: one or more (id, 64 zigzag bytes)
+        if m == 0xDB:  # DQT: one or more (Pq|Tq, 64 zigzag entries)
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 15
-                if pq != 0:
-                    raise ValueError("16-bit DQT unsupported")
+                if pq not in (0, 1):
+                    raise ValueError("bad DQT precision")
                 tab = np.zeros(64, dtype=np.int64)
-                tab[_ZZ] = np.frombuffer(seg[j + 1 : j + 65], np.uint8)
+                if pq:  # 16-bit entries (12-bit sample precision)
+                    tab[_ZZ] = np.frombuffer(seg[j + 1 : j + 129], ">u2")
+                    j += 129
+                else:
+                    tab[_ZZ] = np.frombuffer(seg[j + 1 : j + 65], np.uint8)
+                    j += 65
                 qtabs[tq] = tab.reshape(8, 8)
-                j += 65
         elif m == 0xC4:  # DHT: one or more tables
             j = 0
             while j < len(seg):
@@ -993,8 +1126,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 j += 17 + n
         elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
-            if prec != 8:
-                raise ValueError("only 8-bit precision supported")
+            if prec not in (8, 12) or (prec == 12 and m == 0xC0):
+                raise ValueError("only 8-bit (or non-baseline 12-bit) precision")
             if nc not in (1, 3, 4):
                 raise ValueError("only 1-, 3- or 4-component JPEGs supported")
             if not (h and w):
@@ -1019,6 +1152,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = {
                 "h": h, "w": w, "progressive": m == 0xC2, "comps": comps,
                 "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+                "prec": prec,
             }
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported SOF 0x{m:02x}")
@@ -1102,37 +1236,41 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if fx > 1:
             plane = np.repeat(plane, fx, axis=1)
         planes.append(plane[:h, :w])
+    mid = float(1 << (frame["prec"] - 1))
+    mx = float((1 << frame["prec"]) - 1)
     if len(planes) == 1:
-        g = planes[0] + 128.0
+        g = planes[0] + mid
         rgb = np.stack([g, g, g], axis=-1)
     elif len(planes) == 3 and adobe_transform == 0:
-        rgb = np.stack([p + 128.0 for p in planes], axis=-1)
+        rgb = np.stack([p + mid for p in planes], axis=-1)
     elif len(planes) == 3:
-        y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+        y, cb, cr = planes[0] + mid, planes[1], planes[2]
         r = y + 1.402 * cr
         g = y - 0.344136286 * cb - 0.714136286 * cr
         b = y + 1.772 * cb
         rgb = np.stack([r, g, b], axis=-1)
     else:  # 4 components: Adobe CMYK (transform 0/absent) or YCCK (2)
         if adobe_transform == 2:  # YCbCr over the stored CMY planes
-            y, cb, cr = planes[0] + 128.0, planes[1], planes[2]
+            y, cb, cr = planes[0] + mid, planes[1], planes[2]
             stored = [
                 y + 1.402 * cr,
                 y - 0.344136286 * cb - 0.714136286 * cr,
                 y + 1.772 * cb,
-                planes[3] + 128.0,
+                planes[3] + mid,
             ]
         elif adobe_transform in (None, 0):
-            stored = [p + 128.0 for p in planes]
+            stored = [p + mid for p in planes]
         else:
             raise ValueError(
                 f"bad Adobe transform {adobe_transform} for 4 components"
             )
-        # Inverted-ink convention: stored = 255 - ink. Additive un-ink
-        # r = 255 - (c_ink + k_ink) = stored_C + stored_K - 255 — the
+        # Inverted-ink convention: stored = max - ink. Additive un-ink
+        # r = max - (c_ink + k_ink) = stored_C + stored_K - max — the
         # exact inverse of _rgb_to_stored_cmyk's GCR split.
         k = stored[3]
-        rgb = np.stack([stored[0] + k - 255.0,
-                        stored[1] + k - 255.0,
-                        stored[2] + k - 255.0], axis=-1)
+        rgb = np.stack([stored[0] + k - mx,
+                        stored[1] + k - mx,
+                        stored[2] + k - mx], axis=-1)
+    if mx != 255.0:  # 12-bit: rescale to the uint8 output contract
+        rgb = rgb * (255.0 / mx)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -410,3 +410,88 @@ def test_adobe_colorspace_rejects_subsampling():
         encode_jpeg(arr, colorspace="cmyk", subsampling="420")
     with pytest.raises(ValueError):
         encode_jpeg(arr, colorspace="nope")
+
+
+# --------------------------------------------------- 12-bit precision
+
+
+def _ref8(arr12: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(arr12 * (255.0 / 4095.0)), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("progressive", [False, True])
+def test_12bit_roundtrip_matches_8bit_quality_curve(progressive):
+    rng = np.random.default_rng(89)
+    arr12 = rng.integers(0, 4096, (41, 57, 3), dtype=np.uint16)
+    data = encode_jpeg(arr12, precision=12, progressive=progressive)
+    out = decode_jpeg(data)
+    assert _psnr(_ref8(arr12), out) >= 40.0
+    # 12-bit baseline is illegal: sequential emits SOF1, not SOF0
+    ms = _markers(data)
+    assert (0xC2 if progressive else 0xC1) in ms and 0xC0 not in ms
+
+
+def test_12bit_16bit_dqt_emitted_when_needed():
+    rng = np.random.default_rng(97)
+    arr12 = rng.integers(0, 4096, (24, 24, 3), dtype=np.uint16)
+    data = encode_jpeg(arr12, quality=50, precision=12)
+    i = data.index(b"\xff\xdb")
+    assert data[i + 4] >> 4 == 1  # Pq=1: 16-bit entries
+    # and it round-trips (decoder parses the wide table)
+    assert decode_jpeg(data).shape == (24, 24, 3)
+
+
+def test_12bit_progressive_bit_identical_to_sequential():
+    rng = np.random.default_rng(101)
+    arr12 = rng.integers(0, 4096, (24, 20, 3), dtype=np.uint16)
+    a = decode_jpeg(encode_jpeg(arr12, precision=12))
+    b = decode_jpeg(encode_jpeg(arr12, precision=12, progressive=True))
+    c = decode_jpeg(encode_jpeg(arr12, precision=12, restart_interval=2))
+    assert np.array_equal(a, b) and np.array_equal(a, c)
+
+
+def test_12bit_grayscale_and_rejections():
+    rng = np.random.default_rng(103)
+    g12 = rng.integers(0, 4096, (19, 23), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg(g12, precision=12))
+    assert _psnr(np.stack([_ref8(g12)] * 3, -1), out) >= 40.0
+    arr12 = rng.integers(0, 4096, (8, 8, 3), dtype=np.uint16)
+    with pytest.raises(ValueError):
+        encode_jpeg(arr12, precision=12, colorspace="cmyk")
+    with pytest.raises(ValueError):
+        encode_jpeg(arr12.astype(np.int32) + 4096, precision=12)
+    with pytest.raises(ValueError):
+        encode_jpeg(arr12, precision=10)
+
+
+def test_12bit_on_sof0_rejected():
+    # a stream claiming 12-bit baseline is malformed per B.2.2
+    rng = np.random.default_rng(107)
+    arr12 = rng.integers(0, 4096, (8, 8, 3), dtype=np.uint16)
+    data = bytearray(encode_jpeg(arr12, precision=12))
+    i = bytes(data).index(b"\xff\xc1")
+    data[i + 1] = 0xC0  # SOF1 -> SOF0 marker byte
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+def test_generated_huffman_tables_are_canonical():
+    from crawler_spark.functions.jpeg import (
+        _AC12_BITS,
+        _AC12_VALS,
+        _DC12_BITS,
+        _DC12_VALS,
+        _build_codes,
+    )
+
+    for bits, vals in ((_DC12_BITS, _DC12_VALS), (_AC12_BITS, _AC12_VALS)):
+        assert len(bits) == 16 and sum(bits) == len(vals)
+        kraft = sum(n << (16 - ln) for ln, n in zip(range(1, 17), bits))
+        assert kraft <= 65535  # strict: the all-ones 16-bit code is free
+        codes = _build_codes(bits, vals)
+        assert not any(ln == 16 and c == 0xFFFF for c, ln in codes.values())
+    assert set(_DC12_VALS) == set(range(16))
+    need = {0x00, 0xF0}
+    need |= {r << 4 for r in range(1, 15)}
+    need |= {(r << 4) | s for r in range(16) for s in range(1, 16)}
+    assert set(_AC12_VALS) == need
