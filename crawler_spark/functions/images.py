@@ -415,6 +415,21 @@ def decode_jp2(data: bytes) -> np.ndarray:
     return px
 
 
+def encode_webp(arr: np.ndarray) -> bytes:
+    """WebP lossless (VP8L, functions/vp8l.py): subtract-green /
+    auto-palette + run LZ77 + histogram prefix codes — lossless for
+    the registry contract."""
+    from crawler_spark.functions.vp8l import encode_webp as _enc
+
+    return _enc(arr)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    from crawler_spark.functions.vp8l import decode_webp as _dec
+
+    return _dec(bytes(data))
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
@@ -423,6 +438,7 @@ CODECS = {
     "gif": (encode_gif, decode_gif),
     "jpg": (encode_jpeg, decode_jpeg),
     "jp2": (encode_jp2, decode_jp2),
+    "webp": (encode_webp, decode_webp),
 }
 LOSSY_FMTS = {"qjpg", "jpg"}
 
