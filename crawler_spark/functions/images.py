@@ -123,57 +123,276 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# channels per PNG color type: gray / RGB / palette / gray+alpha / RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Adam7 pass layout: (xstart, ystart, xstep, ystep)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+_PNG_VALID_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)
+}
+
+
+def _png_defilter(raw, pos, rows, rowbytes, bpp):
+    """Undo per-scanline filtering for one (sub-)image; returns the
+    recovered bytes and the new read offset."""
+    need = rows * (rowbytes + 1)
+    if len(raw) - pos < need:
+        raise ValueError("PNG: IDAT shorter than declared geometry")
+    block = np.frombuffer(raw, np.uint8, count=need, offset=pos).reshape(
+        rows, rowbytes + 1
+    )
+    filt = block[:, 0]
+    data = block[:, 1:].astype(np.int32)
+    out = np.zeros((rows, rowbytes), np.int32)
+    zero = np.zeros(rowbytes, np.int32)
+    for y in range(rows):
+        f = int(filt[y])
+        line = data[y]
+        prev = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: prefix sums per byte lane
+            for lane in range(bpp):
+                out[y, lane::bpp] = np.cumsum(line[lane::bpp]) & 0xFF
+        elif f == 2:  # Up
+            out[y] = (line + prev) & 0xFF
+        elif f == 3:  # Average (sequential in x)
+            row = out[y]
+            for x in range(rowbytes):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential in x)
+            row = out[y]
+            for x in range(rowbytes):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8), pos + need
+
+
+def _png_samples(rows_u8, pass_w, channels, depth):
+    """Filtered bytes → (rows, pass_w, channels) uint8 samples (16-bit
+    takes the high byte; sub-byte depths unpack MSB-first and scale
+    for gray, raw for palette indices — the caller scales)."""
+    rows = rows_u8.shape[0]
+    if depth == 8:
+        return rows_u8.reshape(rows, -1)[:, : pass_w * channels].reshape(
+            rows, pass_w, channels
+        )
+    if depth == 16:
+        pairs = rows_u8.reshape(rows, -1, 2)[:, : pass_w * channels]
+        return pairs[:, :, 0].reshape(rows, pass_w, channels)  # high byte
+    bits = np.unpackbits(rows_u8, axis=1)  # MSB-first per spec
+    per = 8 // depth
+    vals = np.zeros((rows, rows_u8.shape[1] * per), np.uint8)
+    for k in range(depth):
+        vals = (vals << 1) | bits[:, k::depth][:, : vals.shape[1]]
+    return vals[:, :pass_w].reshape(rows, pass_w, 1)
+
+
 def decode_png(data: bytes) -> np.ndarray:
+    """Full-envelope PNG decode: color types 0/2/3/4/6, bit depths
+    1/2/4/8/16, all five filters, Adam7 interlace, CRC-checked
+    critical chunks. Returns (h, w, 3) uint8 RGB: 16-bit takes the
+    high byte, sub-byte gray scales to full range, alpha is dropped
+    (the images-table contract carries RGB)."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w, h, idat = 8, 0, 0, b""
-    while pos < len(data):
+    pos, w, h, idat, plte = 8, 0, 0, b"", None
+    depth = ctype = interlace = None
+    while pos + 8 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError("PNG: truncated chunk")
         payload = data[pos + 8 : pos + 8 + ln]
+        if tag in (b"IHDR", b"PLTE", b"IDAT", b"IEND"):
+            (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+            if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+                raise ValueError(f"PNG: CRC mismatch in {tag.decode()}")
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack_from(">IIBB", payload)
-            if depth != 8 or ctype != 2:
-                raise ValueError("only 8-bit RGB PNGs supported")
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload
+            )
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise ValueError("PNG: unknown compression/filter/interlace")
+            if ctype not in _PNG_CHANNELS or depth not in _PNG_VALID_DEPTHS[ctype]:
+                raise ValueError(f"PNG: invalid depth/color combo {depth}/{ctype}")
+            if not (1 <= w <= 1 << 15 and 1 <= h <= 1 << 15) or w * h > 1 << 26:
+                raise ValueError("PNG: image too large")
+        elif tag == b"PLTE":
+            if ln % 3 or ln > 768:
+                raise ValueError("PNG: bad PLTE size")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         pos += 12 + ln
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, 1 + w * 3)
-    filt, lines = raw[:, 0], raw[:, 1:].astype(np.int16)
-    out = np.zeros((h, w * 3), np.int16)
-    bpp = 3
-    for y in range(h):
-        line = lines[y].copy()
-        prev = out[y - 1] if y else np.zeros(w * 3, np.int16)
-        f = filt[y]
-        if f == 0:
-            out[y] = line
-        elif f == 1:  # Sub
-            for x in range(w * 3):
-                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
-            out[y] = line
-        elif f == 2:  # Up
-            out[y] = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            for x in range(w * 3):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
-            out[y] = line
-        elif f == 4:  # Paeth
-            for x in range(w * 3):
-                a = line[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                cc = prev[x - bpp] if x >= bpp else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                line[x] = (line[x] + pred) & 0xFF
-            out[y] = line
+    if depth is None:
+        raise ValueError("PNG: missing IHDR")
+    channels = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"PNG: bad IDAT stream: {e}") from None
+    bpp = max(1, channels * depth // 8)
+    out = np.zeros((h, w, channels), np.uint8)
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rowbytes = (pw * channels * depth + 7) // 8
+        rows_u8, off = _png_defilter(raw, off, ph, rowbytes, bpp)
+        out[y0::dy, x0::dx] = _png_samples(rows_u8, pw, channels, depth)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        idx = out[:, :, 0]
+        if int(idx.max()) >= plte.shape[0]:
+            raise ValueError("PNG: palette index out of range")
+        return plte[idx]
+    if ctype in (0, 4):  # gray (+alpha dropped); scale sub-byte depths
+        g = out[:, :, 0]
+        if depth < 8:
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return np.ascontiguousarray(out[:, :, :3])  # RGB / RGBA→RGB
+
+
+def encode_png_ex(
+    arr: np.ndarray,
+    *,
+    color_type: int = 2,
+    depth: int = 8,
+    interlace: int = 0,
+    filter_type: int | None = None,
+) -> bytes:
+    """Spec-shape PNG encoder used to round-trip-pin every decoder
+    path: all five color types, depths 1-16, Adam7, forced filters.
+    Gray/palette inputs must be expressible in the requested shape."""
+    arr = np.asarray(arr, np.uint8)
+    h, w, _ = arr.shape
+    if depth not in _PNG_VALID_DEPTHS.get(color_type, ()):
+        raise ValueError("PNG: invalid depth/color combo")
+    channels = _PNG_CHANNELS[color_type]
+    plte = b""
+    if color_type == 0 or color_type == 4:
+        if not (arr[:, :, 0] == arr[:, :, 1]).all() or not (
+            arr[:, :, 1] == arr[:, :, 2]
+        ).all():
+            raise ValueError("PNG: gray encode needs gray input")
+        g = arr[:, :, 0]
+        if depth < 8:
+            maxv = (1 << depth) - 1
+            lv = (g.astype(np.uint32) * maxv + 127) // 255
+            if not ((lv * 255 // maxv).astype(np.uint8) == g).all():
+                raise ValueError("PNG: gray levels not representable at depth")
+            samples = lv.astype(np.uint8)[:, :, None]
+        elif depth == 16:
+            samples = np.stack([g, g], axis=-1)  # hi==lo byte
         else:
-            raise ValueError(f"bad PNG filter {f}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+            samples = g[:, :, None]
+        if color_type == 4:
+            a = np.full_like(g, 255)
+            if depth == 16:
+                samples = np.stack([g, g, a, a], axis=-1)
+            else:
+                samples = np.stack([g, a], axis=-1)
+    elif color_type == 3:
+        flat = arr.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if pal.shape[0] > (1 << depth):
+            raise ValueError("PNG: too many colors for palette depth")
+        plte = pal.astype(np.uint8).tobytes()
+        samples = inv.reshape(h, w).astype(np.uint8)[:, :, None]
+    elif color_type == 6:
+        a = np.full((h, w, 1), 255, np.uint8)
+        rgba = np.concatenate([arr, a], axis=2)
+        samples = (
+            np.repeat(rgba, 2, axis=2).reshape(h, w, 4, 2).reshape(h, w, 8)
+            if depth == 16
+            else rgba
+        )
+        if depth == 16:  # hi==lo byte per channel
+            samples = np.stack([rgba[:, :, k // 2] for k in range(8)], axis=-1)
+    else:  # RGB
+        samples = (
+            np.stack([arr[:, :, k // 2] for k in range(6)], axis=-1)
+            if depth == 16
+            else arr
+        )
+
+    bpp = max(1, channels * depth // 8)
+
+    def pack_rows(sub):  # (ph, pw, sample_bytes) → filtered scanlines
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth >= 8:
+            rows = sub.reshape(ph, -1)
+        else:
+            per = 8 // depth
+            padded_w = (pw + per - 1) // per * per
+            vals = np.zeros((ph, padded_w), np.uint8)
+            vals[:, :pw] = sub[:, :, 0]
+            bits = np.zeros((ph, padded_w * depth), np.uint8)
+            for k in range(depth):
+                bits[:, k::depth] = (vals >> (depth - 1 - k)) & 1
+            rows = np.packbits(bits, axis=1)
+        rowbytes = rows.shape[1]
+        out = bytearray()
+        prev = np.zeros(rowbytes, np.int32)
+        for y in range(ph):
+            line = rows[y].astype(np.int32)
+            left = np.zeros(rowbytes, np.int32)
+            left[bpp:] = line[:-bpp]
+            ul = np.zeros(rowbytes, np.int32)
+            ul[bpp:] = prev[:-bpp]
+            f = filter_type if filter_type is not None else (4 if y else 1)
+            if f == 0:
+                enc = line
+            elif f == 1:
+                enc = line - left
+            elif f == 2:
+                enc = line - prev
+            elif f == 3:
+                enc = line - ((left + prev) >> 1)
+            else:
+                p = left + prev - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+                )
+                enc = line - pred
+            out.append(f)
+            out += (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = line
+        return bytes(out)
+
+    body = b""
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                body += pack_rows(sub)
+    else:
+        body = pack_rows(samples)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    chunks = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte:
+        chunks += _png_chunk(b"PLTE", plte)
+    return chunks + _png_chunk(b"IDAT", zlib.compress(body, 6)) + _png_chunk(b"IEND", b"")
 
 
 _QJPG_MAGIC = b"QJPG"
