@@ -649,6 +649,20 @@ def decode_webp(data: bytes) -> np.ndarray:
     return _dec(bytes(data))
 
 
+def encode_tiff(arr: np.ndarray) -> bytes:
+    """TIFF (functions/tiff.py): LZW + horizontal predictor, chunky
+    RGB strips — lossless for the registry contract."""
+    from crawler_spark.functions.tiff import encode_tiff_ex
+
+    return encode_tiff_ex(arr, compression=5, predictor=2)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    from crawler_spark.functions.tiff import decode_tiff as _dec
+
+    return _dec(bytes(data))
+
+
 CODECS = {
     "ppm": (encode_ppm, decode_ppm),
     "bmp": (encode_bmp, decode_bmp),
@@ -658,6 +672,7 @@ CODECS = {
     "jpg": (encode_jpeg, decode_jpeg),
     "jp2": (encode_jp2, decode_jp2),
     "webp": (encode_webp, decode_webp),
+    "tiff": (encode_tiff, decode_tiff),
 }
 LOSSY_FMTS = {"qjpg", "jpg"}
 

@@ -2676,7 +2676,7 @@ ORACLE_SQL["q55_sequence_packing"] = Q55_SQL
 # (src/lib/md/mdUtils.ts:23-44); this is the graft's replacement.
 # ---------------------------------------------------------------------------
 
-_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2", "webp"]  # mirrored in Q56_SQL
+_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2", "webp", "tiff"]  # mirrored in Q56_SQL
 
 
 def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2729,9 +2729,9 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q56_SQL = """
 SELECT 'img' || lpad(doc_id::VARCHAR, 4, '0') AS image_id,
-       CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+       CASE doc_id % 8 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'png' WHEN 3 THEN 'qjpg' WHEN 4 THEN 'jpg'
-            WHEN 5 THEN 'jp2' ELSE 'webp' END AS fmt,
+            WHEN 5 THEN 'jp2' WHEN 6 THEN 'webp' ELSE 'tiff' END AS fmt,
        (16 + (doc_id % 4) * 16)::INT AS w,
        (16 + ((doc_id * 3) % 4) * 16)::INT AS h,
        true AS ok
