@@ -71,20 +71,38 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 def decode_audio(data: bytes, codec: str) -> np.ndarray:
     """→ float64 samples in [-1, 1]. REAL decoders: ``pcm16`` (raw),
-    ``ulaw`` (G.711 µ-law, 2:1) and ``adpcm`` (IMA/DVI4 ADPCM, ~4:1) —
-    all written from the public specs; perceptual codecs (mp3/aac/…)
-    still raise (no codec libs in env)."""
+    ``ulaw`` (G.711 µ-law, 2:1), ``adpcm`` (IMA/DVI4 ADPCM, ~4:1) and
+    ``flac`` (RFC 9639 lossless, functions/flac.py — r4) — all written
+    from the public specs; perceptual codecs (mp3/aac/…) still raise
+    (their huffman/psychoacoustic tables are unverifiable offline)."""
     if codec == "pcm16":
         return np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
     if codec == "ulaw":
         return _ulaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
     if codec == "adpcm":
         return _adpcm_decode(data).astype(np.float64) / 32768.0
+    if codec == "flac":
+        from crawler_spark.functions.flac import decode_flac
+
+        samples, _rate = decode_flac(data)
+        if samples.ndim == 2:  # interleave, matching pcm16 layout
+            samples = samples.reshape(-1)
+        return samples.astype(np.float64) / 32768.0
     raise UnsupportedCodecError(f"audio codec {codec!r} requires a codec library")
 
 
 def encode_audio_pcm16(samples: np.ndarray) -> bytes:
     return (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+
+
+def encode_audio_flac(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """FLAC-encode float samples in [-1, 1] (mono) — lossless over the
+    16-bit quantization, so decode_audio(...,'flac') round-trips
+    encode_audio_pcm16's quantized values exactly."""
+    from crawler_spark.functions.flac import encode_flac
+
+    pcm = (np.clip(samples, -1, 1) * 32767).astype(np.int16)
+    return encode_flac(pcm, sample_rate)
 
 
 # ------------------------------------------------------- G.711 µ-law

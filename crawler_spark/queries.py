@@ -3162,13 +3162,15 @@ ORACLE_SQL["q60_preprocess_pipeline"] = Q60_SQL
 # ---------------------------------------------------------------------------
 # q61 — audio near-dup via spectral fingerprints: the audio twin of
 # q59. Each doc_id seeds a deterministic 16-tone clip; the probe is a
-# real G.711 µ-law re-encode (functions/media.py). The engine decodes
-# both codecs, computes the 64-bit spectral-delta fingerprint
+# real re-encode rotating by parity: even ids → G.711 µ-law (lossy,
+# twin hamming ≤ 4), odd ids → FLAC (functions/flac.py, lossless over
+# the pcm16 quantization, twin hamming = 0). The engine decodes all
+# three codecs, computes the 64-bit spectral-delta fingerprint
 # (media.audio_fingerprint), and the SAME banded-LSH operator that
-# pairs images pairs the fingerprints. Verified offline for this
-# exact planted design: twin hamming ≤ 4, cross ≥ 9, so max_hamming=7
-# yields exactly {base_i ↔ probe_i} — which the oracle pins without
-# computing a single FFT.
+# pairs images pairs the fingerprints (exact-equal fingerprints pair
+# through its full-hash self-join tier). Cross-pair hamming ≥ 9, so
+# max_hamming=7 yields exactly {base_i ↔ probe_i} — which the oracle
+# pins without computing a single FFT.
 # ---------------------------------------------------------------------------
 
 
@@ -3207,9 +3209,11 @@ def q61_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append(
                     (f"base{doc_id:04d}", M.encode_audio_pcm16(x), "pcm16", 8000, 1)
                 )
-                rows.append(
-                    (f"probe{doc_id:04d}", M.encode_audio_ulaw(x), "ulaw", 8000, 1)
-                )
+                if doc_id % 2:
+                    probe = (M.encode_audio_flac(x, 8000), "flac")
+                else:
+                    probe = (M.encode_audio_ulaw(x), "ulaw")
+                rows.append((f"probe{doc_id:04d}", probe[0], probe[1], 8000, 1))
             yield pd.DataFrame(
                 rows,
                 columns=["audio_id", "bytes", "codec", "sample_rate", "n_channels"],
