@@ -88,6 +88,17 @@ def decode_audio(data: bytes, codec: str) -> np.ndarray:
         if samples.ndim == 2:  # interleave, matching pcm16 layout
             samples = samples.reshape(-1)
         return samples.astype(np.float64) / 32768.0
+    if codec == "alaw":
+        from crawler_spark.functions.wav import decode_audio_alaw
+
+        return decode_audio_alaw(data)
+    if codec in ("wav", "aiff"):
+        from crawler_spark.functions.wav import decode_aiff, decode_wav
+
+        samples, _rate = (decode_wav if codec == "wav" else decode_aiff)(data)
+        if samples.ndim == 2:
+            samples = samples.reshape(-1)
+        return samples
     raise UnsupportedCodecError(f"audio codec {codec!r} requires a codec library")
 
 
