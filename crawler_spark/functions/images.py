@@ -613,6 +613,202 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image block")
 
 
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, float]:
+    """Animated GIF89a → ((n, h, w, 3) uint8 composed frames, fps).
+
+    Full composition semantics: frames are sub-rectangles painted onto
+    the logical-screen canvas; Graphic Control Extensions carry the
+    per-frame delay, transparency index (transparent pixels leave the
+    canvas unchanged) and disposal method (1 = leave, 2 = restore to
+    background, 3 = restore to previous). fps comes from the mean
+    non-zero delay (the browsers' 10 fps fallback when all delays are
+    0). The still-image registry entry (decode_gif) stays first-frame.
+    """
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", data, 6)
+    if not (1 <= sw <= 1 << 14 and 1 <= sh <= 1 << 14) or sw * sh > 1 << 24:
+        raise ValueError("GIF: canvas too large")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        if gct.shape[0] < n:
+            raise ValueError("GIF: truncated color table")
+        pos += 3 * n
+    bg = gct[bg_idx % len(gct)] if gct is not None else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # pending graphic-control state for the next image block
+    delay, transparent, disposal = 0, None, 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                (delay,) = struct.unpack_from("<H", data, pos + 2)
+                transparent = data[pos + 4] if gflags & 1 else None
+                disposal = (gflags >> 2) & 7
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF: frame outside canvas")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            pal = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            if pal.shape[0] < n:
+                raise ValueError("GIF: truncated local color table")
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.frombuffer(
+            _gif_lzw_decode(bytes(lzw), mcs)[: w * h], np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("GIF: frame pixel data truncated")
+        idx = idx.reshape(h, w)
+        if iflags & 0x40:
+            order = np.concatenate(
+                [np.arange(start, h, step) for start, step in _GIF_PASSES]
+            )
+            deinter = np.empty_like(idx)
+            deinter[order] = idx
+            idx = deinter
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        px = pal[idx.astype(np.int64) % len(pal)]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = px[opaque]
+        else:
+            region[:] = px
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:  # restore region to background
+            canvas[top : top + h, left : left + w] = bg
+        elif disposal == 3 and prev is not None:
+            canvas = prev
+        delay, transparent, disposal = 0, None, 0
+        if len(frames) > 4096:
+            raise ValueError("GIF: too many frames")
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    nz = [d for d in delays if d > 0]
+    fps = 100.0 / (sum(nz) / len(nz)) if nz else 10.0
+    return np.stack(frames), fps
+
+
+def encode_gif_frames(
+    frames: np.ndarray,
+    fps: float = 10.0,
+    *,
+    mode: str = "full",
+    disposal: int = 1,
+    loop: bool = True,
+) -> bytes:
+    """Animated GIF89a encoder twin: (n, h, w, 3) uint8 frames sharing
+    one ≤256-color global palette. ``mode='full'`` paints whole
+    frames; ``mode='delta'`` paints the changed-pixel bounding box
+    with a transparent index for unchanged pixels (exercises the
+    sub-rectangle + transparency decode paths). ``disposal`` applies
+    to every frame (1 leave / 2 background / 3 previous — decoder-path
+    pinning; note 2 and 3 change composition, so round-trips pin them
+    with content designed for it)."""
+    frames = np.asarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    flat = frames.reshape(-1, 3)
+    palette = np.unique(flat, axis=0)
+    transparent_idx = None
+    if mode == "delta":
+        if len(palette) > 255:
+            raise ValueError("GIF delta mode: more than 255 distinct colors")
+        transparent_idx = len(palette)  # one extra slot, never painted
+        n_pal = len(palette) + 1
+    else:
+        if len(palette) > 256:
+            raise ValueError("GIF encode: more than 256 distinct colors")
+        n_pal = len(palette)
+    pal_bits = max(1, int(n_pal - 1).bit_length())
+    pal = np.zeros((1 << pal_bits, 3), np.uint8)
+    pal[: len(palette)] = palette
+    key = (
+        palette[:, 0].astype(np.int64) * 65536
+        + palette[:, 1].astype(np.int64) * 256
+        + palette[:, 2].astype(np.int64)
+    )
+    lut = {int(k): i for i, k in enumerate(key)}
+    fk = (
+        flat[:, 0].astype(np.int64) * 65536
+        + flat[:, 1].astype(np.int64) * 256
+        + flat[:, 2].astype(np.int64)
+    )
+    idx_all = np.array([lut[int(k)] for k in fk], np.uint8).reshape(n, h, w)
+    mcs = max(2, pal_bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    delay = max(1, int(round(100.0 / max(fps, 0.01))))
+    for i in range(n):
+        gflags = (disposal & 7) << 2
+        tidx = 0
+        if mode == "delta" and i > 0:
+            gflags |= 1
+            tidx = transparent_idx
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, gflags, delay, tidx, 0)
+        if mode == "delta" and i > 0:
+            changed = (idx_all[i] != idx_all[i - 1])
+            if not changed.any():
+                left = top = 0
+                fw = fh = 1
+                sub = np.full((1, 1), transparent_idx, np.uint8)
+            else:
+                ys, xs = np.where(changed)
+                top, left = int(ys.min()), int(xs.min())
+                fh, fw = int(ys.max()) - top + 1, int(xs.max()) - left + 1
+                box = idx_all[i, top : top + fh, left : left + fw]
+                keep = changed[top : top + fh, left : left + fw]
+                sub = np.where(keep, box, transparent_idx).astype(np.uint8)
+        else:
+            left = top = 0
+            fh, fw = h, w
+            sub = idx_all[i]
+        out += struct.pack("<BHHHHB", 0x2C, left, top, fw, fh, 0)
+        out.append(mcs)
+        lzw = _gif_lzw_encode(sub.tobytes(), mcs)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)
+
+
 def encode_jp2(arr: np.ndarray) -> bytes:
     """JPEG 2000 (functions/jpeg2000.py): reversible 5/3 + RCT in a
     JP2 container — lossless for the registry contract."""

@@ -284,7 +284,14 @@ def encode_rawrgb(frames: np.ndarray, fps: float = 24.0) -> bytes:
 
 
 def decode_video(data: bytes, codec: str) -> tuple[np.ndarray, float]:
-    """→ ((n, h, w, 3) uint8 frames, fps). Only ``rawrgb`` decodes."""
+    """→ ((n, h, w, 3) uint8 frames, fps). REAL decoders: ``rawrgb``
+    and ``gif`` (animated GIF89a with full disposal/transparency
+    composition, functions/images.py — r4); perceptual codecs
+    (h264/vp9/…) still raise."""
+    if codec == "gif":
+        from crawler_spark.functions.images import decode_gif_frames
+
+        return decode_gif_frames(data)
     if codec != "rawrgb":
         raise UnsupportedCodecError(f"video codec {codec!r} requires a codec library")
     w, h, n, fps_m = struct.unpack_from("<IIII", data, 0)
