@@ -75,6 +75,7 @@ def tiff_lzw_decode(data: bytes, max_out: int = 1 << 26) -> bytes:
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            acc &= (1 << nbits) - 1  # keep acc bounded (else O(n²) shifts)
             if code == 256:  # Clear
                 reset()
                 prev = None
@@ -116,6 +117,7 @@ def tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        acc &= (1 << nbits) - 1  # keep acc bounded
 
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
