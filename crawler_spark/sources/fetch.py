@@ -152,24 +152,68 @@ class HttpFetcher:
     timeout_s: float = 30.0
     retries: int = 5
     backoff_s: float = 0.5
+    max_bytes: int = 64 << 20  # response-size bomb guard
+    accept_gzip: bool = True
+
+    @staticmethod
+    def _decode_body(raw: bytes, headers) -> str | None:
+        """Content-Encoding (gzip/deflate/identity) + charset from the
+        Content-Type parameter. Encodings we never offered (br/zstd —
+        no codec available) → None, so the row fails loud instead of
+        yielding mojibake."""
+        import zlib
+
+        enc = (headers.get("Content-Encoding") or "identity").strip().lower()
+        if enc == "gzip" or enc == "x-gzip":
+            try:
+                raw = zlib.decompress(raw, 16 + zlib.MAX_WBITS)
+            except zlib.error:
+                return None
+        elif enc == "deflate":
+            try:  # zlib-wrapped first, raw-deflate fallback (old IIS)
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                try:
+                    raw = zlib.decompress(raw, -zlib.MAX_WBITS)
+                except zlib.error:
+                    return None
+        elif enc not in ("identity", ""):
+            return None
+        charset = "utf-8"
+        ctype = headers.get("Content-Type") or ""
+        for part in ctype.split(";")[1:]:
+            k, _, v = part.strip().partition("=")
+            if k.lower() == "charset" and v:
+                charset = v.strip("\"' ")
+        try:
+            return raw.decode(charset, "replace")
+        except LookupError:  # unknown charset label
+            return raw.decode("utf-8", "replace")
 
     def _fetch_one(self, url: str) -> tuple[str | None, int]:
         """One URL through the retry budget. Mirrors the reference's
         async-retry loop (getPageContent.ts:45-52 — 5 attempts,
         exponential backoff): transient failures (5xx, timeouts,
         connection errors) retry; 4xx is permanent and returns
-        immediately; redirects are followed by urllib. Exercised
-        against a loopback http.server in tests/test_http_fetch.py."""
+        immediately; redirects are followed by urllib. Negotiates
+        gzip/deflate (Accept-Encoding) and honors the response
+        charset. Exercised against a loopback http.server in
+        tests/test_http_fetch.py."""
         import urllib.error
         import urllib.request
 
         status = 0
+        headers = {"Accept-Encoding": "gzip, deflate"} if self.accept_gzip else {}
         for k in range(self.retries):
             if k:
                 time.sleep(self.backoff_s * (2 ** (k - 1)))
             try:
-                with urllib.request.urlopen(url, timeout=self.timeout_s) as r:
-                    return r.read().decode("utf-8", "replace"), int(r.status)
+                req = urllib.request.Request(url, headers=headers)
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    raw = r.read(self.max_bytes + 1)
+                    if len(raw) > self.max_bytes:
+                        return None, 413  # oversized — permanent
+                    return self._decode_body(raw, r.headers), int(r.status)
             except urllib.error.HTTPError as e:
                 status = int(e.code)
                 if 400 <= status < 500:

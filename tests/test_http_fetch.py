@@ -61,6 +61,47 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(302)
             self.send_header("Location", "/ok")
             self.end_headers()
+        elif self.path == "/gzip":
+            import zlib
+
+            co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+            body = co.compress("nội dung nén".encode()) + co.flush()
+            self.send_response(200)
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/deflate":
+            import zlib
+
+            body = zlib.compress(b"deflated body")
+            self.send_response(200)
+            self.send_header("Content-Encoding", "deflate")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/latin1":
+            body = "café señor".encode("latin-1")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=ISO-8859-1")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/brotli":
+            # an encoding the client never offered and can't decode
+            body = b"\x00\x01\x02garbage"
+            self.send_response(200)
+            self.send_header("Content-Encoding", "br")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/huge":
+            body = b"x" * 3000
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self.send_error(500)
 
@@ -124,6 +165,36 @@ def test_http_fetcher_matrix(server):
         "hello loopback",
     )
     assert HITS["/ok"] >= 2  # redirect followed to /ok
+
+
+def test_http_fetcher_content_encodings(server):
+    """gzip/deflate responses decode (Accept-Encoding negotiated),
+    charsets are honored, never-offered encodings fail loud, and
+    oversized bodies hit the bomb guard."""
+    f = HttpFetcher(timeout_s=2.0, retries=2, backoff_s=0.01, max_bytes=2048)
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                f"{server}/gzip",
+                f"{server}/deflate",
+                f"{server}/latin1",
+                f"{server}/brotli",
+                f"{server}/huge",
+            ],
+            "attempt": [1] * 5,
+        }
+    )
+    out = f.fetch_batch(pdf).set_index("url")
+    gz = out.loc[f"{server}/gzip"]
+    assert (gz["status"], gz["success"], gz["body"]) == (200, True, "nội dung nén")
+    df_ = out.loc[f"{server}/deflate"]
+    assert (df_["success"], df_["body"]) == (True, "deflated body")
+    la = out.loc[f"{server}/latin1"]
+    assert (la["success"], la["body"]) == (True, "café señor")
+    br = out.loc[f"{server}/brotli"]
+    assert (br["status"], br["success"]) == (200, False)  # loud, not mojibake
+    hu = out.loc[f"{server}/huge"]
+    assert (hu["status"], hu["success"]) == (413, False)
 
 
 def test_http_fetcher_through_spark(spark, server):
