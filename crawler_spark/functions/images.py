@@ -79,21 +79,309 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + info + rows.tobytes()
 
 
-def decode_bmp(data: bytes) -> np.ndarray:
-    off = struct.unpack_from("<I", data, 10)[0]
-    w, h = struct.unpack_from("<ii", data, 18)
-    bpp = struct.unpack_from("<H", data, 28)[0]
-    if bpp != 24:
-        raise ValueError(f"unsupported BMP bpp={bpp}")
-    row_size = (w * 3 + 3) & ~3
+def _bmp_decode_dib(data: bytes, off_pixels: int | None, ico_half: bool = False):
+    """Decode a DIB (BITMAPINFOHEADER family) at offset 0 of `data`
+    plus its palette/pixels; shared by decode_bmp and decode_ico.
+    Full real-world envelope: 1/4/8-bit palette, RLE4/RLE8, 16-bit
+    (555 default / BI_BITFIELDS masks), 24-bit, 32-bit; top-down
+    (negative height) rows. Returns (h, w, 3) uint8 RGB."""
+    (hdr_size,) = struct.unpack_from("<I", data, 0)
+    if hdr_size < 40:
+        raise ValueError("BMP: unsupported DIB header")
+    w, h = struct.unpack_from("<ii", data, 4)
+    planes, bpp = struct.unpack_from("<HH", data, 12)
+    (compression,) = struct.unpack_from("<I", data, 16)
+    (clr_used,) = struct.unpack_from("<I", data, 32)
+    if ico_half:
+        h //= 2  # ICO DIB height counts the XOR + AND masks together
     flip = h > 0
     h = abs(h)
-    rows = np.frombuffer(data, np.uint8, count=row_size * h, offset=off).reshape(
-        h, row_size
+    if not (1 <= w <= 1 << 15 and 1 <= h <= 1 << 15) or w * h > 1 << 26:
+        raise ValueError("BMP: image too large")
+    masks = None
+    pal_off = hdr_size
+    if compression == 3:  # BI_BITFIELDS
+        if hdr_size == 40:
+            masks = struct.unpack_from("<III", data, 40)
+            pal_off = 52
+        else:  # V4/V5 headers embed the masks
+            masks = struct.unpack_from("<III", data, 40)
+    elif compression not in (0, 1, 2):
+        raise ValueError(f"BMP: compression {compression} not supported")
+    n_pal = clr_used or (1 << bpp if bpp <= 8 else 0)
+    pal = None
+    if bpp <= 8:
+        raw = np.frombuffer(data, np.uint8, count=4 * n_pal, offset=pal_off)
+        pal = raw.reshape(-1, 4)[:, [2, 1, 0]].copy()  # BGRA → RGB
+        pal_off += 4 * n_pal
+    pix_off = off_pixels if off_pixels is not None else pal_off
+    body = data[pix_off:]
+
+    if compression in (1, 2):  # RLE8 / RLE4
+        if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
+            raise ValueError("BMP: RLE bpp mismatch")
+        idx = np.zeros((h, w), np.uint8)
+        x = y = i = 0
+        while i + 1 < len(body):
+            cnt, val = body[i], body[i + 1]
+            i += 2
+            if cnt:  # encoded run
+                if compression == 1:
+                    vals = [val] * cnt
+                else:
+                    vals = [(val >> 4) if k % 2 == 0 else (val & 0xF) for k in range(cnt)]
+                for v in vals:
+                    if x < w and y < h:
+                        idx[y, x] = v
+                    x += 1
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                if i + 1 >= len(body):
+                    raise ValueError("BMP: truncated RLE delta")
+                x += body[i]
+                y += body[i + 1]
+                i += 2
+            else:  # absolute mode
+                n = val
+                if compression == 1:
+                    need = (n + 1) & ~1  # word-aligned
+                    chunk = body[i : i + need]
+                    if len(chunk) < need:
+                        raise ValueError("BMP: truncated RLE absolute run")
+                    for k in range(n):
+                        if x < w and y < h:
+                            idx[y, x] = chunk[k]
+                        x += 1
+                    i += need
+                else:
+                    nbytes = (n + 1) // 2
+                    need = (nbytes + 1) & ~1
+                    chunk = body[i : i + need]
+                    if len(chunk) < need:
+                        raise ValueError("BMP: truncated RLE absolute run")
+                    for k in range(n):
+                        b = chunk[k // 2]
+                        v = (b >> 4) if k % 2 == 0 else (b & 0xF)
+                        if x < w and y < h:
+                            idx[y, x] = v
+                        x += 1
+                    i += need
+        out = pal[np.minimum(idx, len(pal) - 1).astype(np.int64)]
+        return out[::-1] if flip else out
+
+    row_size = (w * bpp + 31) // 32 * 4
+    need = row_size * h
+    if len(body) < need:
+        raise ValueError("BMP: pixel data truncated")
+    rows = np.frombuffer(body, np.uint8, count=need).reshape(h, row_size)
+    if bpp == 24:
+        out = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32:
+        out = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+    elif bpp == 16:
+        px = rows.view("<u2").reshape(h, -1)[:, :w].astype(np.uint32)
+        rm, gm, bm = masks if masks else (0x7C00, 0x03E0, 0x001F)
+
+        def chan(mask):
+            if mask == 0:
+                return np.zeros_like(px, np.uint8)
+            shift = (mask & -mask).bit_length() - 1
+            width = int(mask >> shift).bit_length()
+            v = (px & mask) >> shift
+            return (v * 255 // ((1 << width) - 1)).astype(np.uint8)
+
+        out = np.stack([chan(rm), chan(gm), chan(bm)], axis=-1)
+    elif bpp in (1, 4, 8):
+        if pal is None or not len(pal):
+            raise ValueError("BMP: palette image without palette")
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            per = 8 // bpp
+            vals = np.zeros((h, row_size * per), np.uint8)
+            for k in range(bpp):
+                vals = (vals << 1) | bits[:, k::bpp][:, : vals.shape[1]]
+            idx = vals[:, :w]
+        out = pal[np.minimum(idx, len(pal) - 1).astype(np.int64)]
+    else:
+        raise ValueError(f"unsupported BMP bpp={bpp}")
+    out = np.ascontiguousarray(out)
+    return out[::-1] if flip else out
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    return _bmp_decode_dib(data[14:], off - 14 if off else None)
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """ICO/CUR (favicons): decodes the LARGEST image in the icon
+    directory — PNG-compressed entries through decode_png, classic
+    DIB entries through the shared BMP path (height halved for the
+    AND mask, which is ignored — the RGB contract carries no alpha)."""
+    data = bytes(data)
+    if len(data) < 6 or data[:2] != b"\x00\x00" or data[2:4] not in (b"\x01\x00", b"\x02\x00"):
+        raise ValueError("not an ICO")
+    (count,) = struct.unpack_from("<H", data, 4)
+    if not 1 <= count <= 256:
+        raise ValueError("ICO: bad entry count")
+    best = None
+    for i in range(count):
+        off = 6 + 16 * i
+        if off + 16 > len(data):
+            raise ValueError("ICO: truncated directory")
+        bw, bh = data[off], data[off + 1]
+        size, img_off = struct.unpack_from("<II", data, off + 8)
+        area = (bw or 256) * (bh or 256)
+        if best is None or area > best[0]:
+            best = (area, img_off, size)
+    _, img_off, size = best
+    payload = data[img_off : img_off + size]
+    if len(payload) < size:
+        raise ValueError("ICO: truncated image payload")
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    return _bmp_decode_dib(payload, None, ico_half=True)
+
+
+def encode_bmp_ex(
+    arr: np.ndarray,
+    *,
+    bpp: int = 24,
+    rle: bool = False,
+    top_down: bool = False,
+    bitfields: tuple | None = None,
+) -> bytes:
+    """Spec-shape BMP encoder pinning every decoder path: 1/4/8-bit
+    palette (optionally RLE8), 16-bit (555 or BI_BITFIELDS masks),
+    24/32-bit, top-down rows. Palette depths need ≤2^bpp colors;
+    16-bit needs channel values representable in the mask widths."""
+    arr = np.asarray(arr, np.uint8)
+    h, w, _ = arr.shape
+    compression = 0
+    pal_bytes = b""
+    if bpp in (1, 4, 8):
+        flat = arr.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if pal.shape[0] > (1 << bpp):
+            raise ValueError("BMP: too many colors for palette depth")
+        pal_full = np.zeros((1 << bpp, 4), np.uint8)
+        pal_full[: pal.shape[0], :3] = pal[:, ::-1]  # RGB → BGR0
+        pal_bytes = pal_full.tobytes()
+        idx = inv.reshape(h, w).astype(np.uint8)
+        if rle:
+            if bpp != 8:
+                raise ValueError("BMP: RLE encoder is 8-bit only")
+            compression = 1
+            rows = idx if top_down else idx[::-1]
+            body = bytearray()
+            for y in range(h):
+                x = 0
+                row = rows[y]
+                while x < w:
+                    run = 1
+                    while x + run < w and row[x + run] == row[x] and run < 255:
+                        run += 1
+                    body += bytes([run, int(row[x])])
+                    x += run
+                body += b"\x00\x00"  # end of line
+            body += b"\x00\x01"  # end of bitmap
+            body = bytes(body)
+        else:
+            if bpp == 8:
+                packed = idx
+            else:
+                per = 8 // bpp
+                padded_w = (w + per - 1) // per * per
+                vals = np.zeros((h, padded_w), np.uint8)
+                vals[:, :w] = idx
+                bits = np.zeros((h, padded_w * bpp), np.uint8)
+                for k in range(bpp):
+                    bits[:, k::bpp] = (vals >> (bpp - 1 - k)) & 1
+                packed = np.packbits(bits, axis=1)
+            row_size = (w * bpp + 31) // 32 * 4
+            rows = np.zeros((h, row_size), np.uint8)
+            rows[:, : packed.shape[1]] = packed
+            body = (rows if top_down else rows[::-1]).tobytes()
+    elif bpp == 16:
+        if bitfields:
+            compression = 3
+            rm, gm, bm = bitfields
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F
+
+        def pack(chan, mask):
+            shift = (mask & -mask).bit_length() - 1
+            width = int(mask >> shift).bit_length()
+            lv = (chan.astype(np.uint32) * ((1 << width) - 1) + 127) // 255
+            if not ((lv * 255 // ((1 << width) - 1)).astype(np.uint8) == chan).all():
+                raise ValueError("BMP: channel not representable in mask width")
+            return (lv << shift).astype(np.uint32)
+
+        px = (
+            pack(arr[:, :, 0], rm) | pack(arr[:, :, 1], gm) | pack(arr[:, :, 2], bm)
+        ).astype("<u2")
+        row_size = (w * 2 + 3) & ~3
+        rows = np.zeros((h, row_size), np.uint8)
+        rows[:, : w * 2] = px.view(np.uint8).reshape(h, w * 2)
+        body = (rows if top_down else rows[::-1]).tobytes()
+        if compression == 3:
+            pal_bytes = struct.pack("<III", rm, gm, bm)
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        bgr = arr[:, :, ::-1]
+        px = (
+            np.concatenate([bgr, np.zeros((h, w, 1), np.uint8)], axis=2)
+            if bpp == 32
+            else bgr
+        )
+        row_size = (w * nb + 3) & ~3
+        rows = np.zeros((h, row_size), np.uint8)
+        rows[:, : w * nb] = px.reshape(h, w * nb)
+        body = (rows if top_down else rows[::-1]).tobytes()
+    else:
+        raise ValueError(f"BMP: bpp {bpp} not supported")
+    off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp,
+        compression, len(body), 2835, 2835,
+        (1 << bpp) if bpp <= 8 else 0, 0,
     )
-    bgr = rows[:, : w * 3].reshape(h, w, 3)
-    rgb = bgr[:, :, ::-1]
-    return rgb[::-1] if flip else rgb
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return header + info + pal_bytes + body
+
+
+def encode_ico(arr: np.ndarray, *, png: bool = False) -> bytes:
+    """Single-image ICO: PNG-compressed entry or classic DIB entry
+    (doubled height + all-zero AND mask)."""
+    arr = np.asarray(arr, np.uint8)
+    h, w, _ = arr.shape
+    if w > 256 or h > 256:
+        raise ValueError("ICO: max 256×256")
+    if png:
+        payload = encode_png(arr)
+    else:
+        bgr = arr[::-1, :, ::-1]
+        row_size = (w * 3 + 3) & ~3
+        rows = np.zeros((h, row_size), np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        and_row = (w + 31) // 32 * 4
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h * 2, 1, 24, 0,
+            row_size * h + and_row * h, 2835, 2835, 0, 0,
+        )
+        payload = info + rows.tobytes() + b"\x00" * (and_row * h)
+    entry = struct.pack(
+        "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 24 if not png else 32,
+        len(payload), 6 + 16,
+    )
+    return b"\x00\x00\x01\x00\x01\x00" + entry + payload
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -869,6 +1157,7 @@ CODECS = {
     "jp2": (encode_jp2, decode_jp2),
     "webp": (encode_webp, decode_webp),
     "tiff": (encode_tiff, decode_tiff),
+    "ico": (encode_ico, decode_ico),
 }
 LOSSY_FMTS = {"qjpg", "jpg"}
 

@@ -30,7 +30,7 @@ def rgb_arrays(draw, max_side: int = 33):
 
 
 @settings(**_SETTINGS)
-@given(arr=rgb_arrays(), fmt=st.sampled_from(["ppm", "bmp", "png", "jp2", "webp", "tiff"]))
+@given(arr=rgb_arrays(), fmt=st.sampled_from(["ppm", "bmp", "png", "jp2", "webp", "tiff", "ico"]))
 def test_lossless_roundtrip_property(arr, fmt):
     assert np.array_equal(im.decode_image(im.encode_image(arr, fmt), fmt), arr)
 
@@ -46,7 +46,7 @@ def test_lossy_psnr_property(arr, fmt):
 @settings(**_SETTINGS)
 @given(
     data=st.binary(min_size=0, max_size=512),
-    fmt=st.sampled_from(["ppm", "bmp", "png", "qjpg", "jpg", "gif", "webp", "tiff"]),
+    fmt=st.sampled_from(["ppm", "bmp", "png", "qjpg", "jpg", "gif", "webp", "tiff", "ico"]),
 )
 def test_garbage_bytes_never_hang(data, fmt):
     try:
@@ -59,7 +59,7 @@ def test_garbage_bytes_never_hang(data, fmt):
 @settings(**_SETTINGS)
 @given(
     arr=rgb_arrays(max_side=16),
-    fmt=st.sampled_from(["ppm", "bmp", "png", "qjpg", "jpg", "gif", "webp", "tiff"]),
+    fmt=st.sampled_from(["ppm", "bmp", "png", "qjpg", "jpg", "gif", "webp", "tiff", "ico"]),
     pos_frac=st.floats(0.0, 1.0),
     newbyte=st.integers(0, 255),
 )
@@ -92,7 +92,7 @@ def test_resize_property_bounds():
             assert abs(float(out.mean()) - float(arr.mean())) < 16.0
 
 
-@pytest.mark.parametrize("fmt", ["ppm", "bmp", "png", "qjpg", "jpg", "webp", "tiff"])
+@pytest.mark.parametrize("fmt", ["ppm", "bmp", "png", "qjpg", "jpg", "webp", "tiff", "ico"])
 def test_truncation_is_contained(fmt):
     rng = np.random.default_rng(9)
     arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
