@@ -45,24 +45,71 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 def decode_ppm(data: bytes) -> np.ndarray:
-    # P6, ascii header with arbitrary whitespace, maxval 255
+    """Whole PNM family: P6/P5 binary (maxval to 65535, 16-bit
+    big-endian scaled to 8), P4 bitmap, P1/P2/P3 ASCII — all to
+    (h, w, 3) RGB. Comments and arbitrary whitespace per the spec."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1] not in b"123456":
+        raise ValueError("not a PNM file")
+    kind = data[1] - 0x30
+    want = 2 if kind in (1, 4) else 3  # bitmaps carry no maxval
     parts = []
-    i = 2  # skip 'P6'
-    while len(parts) < 3:
+    i = 2
+    while len(parts) < want:
         while i < len(data) and data[i : i + 1].isspace():
             i += 1
         if data[i : i + 1] == b"#":  # comment line
-            while data[i : i + 1] != b"\n":
+            while i < len(data) and data[i : i + 1] != b"\n":
                 i += 1
             continue
         j = i
         while j < len(data) and not data[j : j + 1].isspace():
             j += 1
+        if j == i:
+            raise ValueError("PNM: truncated header")
         parts.append(int(data[i:j]))
         i = j
-    i += 1  # single whitespace after maxval
-    w, h, _maxval = parts
-    return np.frombuffer(data, np.uint8, count=w * h * 3, offset=i).reshape(h, w, 3)
+    i += 1  # single whitespace after the last header token
+    if kind in (1, 4):
+        w, h = parts
+        maxval = 1
+    else:
+        w, h, maxval = parts
+    if not (1 <= w <= 1 << 15 and 1 <= h <= 1 << 15) or w * h > 1 << 26:
+        raise ValueError("PNM: image too large")
+    if not 1 <= maxval <= 65535:
+        raise ValueError("PNM: bad maxval")
+    if kind in (1, 2, 3):  # ASCII formats
+        toks = data[i - 1 :].split()
+        n_chan = 3 if kind == 3 else 1
+        need = w * h * n_chan
+        if len(toks) < need:
+            raise ValueError("PNM: truncated ASCII samples")
+        vals = np.array([int(t) for t in toks[:need]], np.uint32)
+        if kind == 1:  # PBM ASCII: 1 = black
+            px = np.where(vals, 0, 255).astype(np.uint8)
+        else:
+            px = (np.minimum(vals, maxval) * 255 // maxval).astype(np.uint8)
+        px = px.reshape(h, w, n_chan)
+        return np.repeat(px, 3, axis=2) if n_chan == 1 else px
+    if kind == 4:  # PBM raw: packed bits MSB-first, 1 = black
+        rowbytes = (w + 7) // 8
+        raw = np.frombuffer(data, np.uint8, count=rowbytes * h, offset=i)
+        bits = np.unpackbits(raw.reshape(h, rowbytes), axis=1)[:, :w]
+        g = np.where(bits, 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    n_chan = 3 if kind == 6 else 1
+    if maxval > 255:  # two-byte big-endian samples → high-ish byte
+        raw = np.frombuffer(data, ">u2", count=w * h * n_chan, offset=i)
+        px = (raw.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    else:
+        raw = np.frombuffer(data, np.uint8, count=w * h * n_chan, offset=i)
+        px = (
+            raw
+            if maxval == 255
+            else (raw.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+        )
+    px = px.reshape(h, w, n_chan)
+    return np.repeat(px, 3, axis=2) if n_chan == 1 else px
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

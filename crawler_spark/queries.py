@@ -2676,7 +2676,7 @@ ORACLE_SQL["q55_sequence_packing"] = Q55_SQL
 # (src/lib/md/mdUtils.ts:23-44); this is the graft's replacement.
 # ---------------------------------------------------------------------------
 
-_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2", "webp", "tiff"]  # mirrored in Q56_SQL
+_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2", "webp", "tiff", "gif", "ico"]  # mirrored in Q56_SQL
 
 
 def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2711,6 +2711,8 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
+                if fmt == "gif":  # GIF is palettized: quantize ≤64 colors
+                    arr = (arr // 64 * 64).astype(np.uint8)
                 data = im.encode_image(arr, fmt)
                 back = im.decode_image(data, fmt)
                 if fmt in im.LOSSY_FMTS:
@@ -2729,9 +2731,10 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q56_SQL = """
 SELECT 'img' || lpad(doc_id::VARCHAR, 4, '0') AS image_id,
-       CASE doc_id % 8 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+       CASE doc_id % 10 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'png' WHEN 3 THEN 'qjpg' WHEN 4 THEN 'jpg'
-            WHEN 5 THEN 'jp2' WHEN 6 THEN 'webp' ELSE 'tiff' END AS fmt,
+            WHEN 5 THEN 'jp2' WHEN 6 THEN 'webp' WHEN 7 THEN 'tiff'
+            WHEN 8 THEN 'gif' ELSE 'ico' END AS fmt,
        (16 + (doc_id % 4) * 16)::INT AS w,
        (16 + ((doc_id * 3) % 4) * 16)::INT AS h,
        true AS ok
