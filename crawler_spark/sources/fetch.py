@@ -58,6 +58,16 @@ FETCH_RESULT_FIELDS = [
     T.StructField("latency_ms", T.IntegerType(), False),
 ]
 
+# appended by fetchers that surface redirect chains + HTTP validators
+# (HttpFetcher); fixture fetchers keep the 4-column contract unchanged
+HTTP_EXTRA_FIELDS = [
+    T.StructField("final_url", T.StringType(), True),
+    T.StructField("redirects", T.IntegerType(), False),
+    T.StructField("not_modified", T.BooleanType(), False),
+    T.StructField("etag", T.StringType(), True),
+    T.StructField("last_modified", T.StringType(), True),
+]
+
 
 @dataclass
 class FixtureFetcher:
@@ -190,54 +200,136 @@ class HttpFetcher:
         except LookupError:  # unknown charset label
             return raw.decode("utf-8", "replace")
 
-    def _fetch_one(self, url: str) -> tuple[str | None, int]:
+    max_redirects: int = 10
+
+    RESULT_FIELDS = FETCH_RESULT_FIELDS + HTTP_EXTRA_FIELDS
+
+    def _open_no_redirect(self, url: str, headers: dict):
+        """One request with redirects surfaced as HTTPError (urllib
+        auto-follow hides the chain — a crawler must SEE it: the final
+        URL joins the url-seen set, link resolution uses it as base,
+        and politeness accounting must notice an off-host hop)."""
+        import urllib.request
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, hdrs, newurl):
+                return None  # → urlopen raises HTTPError with the 3xx
+
+        opener = urllib.request.build_opener(_NoRedirect)
+        req = urllib.request.Request(url, headers=headers)
+        return opener.open(req, timeout=self.timeout_s)
+
+    def _fetch_one(
+        self,
+        url: str,
+        etag: str | None = None,
+        last_modified: str | None = None,
+    ) -> dict:
         """One URL through the retry budget. Mirrors the reference's
         async-retry loop (getPageContent.ts:45-52 — 5 attempts,
         exponential backoff): transient failures (5xx, timeouts,
-        connection errors) retry; 4xx is permanent and returns
-        immediately; redirects are followed by urllib. Negotiates
-        gzip/deflate (Accept-Encoding) and honors the response
-        charset. Exercised against a loopback http.server in
-        tests/test_http_fetch.py."""
+        connection errors) retry the WHOLE chain; 4xx is permanent and
+        returns immediately. Redirects (301/302/303/307/308) are
+        followed manually up to ``max_redirects`` hops with relative
+        Location resolution and cycle detection; the final URL + hop
+        count are surfaced. Stored validators are sent as
+        If-None-Match / If-Modified-Since on the FIRST hop (they
+        belong to the original resource); a 304 reports
+        ``not_modified`` with success=True and no body. Negotiates
+        gzip/deflate and honors the response charset. Exercised
+        against a loopback http.server in tests/test_http_fetch.py."""
         import urllib.error
-        import urllib.request
+        import urllib.parse
 
+        def result(body=None, status=0, final=url, hops=0, nm=False, et=None, lm=None):
+            return {
+                "body": body,
+                "status": int(status),
+                "success": body is not None or nm,
+                "final_url": final,
+                "redirects": hops,
+                "not_modified": nm,
+                "etag": et,
+                "last_modified": lm,
+            }
+
+        base_headers: dict = {}
+        if self.accept_gzip:
+            base_headers["Accept-Encoding"] = "gzip, deflate"
         status = 0
-        headers = {"Accept-Encoding": "gzip, deflate"} if self.accept_gzip else {}
         for k in range(self.retries):
             if k:
                 time.sleep(self.backoff_s * (2 ** (k - 1)))
-            try:
-                req = urllib.request.Request(url, headers=headers)
-                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
-                    raw = r.read(self.max_bytes + 1)
-                    if len(raw) > self.max_bytes:
-                        return None, 413  # oversized — permanent
-                    return self._decode_body(raw, r.headers), int(r.status)
-            except urllib.error.HTTPError as e:
-                status = int(e.code)
-                if 400 <= status < 500:
-                    return None, status  # permanent — don't burn retries
-            except Exception:
-                status = 599  # timeout / connection error
-        return None, status
+            cur, hops, visited = url, 0, {url}
+            while True:  # follow one redirect chain
+                headers = dict(base_headers)
+                if hops == 0:
+                    if etag:
+                        headers["If-None-Match"] = etag
+                    if last_modified:
+                        headers["If-Modified-Since"] = last_modified
+                try:
+                    with self._open_no_redirect(cur, headers) as r:
+                        raw = r.read(self.max_bytes + 1)
+                        if len(raw) > self.max_bytes:
+                            return result(status=413, final=cur, hops=hops)
+                        return result(
+                            body=self._decode_body(raw, r.headers),
+                            status=r.status,
+                            final=cur,
+                            hops=hops,
+                            et=r.headers.get("ETag"),
+                            lm=r.headers.get("Last-Modified"),
+                        )
+                except urllib.error.HTTPError as e:
+                    status = int(e.code)
+                    if status in (301, 302, 303, 307, 308):
+                        loc = e.headers.get("Location")
+                        if not loc or hops >= self.max_redirects:
+                            return result(status=status, final=cur, hops=hops)
+                        nxt = urllib.parse.urljoin(cur, loc)
+                        if nxt in visited:  # redirect loop — permanent
+                            return result(status=status, final=cur, hops=hops)
+                        visited.add(nxt)
+                        cur, hops = nxt, hops + 1
+                        continue
+                    if status == 304:
+                        return result(status=304, final=cur, hops=hops, nm=True)
+                    if 400 <= status < 500:
+                        # permanent — don't burn retries
+                        return result(status=status, final=cur, hops=hops)
+                    break  # 5xx → outer retry
+                except Exception:
+                    status = 599  # timeout / connection error
+                    break
+        return result(status=status)
 
     def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        bodies, statuses, succ, lat = [], [], [], []
-        for url in pdf["url"]:
+        has_validators = "etag" in pdf.columns and "last_modified" in pdf.columns
+        rows, lat = [], []
+        for i, url in enumerate(pdf["url"]):
+            et = lm = None
+            if has_validators:
+                et = pdf["etag"].iloc[i]
+                lm = pdf["last_modified"].iloc[i]
+                et = None if pd.isna(et) else str(et)
+                lm = None if pd.isna(lm) else str(lm)
             t0 = time.monotonic()
-            body, status = self._fetch_one(str(url))
-            bodies.append(body)
-            statuses.append(status)
-            succ.append(body is not None)
+            rows.append(self._fetch_one(str(url), etag=et, last_modified=lm))
             lat.append(int((time.monotonic() - t0) * 1000))
-        out = pdf.copy()
-        out["body"], out["status"], out["success"], out["latency_ms"] = (
-            bodies,
-            statuses,
-            succ,
-            lat,
-        )
+        out = pdf.drop(columns=["etag", "last_modified"], errors="ignore").copy()
+        for col in (
+            "body",
+            "status",
+            "success",
+            "final_url",
+            "redirects",
+            "not_modified",
+            "etag",
+            "last_modified",
+        ):
+            out[col] = [r[col] for r in rows]
+        out["latency_ms"] = lat
         return out
 
 
@@ -273,7 +365,15 @@ def fetch_scheduled(
     is hash-partitioned on exactly the grouping keys, applyInPandas
     adds no second exchange.
     """
-    out_schema = T.StructType(scheduled.schema.fields + FETCH_RESULT_FIELDS)
+    result_fields = getattr(fetcher, "RESULT_FIELDS", FETCH_RESULT_FIELDS)
+    result_names = {f.name for f in result_fields}
+    # stored validators (etag/last_modified) on the scheduled rows are
+    # INPUTS the fetcher consumes and re-emits fresh — drop the input
+    # copy from the output schema so names stay unique
+    out_schema = T.StructType(
+        [f for f in scheduled.schema.fields if f.name not in result_names]
+        + result_fields
+    )
 
     def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
         return fetcher.fetch_batch(pdf)

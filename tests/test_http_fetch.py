@@ -61,6 +61,33 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_response(302)
             self.send_header("Location", "/ok")
             self.end_headers()
+        elif self.path == "/chain1":
+            self.send_response(301)
+            self.send_header("Location", "/chain2")
+            self.end_headers()
+        elif self.path == "/chain2":
+            # RELATIVE Location — must resolve against the current URL
+            self.send_response(302)
+            self.send_header("Location", "ok")
+            self.end_headers()
+        elif self.path in ("/loop1", "/loop2"):
+            self.send_response(302)
+            self.send_header(
+                "Location", "/loop2" if self.path == "/loop1" else "/loop1"
+            )
+            self.end_headers()
+        elif self.path == "/etag":
+            if self.headers.get("If-None-Match") == '"v1"':
+                self.send_response(304)
+                self.end_headers()
+            else:
+                body = b"versioned body"
+                self.send_response(200)
+                self.send_header("ETag", '"v1"')
+                self.send_header("Last-Modified", "Tue, 01 Jan 2030 00:00:00 GMT")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
         elif self.path == "/gzip":
             import zlib
 
@@ -165,6 +192,77 @@ def test_http_fetcher_matrix(server):
         "hello loopback",
     )
     assert HITS["/ok"] >= 2  # redirect followed to /ok
+
+
+def test_http_fetcher_redirect_chains(server):
+    """Redirect chains are followed manually: final_url + hop count
+    surfaced, relative Location resolved, loops and hop caps fail loud
+    instead of spinning."""
+    f = HttpFetcher(timeout_s=2.0, retries=2, backoff_s=0.01)
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                f"{server}/chain1",
+                f"{server}/loop1",
+                f"{server}/ok",
+            ],
+            "attempt": [1] * 3,
+        }
+    )
+    out = f.fetch_batch(pdf).set_index("url")
+    ch = out.loc[f"{server}/chain1"]
+    assert (ch["status"], ch["success"], ch["body"]) == (200, True, "hello loopback")
+    assert ch["final_url"] == f"{server}/ok" and ch["redirects"] == 2
+    lp = out.loc[f"{server}/loop1"]
+    assert (lp["status"], lp["success"]) == (302, False)
+    assert HITS["/loop1"] + HITS["/loop2"] <= 2 * f.retries + 2  # no spin
+    ok = out.loc[f"{server}/ok"]
+    assert ok["final_url"] == f"{server}/ok" and ok["redirects"] == 0
+
+    capped = HttpFetcher(timeout_s=2.0, retries=1, backoff_s=0.01, max_redirects=1)
+    got = capped.fetch_batch(
+        pd.DataFrame({"url": [f"{server}/chain1"], "attempt": [1]})
+    ).iloc[0]
+    assert not got["success"] and got["status"] == 302
+    assert got["redirects"] == 1  # stopped at the cap, chain surfaced
+
+
+def test_http_fetcher_conditional_get(server):
+    """First fetch captures validators; refetch with them → 304
+    not_modified (success, no body); refetch without → full body."""
+    f = HttpFetcher(timeout_s=2.0, retries=2, backoff_s=0.01)
+    first = f.fetch_batch(
+        pd.DataFrame({"url": [f"{server}/etag"], "attempt": [1]})
+    ).iloc[0]
+    assert (first["status"], first["body"]) == (200, "versioned body")
+    assert first["etag"] == '"v1"'
+    assert first["last_modified"] == "Tue, 01 Jan 2030 00:00:00 GMT"
+    assert not first["not_modified"]
+
+    again = f.fetch_batch(
+        pd.DataFrame(
+            {
+                "url": [f"{server}/etag"],
+                "attempt": [1],
+                "etag": [first["etag"]],
+                "last_modified": [first["last_modified"]],
+            }
+        )
+    ).iloc[0]
+    assert (again["status"], again["success"]) == (304, True)
+    assert again["not_modified"] and again["body"] is None
+
+    fresh = f.fetch_batch(
+        pd.DataFrame(
+            {
+                "url": [f"{server}/etag"],
+                "attempt": [1],
+                "etag": [None],
+                "last_modified": [None],
+            }
+        )
+    ).iloc[0]
+    assert fresh["status"] == 200 and fresh["body"] == "versioned body"
 
 
 def test_http_fetcher_content_encodings(server):
