@@ -36,7 +36,13 @@ from crawler_spark.canonical import canonical_url_col, host_col, url_key_col
 from crawler_spark.functions.text import md_images_col
 from crawler_spark.operators.dedup import ShardedBloom, anti_join_seen, first_wins
 from crawler_spark.operators.politeness import budget_cap, eligible, select_round
-from crawler_spark.operators.robots import robots_filter
+from crawler_spark.operators.robots import (
+    budgets_from_delays,
+    parse_robots,
+    robots_filter,
+    robots_rules_table,
+    sitemap_seeds,
+)
 from crawler_spark.plans.store import SnapshotStore
 from crawler_spark.sources.fetch import fetch_scheduled, resolve_salted
 
@@ -145,6 +151,89 @@ class CrawlEngine:
         )
         if self.bloom:
             self.bloom.update(frontier.select("url_key"))
+
+    # ------------------------------------------------------- robots/sitemaps
+    @staticmethod
+    def robots_config(
+        bodies: DataFrame,
+        politeness: DataFrame,
+        agent: str = "sparkbot",
+        round_period_s: float = 60.0,
+        default_budget: int = 2,
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Fetched robots.txt bodies (host, body) → the engine's two
+        config dims + the sitemap seed list: (rules, budgets,
+        sitemap_seeds). ``rules`` feeds the ``robots=`` constructor arg;
+        ``budgets`` is the politeness dim with Crawl-delay folded in
+        (budget = min(configured, floor(period/delay))); sitemap seeds
+        go through `sources/sitemaps.expand_sitemaps` and then
+        :meth:`enqueue_discovered`."""
+        parsed = parse_robots(bodies, agent=agent)
+        rules = robots_rules_table(parsed)
+        budgets = budgets_from_delays(
+            parsed, politeness, round_period_s, default_budget
+        )
+        return rules, budgets, sitemap_seeds(parsed)
+
+    def enqueue_discovered(
+        self,
+        urls: DataFrame,
+        site: str = "sitemap",
+        rnd: int = 0,
+    ) -> int:
+        """Append externally-discovered URLs (sitemap ingestion, feeds)
+        to the frontier through the SAME admission chain as link
+        discovery: canonicalize → robots → first-wins → URL-seen
+        anti-join → frontier delta + bloom update. ``urls`` needs a
+        ``url`` column; an optional ``priority`` column (sitemap
+        0.0-1.0, higher = sooner) maps onto the document_number
+        priority key (ascending) so high-priority pages schedule first
+        within their host. Returns the number of rows admitted."""
+        cand = urls.withColumn("url", canonical_url_col(F.col("url")))
+        cand = cand.withColumn("host", host_col(F.col("url")))
+        allowed = robots_filter(cand, self.robots)
+        allowed = first_wins(allowed, key="url", order_cols=[F.col("url")])
+        frontier = self.store.read("frontier")
+        if self.bloom:
+            unseen = self.bloom.filter_unseen(
+                allowed.withColumn("url_key", url_key_col(F.col("url"))),
+                frontier,
+                key_col="url_key",
+                url_col="url",
+            ).drop("url_key")
+        else:
+            unseen = anti_join_seen(allowed, frontier, key="url")
+        prio = (
+            F.round((F.lit(1.0) - F.coalesce(F.col("priority"), F.lit(0.5))) * 1000)
+            if "priority" in urls.columns
+            else F.lit(500)
+        )
+        new_entries = unseen.select(
+            url_key_col(F.col("url")).alias("url_key"),
+            "url",
+            "host",
+            F.pmod(F.xxhash64("url"), F.lit(N_SALTS)).cast("int").alias("host_salt"),
+            F.lit(site).alias("site"),
+            F.concat(F.lit("sm:"), url_key_col(F.col("url"))).alias("doc_id"),
+            F.lit(0).alias("depth"),
+            F.lit(False).alias("requires_manual_check"),
+            prio.cast("long").alias("document_number"),
+            F.lit(False).alias("has_chapters"),
+            F.lit(rnd).alias("discovered_round"),
+            F.lit(False).alias("completed"),
+            F.lit(0).alias("attempts"),
+        ).cache()
+        n_new = new_entries.count()
+        self.store.commit_upsert(
+            "frontier",
+            new_entries.select(*FRONTIER_COLS),
+            key="url_key",
+            lineage={"op": "enqueue_discovered", "round": rnd, "site": site},
+        )
+        if self.bloom:
+            self.bloom.update(new_entries.select("url_key"))
+        new_entries.unpersist()
+        return int(n_new)
 
     # ----------------------------------------------------------------- round
     def run_round(self, rnd: int, force_all: bool = False, force_ids=None) -> dict:
