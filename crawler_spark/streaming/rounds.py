@@ -534,6 +534,26 @@ class CrawlEngine:
             "decode_ok": out.filter(F.col("decode_ok")).count(),
         }
 
+    def archive_pages(self, out_dir: str, n_files: int | None = None) -> DataFrame:
+        """Archive every fetched page as WARC 1.1 (`sources/warc.py`):
+        one `.warc.gz` per partition, host-partitioned so a host's
+        fetches land in one archive, manifest committed to the store as
+        the `warc_index` table (the CDX analog — record-level random
+        access + replay joins without scanning archives).
+
+        The reference keeps loose per-page files (`src/lib/crawler/
+        checkpoint.ts` + per-site main.ts writes) — unusable at 10^10;
+        this is the standard web-archive sink at that scale."""
+        from crawler_spark.sources.warc import write_warc
+
+        pages = self.store.read("pages").select("url", "status", "body", "host")
+        n = n_files or max(1, self.spark.sparkContext.defaultParallelism)
+        manifest = write_warc(pages.repartition(n, "host").drop("host"), out_dir)
+        self.store.commit(
+            "warc_index", manifest, lineage={"op": "archive_pages", "dir": out_dir}
+        )
+        return self.store.read("warc_index")
+
     # ------------------------------------------------------------- accessors
     def crawl_log(self) -> DataFrame:
         return self.store.read("crawl_log")
