@@ -84,6 +84,12 @@ class CrawlEngine:
     use_bloom: bool = False
     use_cuckoo: bool = False
     bloom_shards: int = 8
+    #: trap guards (operators/traps.py). Default OFF: reference parity —
+    #: the reference crawls every listed URL, so dropping trap-shaped
+    #: ones would diverge from the golden ordering. An open web crawl
+    #: turns both on.
+    trap_guard: bool = False
+    admit_cap_per_host: int | None = None
     quarantined: int = 0
     metrics: list[dict] = field(default_factory=list)
 
@@ -152,6 +158,43 @@ class CrawlEngine:
         if self.bloom:
             self.bloom.update(frontier.select("url_key"))
 
+    # ------------------------------------------------------------ trap guard
+    def _guard_candidates(self, cand: DataFrame, rnd: int, stage: str) -> DataFrame:
+        """Trap-shape quarantine on admission candidates (no-op unless
+        ``trap_guard``). Quarantined rows append to the
+        ``trap_quarantine`` table with their reason — dropped from the
+        frontier, never lost."""
+        if not self.trap_guard:
+            return cand
+        from crawler_spark.operators.traps import trap_filter
+
+        clean, trapped = trap_filter(cand, "url")
+        self.store.commit(
+            "trap_quarantine",
+            trapped.select(
+                "url", "host", "trap_reason",
+                F.lit(rnd).alias("round"), F.lit(stage).alias("stage"),
+            ),
+            mode="append",
+            lineage={"op": "trap_quarantine", "round": rnd, "stage": stage},
+        )
+        return clean
+
+    def _cap_new_entries(self, new_entries: DataFrame) -> DataFrame:
+        """Per-host admission cap (no-op unless ``admit_cap_per_host``):
+        a trap host can add at most N frontier rows per round; overflow
+        is dropped and simply re-qualifies if ever re-discovered."""
+        if not self.admit_cap_per_host:
+            return new_entries
+        from crawler_spark.operators.traps import cap_admissions_per_host
+
+        admitted, _ = cap_admissions_per_host(
+            new_entries,
+            self.admit_cap_per_host,
+            order_cols=["document_number", "url"],
+        )
+        return admitted
+
     # ------------------------------------------------------- robots/sitemaps
     @staticmethod
     def robots_config(
@@ -191,6 +234,7 @@ class CrawlEngine:
         within their host. Returns the number of rows admitted."""
         cand = urls.withColumn("url", canonical_url_col(F.col("url")))
         cand = cand.withColumn("host", host_col(F.col("url")))
+        cand = self._guard_candidates(cand, rnd, stage=site)
         allowed = robots_filter(cand, self.robots)
         allowed = first_wins(allowed, key="url", order_cols=[F.col("url")])
         frontier = self.store.read("frontier")
@@ -222,7 +266,8 @@ class CrawlEngine:
             F.lit(rnd).alias("discovered_round"),
             F.lit(False).alias("completed"),
             F.lit(0).alias("attempts"),
-        ).cache()
+        )
+        new_entries = self._cap_new_entries(new_entries).cache()
         n_new = new_entries.count()
         self.store.commit_upsert(
             "frontier",
@@ -360,6 +405,7 @@ class CrawlEngine:
         ).drop("_k", "_pk")
 
         links = links.withColumn("host", host_col(F.col("url")))
+        links = self._guard_candidates(links, rnd, stage="discovery")
         allowed = robots_filter(links, self.robots)
         # cross-page first-wins in golden order, then the seen anti-join
         allowed = first_wins(
@@ -395,6 +441,7 @@ class CrawlEngine:
             F.lit(False).alias("completed"),
             F.lit(0).alias("attempts"),
         )
+        new_entries = self._cap_new_entries(new_entries)
 
         # ---- frontier commit (upsert marks + append discoveries) ----------
         updates = fetched.select(
