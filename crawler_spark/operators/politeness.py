@@ -127,3 +127,59 @@ def select_round(
         .withColumn("attempt", F.col("attempts") + F.lit(1))
         .drop("budget_per_round", "budget")
     )
+
+
+def adapt_budgets(
+    round_log: DataFrame,
+    politeness: DataFrame,
+    *,
+    max_budget: int = 8,
+    default_budget: int = 2,
+    error_rate_cut: float = 0.5,
+    latency_cut_ms: float = 5000.0,
+) -> DataFrame:
+    """AIMD per-host budget adaptation from one round's fetch outcomes.
+
+    The reference's fixed one-in-flight loop never adapts; a production
+    crawler follows the standard congestion-control shape (the same
+    additive-increase / multiplicative-decrease rule TCP and the
+    Heritrix/Nutch politeness valves use): a host that served the whole
+    round cleanly earns +1 budget (capped at ``max_budget``); a host
+    that throttled (any 429), errored heavily (5xx/network failures ≥
+    ``error_rate_cut`` of its fetches) or slowed past ``latency_cut_ms``
+    is halved (floored at 1 — never banned outright, so recovery is
+    observable). Hosts idle this round keep their budget.
+
+    Physical shape: one partial-aggregable groupBy(host) over the
+    round's log (counts + avg pre-combine map-side) and one host-keyed
+    outer join against the O(hosts) politeness dim — no window, no
+    Python. The outer join admits hosts the dim has never seen (they
+    enter at ``default_budget`` before the rule applies).
+    """
+    sig = round_log.groupBy("host").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(
+            (F.col("status") == 429)
+            | (F.col("status") >= 500)
+            | (F.col("status") == 0)
+        ).alias("_err"),
+        F.count_if(F.col("status") == 429).alias("_throttled"),
+        F.avg("latency_ms").alias("_lat"),
+    )
+    cur = F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
+    unhealthy = (
+        (F.col("_throttled") > 0)
+        | (F.col("_err") >= F.col("_n") * F.lit(error_rate_cut))
+        | (F.col("_lat") > F.lit(latency_cut_ms))
+    )
+    new_budget = (
+        F.when(F.col("_n").isNull(), cur)  # idle host: unchanged
+        .when(unhealthy, F.greatest(F.floor(cur / 2), F.lit(1)))
+        .otherwise(F.least(cur + 1, F.lit(max_budget)))
+    )
+    return (
+        politeness.select("host", "budget_per_round")
+        .dropDuplicates(["host"])
+        .join(sig, on="host", how="full")
+        .select("host", new_budget.cast("int").alias("budget_per_round"))
+    )

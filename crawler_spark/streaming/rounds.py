@@ -35,7 +35,12 @@ from pyspark.sql import types as T
 from crawler_spark.canonical import canonical_url_col, host_col, url_key_col
 from crawler_spark.functions.text import md_images_col
 from crawler_spark.operators.dedup import ShardedBloom, anti_join_seen, first_wins
-from crawler_spark.operators.politeness import budget_cap, eligible, select_round
+from crawler_spark.operators.politeness import (
+    adapt_budgets,
+    budget_cap,
+    eligible,
+    select_round,
+)
 from crawler_spark.operators.robots import (
     budgets_from_delays,
     parse_robots,
@@ -90,6 +95,12 @@ class CrawlEngine:
     #: turns both on.
     trap_guard: bool = False
     admit_cap_per_host: int | None = None
+    #: AIMD politeness (operators/politeness.adapt_budgets): per-host
+    #: budgets grow +1 on clean rounds, halve on throttle/error/latency
+    #: signals. Default OFF — reference parity needs the static budgets
+    #: the golden ordering was computed under.
+    adaptive_politeness: bool = False
+    max_budget: int = 8
     quarantined: int = 0
     metrics: list[dict] = field(default_factory=list)
 
@@ -325,6 +336,22 @@ class CrawlEngine:
             "latency_ms",
         )
         self.store.commit("crawl_log", log, mode="append", lineage={"round": rnd})
+
+        # ---- adaptive politeness (AIMD; opt-in) ---------------------------
+        if self.adaptive_politeness:
+            newb = adapt_budgets(
+                log,
+                self.politeness,
+                max_budget=self.max_budget,
+                default_budget=self.default_budget,
+            )
+            # committing to the store both truncates the per-round plan
+            # lineage AND makes the adapted budgets resumable state
+            self.store.commit(
+                "politeness", newb, lineage={"op": "adapt_budgets", "round": rnd}
+            )
+            self.politeness = self.store.read("politeness")
+            self._budget_cap = budget_cap(self.politeness, self.default_budget)
 
         # per-partition (host) lineage + fetch metrics (north rule)
         pm = (
