@@ -637,3 +637,24 @@ class CrawlEngine:
 
     def extractions(self) -> DataFrame:
         return self.store.read("extractions")
+
+    def link_graph(self) -> DataFrame:
+        """Directed (src, dst) url_key edges re-derived from stored page
+        bodies — the input for a link-importance scheduling refresh
+        (operators/linkrank.py): rank the graph, `priority_from_rank`,
+        feed the priorities back through frontier upserts or
+        `enqueue_discovered`. Map-side extract + one distinct."""
+        return (
+            self.store.read("pages")
+            .select(
+                url_key_col(F.col("url")).alias("src"),
+                F.explode(
+                    F.regexp_extract_all(F.col("body"), F.lit(MD_LINK_PAT), F.lit(2))
+                ).alias("_raw"),
+            )
+            .select(
+                "src", url_key_col(canonical_url_col(F.col("_raw"))).alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
