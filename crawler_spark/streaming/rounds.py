@@ -101,6 +101,11 @@ class CrawlEngine:
     #: the golden ordering was computed under.
     adaptive_politeness: bool = False
     max_budget: int = 8
+    #: Mercator-style content-seen tier (opt-in, reference parity):
+    #: pages whose body fingerprint was already seen skip extraction +
+    #: discovery; the pages sink keeps them (flagged via content_fp ⨝
+    #: content_seen) so the archive stays complete.
+    content_seen: bool = False
     quarantined: int = 0
     metrics: list[dict] = field(default_factory=list)
 
@@ -370,9 +375,42 @@ class CrawlEngine:
 
         ok = fetched.filter(F.col("success"))
 
+        # ---- content-seen dedup (Mercator-style; opt-in) -------------------
+        # URL-seen can't catch ALIASES — distinct URLs serving identical
+        # bytes (mirrors, tracking-param variants, soft-404 templates).
+        # The standard second tier keys on a content fingerprint: only
+        # the FIRST page with a given body feeds extraction + discovery
+        # (identical bytes ⇒ identical links/images, so skipping dups is
+        # also trap resistance). Exact anti-join against the accumulated
+        # fingerprint table — O(Δ) probe side, same MoR shape as the
+        # URL-seen exact tier; within-round dups collapse first-wins in
+        # golden (host, host_rank) order so the choice is deterministic.
+        if self.content_seen:
+            ok = ok.withColumn(
+                "content_fp", F.xxhash64(F.coalesce(F.col("body"), F.lit("")))
+            )
+            fresh = ok
+            if self.store.exists("content_seen"):
+                fresh = ok.join(
+                    self.store.read("content_seen"), "content_fp", "left_anti"
+                )
+            fresh = first_wins(
+                fresh,
+                key="content_fp",
+                order_cols=[F.col("host"), F.col("host_rank")],
+            ).cache()
+            self.store.commit(
+                "content_seen",
+                fresh.select("content_fp"),
+                mode="append",
+                lineage={"op": "content_seen", "round": rnd},
+            )
+        else:
+            fresh = ok
+
         # ---- extraction: image+caption pairs (C1-as-extract) -------------
         imgs = (
-            ok.select(
+            fresh.select(
                 F.col("url").alias("page_url"),
                 F.posexplode(md_images_col(F.col("body"))).alias("_pos", "_img"),
             )
@@ -386,14 +424,16 @@ class CrawlEngine:
         )
         self.store.commit("extractions", imgs, mode="append", lineage={"round": rnd})
 
-        # ---- pages sink ---------------------------------------------------
-        pages = ok.select(
-            "url_key", "url", "host", "depth", F.lit(rnd).alias("fetch_round"), "status", "body"
-        )
+        # ---- pages sink (ALL fetched pages archive, dups included) --------
+        page_cols = [
+            "url_key", "url", "host", "depth",
+            F.lit(rnd).alias("fetch_round"), "status", "body",
+        ] + (["content_fp"] if self.content_seen else [])
+        pages = ok.select(*page_cols)
         self.store.commit("pages", pages, mode="append", lineage={"round": rnd})
 
         # ---- discovery: lazy chapter expansion (depth 0 only) -------------
-        parents = ok.filter((F.col("depth") == 0) & F.col("has_chapters"))
+        parents = fresh.filter((F.col("depth") == 0) & F.col("has_chapters"))
         links = (
             parents.select(
                 F.col("url").alias("page_url"),
@@ -534,6 +574,8 @@ class CrawlEngine:
             lineage={"round": rnd},
         )
         fetched.unpersist()
+        if self.content_seen:
+            fresh.unpersist()
         self.metrics.append(m)
         return m
 
