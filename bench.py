@@ -124,7 +124,13 @@ def main() -> None:
         trials[name] = ts
         times[name] = min(ts)
 
-    frontier = bench_frontier(spark)
+    # best-of-N like the queries: the first frontier trial after a
+    # 50-query session routinely measures 2-5x slow (GC pressure + cold
+    # codegen for these plan shapes); warm trials on this box cluster at
+    # 300-480k URLs/s while cold singles land anywhere down to 70k
+    f_trials = [bench_frontier(spark) for _ in range(n_trials)]
+    frontier = min(f_trials, key=lambda f: f["sec"])
+    frontier["trials_sec"] = [f["sec"] for f in f_trials]
 
     out = {
         "metric": "total wall time, operator suite (all registered queries) + frontier scheduler round",
