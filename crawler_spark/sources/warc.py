@@ -332,6 +332,54 @@ READ_SCHEMA = T.StructType(
 )
 
 
+def read_warc_selected(manifest: DataFrame) -> DataFrame:
+    """Distributed RANGED read of chosen records: give it any filtered
+    subset of the write manifest (or the `warc_index` store table) and
+    each task seeks straight to its members — archives are never
+    scanned. This is the scale path for replay/audit queries ("re-parse
+    these 10^5 pages out of a 10^10-record archive"): the selection is
+    a DataFrame filter/join on the parquet index, the I/O is
+    O(selected bytes)."""
+    cols = ["file", "offset", "length"]
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fh, cur = None, None
+        for pdf in batches:
+            rows = []
+            # group by file so one handle serves consecutive rows
+            for r in pdf.sort_values(["file", "offset"]).itertuples(index=False):
+                if r.file != cur:
+                    if fh is not None:
+                        fh.close()
+                    fh, cur = open(r.file, "rb"), r.file
+                fh.seek(r.offset)
+                rec = parse_warc(fh.read(r.length))[0]
+                status, body = None, None
+                if rec["fields"]["WARC-Type"] == "response":
+                    status, _, raw = parse_http_response(rec["payload"])
+                    body = raw.decode("utf-8", "replace")
+                else:
+                    body = rec["payload"].decode("utf-8", "replace")
+                rows.append(
+                    (
+                        r.file,
+                        rec["fields"]["WARC-Record-ID"],
+                        rec["fields"]["WARC-Type"],
+                        rec["fields"].get("WARC-Target-URI"),
+                        rec["fields"]["WARC-Date"],
+                        status,
+                        body,
+                        r.offset,
+                        r.length,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in READ_SCHEMA.fields])
+        if fh is not None:
+            fh.close()
+
+    return manifest.select(*cols).mapInPandas(_fetch, READ_SCHEMA)
+
+
 def read_warc(
     spark: SparkSession, path_glob: str, *, include_warcinfo: bool = False
 ) -> DataFrame:

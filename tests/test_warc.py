@@ -197,6 +197,36 @@ def test_engine_archive_pages(spark, tmp_path, tmp_path_factory):
     assert got == want
 
 
+def test_read_warc_selected_ranged(spark, pages_df, tmp_path):
+    """A filtered manifest subset replays exactly those records via
+    ranged reads — no archive scan, map-only plan."""
+    from crawler_spark.sources.warc import read_warc_selected
+
+    out = str(tmp_path / "sel")
+    manifest = write_warc(pages_df.repartition(3, "url"), out).cache()
+    picked = manifest.filter(F.col("status") == 404)
+    got = read_warc_selected(picked)
+    want = {
+        (r["uri"], r["status"]) for r in picked.select("uri", "status").collect()
+    }
+    rows = got.collect()
+    assert {(r["uri"], r["status"]) for r in rows} == want
+    assert all(r["warc_type"] == "response" for r in rows)
+    # body round-trips through the ranged path too
+    bodies = {r["uri"]: r["body"] for r in rows}
+    src = {r["url"]: r["body"] for r in pages_df.collect()}
+    for uri, body in bodies.items():
+        assert body == src[uri]
+    # the ranged read itself adds NO exchange: over a lineage-free
+    # manifest (as read back from the parquet index table) the whole
+    # replay is map-only
+    flat = spark.createDataFrame(picked.collect(), picked.schema)
+    plan = (
+        read_warc_selected(flat)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_write_is_map_only(spark, pages_df, tmp_path):
     """The sink must add no exchange: partitioning is the caller's
     knob, archiving itself never shuffles."""
