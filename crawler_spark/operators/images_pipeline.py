@@ -309,3 +309,151 @@ def embed_images(images: DataFrame, band: int = 8) -> DataFrame:
             yield out
 
     return images.mapInPandas(_embed, schema)
+
+
+# --------------------------------------------------------------------------
+# EXIF: metadata extraction, orientation normalization, image-PII scrub
+# --------------------------------------------------------------------------
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("exif_ok", T.BooleanType(), False),
+        T.StructField("has_exif", T.BooleanType(), False),
+        T.StructField("orientation", T.IntegerType(), False),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("datetime_original", T.StringType(), True),
+        T.StructField("has_gps", T.BooleanType(), False),
+        T.StructField("gps_lat", T.DoubleType(), True),
+        T.StructField("gps_lon", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_exif(images: DataFrame) -> DataFrame:
+    """Per-image EXIF fields (jpg rows; other formats → no-exif rows).
+    Map-only Arrow batches; structurally corrupt APP1 blocks surface as
+    ``exif_ok=False`` (quarantine pattern) instead of failing the
+    stage."""
+    from crawler_spark.functions.exif import exif_fields
+
+    def _ex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw, fmt, iid in zip(
+                pdf["bytes"].values, pdf["fmt"].values, pdf["image_id"].values
+            ):
+                rec = {
+                    "image_id": iid, "exif_ok": True, "has_exif": False,
+                    "orientation": 1, "make": None, "model": None,
+                    "datetime_original": None, "has_gps": False,
+                    "gps_lat": None, "gps_lon": None,
+                }
+                if fmt == "jpg" and raw is not None:
+                    try:
+                        f = exif_fields(bytes(raw))
+                        if f is not None:
+                            rec.update(
+                                has_exif=True,
+                                orientation=int(f["orientation"] or 1),
+                                make=f["make"], model=f["model"],
+                                datetime_original=f["datetime_original"],
+                                has_gps=f["has_gps"],
+                                gps_lat=f["gps_lat"], gps_lon=f["gps_lon"],
+                            )
+                    except ValueError:
+                        rec["exif_ok"] = False
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in EXIF_SCHEMA.fields])
+
+    return images.mapInPandas(_ex, EXIF_SCHEMA)
+
+
+def scrub_image_pii(images: DataFrame) -> DataFrame:
+    """Image-side PII scrub (the q51 twin for the payload axis): GPS
+    IFDs, maker notes and unknown Exif tags are dropped by rebuilding
+    each jpg's APP1 from the safe-tag allowlist
+    (``functions/exif.py::strip_gps``); entropy-coded pixels are
+    untouched, so decoded output is byte-identical. Non-jpg rows pass
+    through. Adds ``had_gps`` (audit column). Map-only."""
+    from crawler_spark.functions.exif import strip_gps
+
+    cols = list(images.columns)
+    schema = T.StructType(
+        list(images.schema.fields) + [T.StructField("had_gps", T.BooleanType(), False)]
+    )
+
+    def _scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            new_bytes, had = [], []
+            for raw, fmt in zip(pdf["bytes"].values, pdf["fmt"].values):
+                if fmt == "jpg" and raw is not None:
+                    try:
+                        nb, hg = strip_gps(bytes(raw))
+                    except ValueError:  # corrupt marker walk: keep bytes
+                        nb, hg = bytes(raw), False
+                    new_bytes.append(nb)
+                    had.append(hg)
+                else:
+                    new_bytes.append(raw)
+                    had.append(False)
+            out["bytes"] = new_bytes
+            out["had_gps"] = had
+            yield out
+
+    return images.mapInPandas(_scrub, schema)
+
+
+def orient_images(images: DataFrame) -> DataFrame:
+    """Orientation-normalized features: decode, apply the EXIF display
+    transform (``auto_orient``), recompute (w, h, phash) in display
+    space. Bytes stay as stored — no lossy re-encode; downstream
+    near-dup/embedding stages read the corrected phash/dims plus the
+    ``orientation`` audit column. Map-only Arrow batches."""
+    from crawler_spark.functions.exif import auto_orient, exif_fields
+    from crawler_spark.functions.images import decode_image, phash64
+
+    cols = [c for c in images.columns if c not in ("w", "h", "phash")]
+    schema = T.StructType(
+        [images.schema[c] for c in cols]
+        + [
+            T.StructField("w", T.IntegerType(), True),
+            T.StructField("h", T.IntegerType(), True),
+            T.StructField("phash", T.LongType(), True),
+            T.StructField("orientation", T.IntegerType(), False),
+            T.StructField("orient_ok", T.BooleanType(), False),
+        ]
+    )
+
+    def _orient(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            ws, hs, phs, ors, oks = [], [], [], [], []
+            for raw, fmt in zip(pdf["bytes"].values, pdf["fmt"].values):
+                w = h = ph = None
+                o, ok = 1, False
+                if raw is not None:
+                    try:
+                        arr = decode_image(bytes(raw), fmt)
+                        if fmt == "jpg":
+                            f = exif_fields(bytes(raw))
+                            if f is not None:
+                                o = int(f["orientation"] or 1)
+                        arr = auto_orient(arr, o)
+                        h, w = int(arr.shape[0]), int(arr.shape[1])
+                        ph = int(phash64(arr))
+                        ok = True
+                    except Exception:
+                        pass
+                ws.append(w); hs.append(h); phs.append(ph)
+                ors.append(o); oks.append(ok)
+            out["w"] = pd.array(ws, dtype="Int32")
+            out["h"] = pd.array(hs, dtype="Int32")
+            out["phash"] = pd.array(phs, dtype="Int64")
+            out["orientation"] = ors
+            out["orient_ok"] = oks
+            yield out
+
+    return images.mapInPandas(_orient, schema)
