@@ -66,12 +66,12 @@ _STRONG_RE = re.compile(r"(?is)<(?:strong|b)\b[^>]*>(.*?)</(?:strong|b)>")
 _EM_RE = re.compile(r"(?is)<(?:em|i)\b[^>]*>(.*?)</(?:em|i)>")
 _DEL_RE = re.compile(r"(?is)<(?:del|s|strike)\b[^>]*>(.*?)</(?:del|s|strike)>")
 _A_RE = re.compile(r"(?is)<a\b[^>]*?href=[\"']([^\"']*)[\"'][^>]*>(.*?)</a>")
-_IMG_RE = re.compile(
-    r"(?is)<img\b[^>]*?src=[\"']([^\"']*)[\"'][^>]*?(?:alt=[\"']([^\"']*)[\"'][^>]*?)?/?>"
-)
-_IMG_ALT_FIRST_RE = re.compile(
-    r"(?is)<img\b[^>]*?alt=[\"']([^\"']*)[\"'][^>]*?src=[\"']([^\"']*)[\"'][^>]*?/?>"
-)
+_IMG_TAG_RE = re.compile(r"(?is)<img\b[^>]*/?>")
+_PICTURE_RE = re.compile(r"(?is)<picture\b[^>]*>(.*?)</picture>")
+_SOURCE_RE = re.compile(r"(?is)<source\b[^>]*/?>")
+_FIGURE_RE = re.compile(r"(?is)<figure\b[^>]*>(.*?)</figure>")
+_FIGCAP_RE = re.compile(r"(?is)<figcaption\b[^>]*>(.*?)</figcaption>")
+_ATTR_RE = re.compile(r"(?s)([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*')")
 _OL_RE = re.compile(r"(?is)<ol\b[^>]*>(.*?)</ol>")
 _LI_RE = re.compile(r"(?is)<li\b[^>]*>(.*?)</li>")
 _BQ_RE = re.compile(r"(?is)<blockquote\b[^>]*>(.*?)</blockquote>")
@@ -118,6 +118,135 @@ def _smartypants(t: str) -> str:
         s = s.replace("'", "\u2019")
         parts[i] = s
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Real-web image discovery: srcset / <picture> / lazy-load / <figcaption>
+# --------------------------------------------------------------------------
+
+#: lazy-loading attribute fallbacks, checked in this order (the common
+#: loader conventions: lazysizes, jquery.lazyload, WP themes)
+LAZY_SRC_ATTRS = ("data-src", "data-lazy-src", "data-original")
+
+
+def _tag_attrs(tag_text: str) -> dict[str, str]:
+    """Quoted attributes of one tag → {name.lower(): value}."""
+    return {
+        m.group(1).lower(): m.group(2)[1:-1]
+        for m in _ATTR_RE.finditer(tag_text)
+    }
+
+
+def _is_placeholder(url: str | None) -> bool:
+    """Lazy-loader stand-ins that must never reach the frontier:
+    empty, inline data URIs (1px gifs), about:blank."""
+    if not url:
+        return True
+    u = url.strip().lower()
+    return u == "" or u.startswith("data:") or u.startswith("about:")
+
+
+def parse_srcset(value: str) -> list[tuple[str, float, str]]:
+    """HTML-spec srcset grammar (comma-separated image candidate
+    strings, each ``URL [Nw | Nx]``) → [(url, weight, kind)] where
+    kind is ``"w"``/``"x"``/``""``. Whitespace-tolerant; candidates
+    whose URL is a placeholder are dropped."""
+    out: list[tuple[str, float, str]] = []
+    for part in value.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        url = toks[0]
+        if _is_placeholder(url):
+            continue
+        weight, kind = 1.0, ""
+        if len(toks) > 1:
+            d = toks[1].lower()
+            m = re.fullmatch(r"([0-9]+(?:\.[0-9]+)?)([wx])", d)
+            if m:
+                weight, kind = float(m.group(1)), m.group(2)
+        out.append((url, weight, kind))
+    return out
+
+
+def _best_srcset(value: str) -> str | None:
+    """Pick the highest-resolution candidate: width descriptors first
+    (largest ``w``), then density (largest ``x``), else first listed."""
+    cands = parse_srcset(value)
+    if not cands:
+        return None
+    ws = [c for c in cands if c[2] == "w"]
+    if ws:
+        return max(ws, key=lambda c: c[1])[0]
+    xs = [c for c in cands if c[2] == "x"]
+    if xs:
+        return max(xs, key=lambda c: c[1])[0]
+    return cands[0][0]
+
+
+def resolve_img(tag_text: str) -> tuple[str, str]:
+    """One ``<img …>`` tag → (best_url, alt).
+
+    Resolution order (deterministic, documented): largest srcset /
+    data-srcset candidate; else ``src`` when it isn't a lazy-loader
+    placeholder; else the data-src fallbacks; else the raw ``src``
+    (legacy passthrough so pre-existing goldens keep their bytes)."""
+    a = _tag_attrs(tag_text)
+    alt = a.get("alt", "")
+    for attr in ("srcset", "data-srcset"):
+        if attr in a:
+            best = _best_srcset(a[attr])
+            if best is not None:
+                return best, alt
+    src = a.get("src", "")
+    if not _is_placeholder(src):
+        return src, alt
+    for attr in LAZY_SRC_ATTRS:
+        if not _is_placeholder(a.get(attr)):
+            return a[attr], alt
+    return src, alt
+
+
+def _picture_md(inner: str) -> str:
+    """<picture>: first <source> with a usable srcset wins (browser
+    source-selection order), falling back to the inner <img>; alt
+    always comes from the <img>."""
+    img = _IMG_TAG_RE.search(inner)
+    url, alt = resolve_img(img.group(0)) if img else ("", "")
+    for sm in _SOURCE_RE.finditer(inner):
+        sa = _tag_attrs(sm.group(0))
+        best = _best_srcset(sa.get("srcset", ""))
+        if best is not None:
+            url = best
+            break
+    return f"![{alt}]({url})"
+
+
+def _figure_md(m: re.Match) -> str:
+    """<figure>: the figcaption text becomes the image caption (alt
+    slot) — it outranks alt, which real pages leave empty or stuff
+    with filenames. Non-image figure content survives for the later
+    passes."""
+    inner = m.group(1)
+    capm = _FIGCAP_RE.search(inner)
+    rest = _FIGCAP_RE.sub("", inner)
+    pm = _PICTURE_RE.search(rest)
+    if pm:
+        md = _picture_md(pm.group(1))
+        rest = _PICTURE_RE.sub("", rest, count=1)
+    else:
+        im = _IMG_TAG_RE.search(rest)
+        if im is None:
+            return m.group(0)  # no image: leave for the block passes
+        url, alt = resolve_img(im.group(0))
+        md = f"![{alt}]({url})"
+        rest = _IMG_TAG_RE.sub("", rest, count=1)
+    if capm:
+        caption = re.sub(r"\s+", " ", _TAG_RE.sub("", capm.group(1))).strip()
+        if caption:
+            md = re.sub(r"^!\[[^\]]*\]", f"![{caption}]", md)
+    rest = rest.strip()
+    return f"\n\n{md}\n\n{rest}\n\n" if rest else f"\n\n{md}\n\n"
 
 
 def _cell_text(raw: str) -> str:
@@ -189,6 +318,10 @@ def html_to_md(html: str) -> str:
         return f"\n\n\x01{len(tables) - 1}\x01\n\n"
 
     t = _TABLE_RE.sub(_table_stash, t)
+    # figures/pictures before the generic block+inline passes: they
+    # own their inner <img>/<figcaption> (caption pairing + srcset)
+    t = _FIGURE_RE.sub(_figure_md, t)
+    t = _PICTURE_RE.sub(lambda m: _picture_md(m.group(1)), t)
     # block constructs
     t = _HEAD_RE.sub(lambda m: "\n\n" + "#" * int(m.group(1)) + " " + m.group(2).strip() + "\n\n", t)
     t = _BQ_RE.sub(lambda m: "\n\n> " + m.group(1).strip() + "\n\n", t)
@@ -203,9 +336,11 @@ def html_to_md(html: str) -> str:
         return tables[int(m.group(1))]
 
     t = re.sub(r"\x01(\d+)\x01", _table_restore, t)
-    # inline constructs (image before link: <img> has no closing </a> clash)
-    t = _IMG_ALT_FIRST_RE.sub(lambda m: f"![{m.group(1)}]({m.group(2)})", t)
-    t = _IMG_RE.sub(lambda m: f"![{m.group(2) or ''}]({m.group(1)})", t)
+    # inline constructs (image before link: <img> has no closing </a>
+    # clash). resolve_img handles srcset + lazy-load fallbacks.
+    t = _IMG_TAG_RE.sub(
+        lambda m: "![{}]({})".format(*reversed(resolve_img(m.group(0)))), t
+    )
     t = _A_RE.sub(lambda m: f"[{m.group(2).strip()}]({m.group(1)})", t)
     t = _STRONG_RE.sub(lambda m: f"**{m.group(1).strip()}**", t)
     t = _EM_RE.sub(lambda m: f"*{m.group(1).strip()}*", t)

@@ -106,3 +106,92 @@ def test_udf_surface(spark):
     # null passthrough
     one = spark.createDataFrame([(None,)], "html string")
     assert one.select(html_to_md_udf("html").alias("md")).first()["md"] is None
+
+
+# ---------------------------------------------------------------------------
+# r4: real-web image discovery — srcset / <picture> / lazy-load / figcaption
+# ---------------------------------------------------------------------------
+
+
+def test_srcset_picks_largest_width():
+    html = (
+        '<p><img src="http://x/s.jpg" alt="A" '
+        'srcset="http://x/s.jpg 320w, http://x/l.jpg 1280w, http://x/m.jpg 640w"></p>'
+    )
+    assert html_to_md(html) == "![A](http://x/l.jpg)"
+
+
+def test_srcset_density_and_bare_candidates():
+    # density descriptors: largest x wins
+    html = '<img srcset="http://x/1.jpg 1x , http://x/2.jpg 2x" alt="d">'
+    assert html_to_md(html) == "![d](http://x/2.jpg)"
+    # no descriptors: first candidate
+    html = '<img srcset="http://x/a.jpg, http://x/b.jpg" alt="f">'
+    assert html_to_md(html) == "![f](http://x/a.jpg)"
+
+
+def test_lazy_load_fallbacks():
+    # 1px data-URI placeholder src + data-src ⇒ data-src wins
+    html = (
+        '<img src="data:image/gif;base64,R0lGOD" '
+        'data-src="http://x/real.jpg" alt="lazy">'
+    )
+    assert html_to_md(html) == "![lazy](http://x/real.jpg)"
+    # data-srcset outranks placeholder src
+    html = (
+        '<img src="data:image/gif;base64,R0lGOD" '
+        'data-srcset="http://x/a.jpg 480w, http://x/b.jpg 960w" alt="ls">'
+    )
+    assert html_to_md(html) == "![ls](http://x/b.jpg)"
+    # real src is NOT overridden by data-src (srcset absent)
+    html = '<img src="http://x/real.jpg" data-src="http://x/other.jpg" alt="r">'
+    assert html_to_md(html) == "![r](http://x/real.jpg)"
+
+
+def test_picture_source_selection():
+    html = (
+        "<picture>"
+        '<source srcset="http://x/p1.webp 1x, http://x/p2.webp 2x">'
+        '<source srcset="http://x/q.jpg">'
+        '<img src="http://x/fallback.jpg" alt="pic">'
+        "</picture>"
+    )
+    # first usable <source> wins (browser order); alt from the <img>
+    assert html_to_md(html) == "![pic](http://x/p2.webp)"
+    # no sources ⇒ the img fallback
+    html = '<picture><img src="http://x/f.jpg" alt="pf"></picture>'
+    assert html_to_md(html) == "![pf](http://x/f.jpg)"
+
+
+def test_figcaption_outranks_alt():
+    html = (
+        "<figure>"
+        '<img src="http://x/duc-me.jpg" alt="IMG_1234.jpg">'
+        "<figcaption>Đức Mẹ <em>La Vang</em></figcaption>"
+        "</figure>"
+    )
+    assert html_to_md(html) == "![Đức Mẹ La Vang](http://x/duc-me.jpg)"
+
+
+def test_figure_with_picture_and_no_caption():
+    html = (
+        "<figure><picture>"
+        '<source srcset="http://x/w.webp 800w">'
+        '<img src="http://x/w.jpg" alt="giữ alt">'
+        "</picture></figure>"
+    )
+    assert html_to_md(html) == "![giữ alt](http://x/w.webp)"
+    # figure without an image is left to the normal block passes
+    assert html_to_md("<figure><p>chỉ chữ</p></figure>") == "chỉ chữ"
+
+
+def test_figure_keeps_non_image_content():
+    html = (
+        "<figure>"
+        '<img src="http://x/i.jpg" alt="">'
+        "<figcaption>Chú thích</figcaption>"
+        "<p>thêm chữ</p>"
+        "</figure>"
+    )
+    out = html_to_md(html)
+    assert "![Chú thích](http://x/i.jpg)" in out and "thêm chữ" in out
