@@ -2669,11 +2669,16 @@ ORACLE_SQL["q55_sequence_packing"] = Q55_SQL
 # functions/jpeg2000.py (lossless 5/3+RCT) — through one mapInPandas
 # pass: encode → decode → PSNR vs the source pixels → the per-row
 # invariant verdict (exact round-trip for lossless formats, ≥ 40 dB
-# for lossy; BASELINE.json input_hint). The DuckDB oracle pins every
-# SQL-derivable output column (id, fmt, dims, verdict): if a codec or
-# the Arrow plumbing breaks, `ok` flips (or decode raises) and the row
-# set diverges. The reference drops images outright
-# (src/lib/md/mdUtils.ts:23-44); this is the graft's replacement.
+# for lossy; BASELINE.json input_hint). The jpg rows additionally walk
+# the EXIF leg (r4, functions/exif.py): an APP1 with orientation + GPS
+# is planted, parsed back exactly, GPS-scrubbed with byte-identical
+# decoded pixels, and the orientation display transform must produce
+# the transposed dims — all folded into the same `ok` verdict. The
+# DuckDB oracle pins every SQL-derivable output column (id, fmt, dims,
+# verdict): if a codec, the EXIF path, or the Arrow plumbing breaks,
+# `ok` flips (or decode raises) and the row set diverges. The
+# reference drops images outright (src/lib/md/mdUtils.ts:23-44); this
+# is the graft's replacement.
 # ---------------------------------------------------------------------------
 
 _Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2", "webp", "tiff", "gif", "ico"]  # mirrored in Q56_SQL
@@ -2714,11 +2719,41 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if fmt == "gif":  # GIF is palettized: quantize ≤64 colors
                     arr = (arr // 64 * 64).astype(np.uint8)
                 data = im.encode_image(arr, fmt)
+                if fmt == "jpg":  # EXIF leg: plant → parse → scrub
+                    from crawler_spark.functions import exif as exif_mod
+
+                    orient = 1 + (doc_id % 8)
+                    data = exif_mod.insert_exif(
+                        data,
+                        orientation=orient,
+                        make="SparkCam",
+                        gps=(10.0 + doc_id / 100.0, 106.0 + doc_id / 100.0),
+                    )
                 back = im.decode_image(data, fmt)
                 if fmt in im.LOSSY_FMTS:
                     ok = bool(im.psnr(arr, back) >= 40.0)
                 else:
                     ok = bool(np.array_equal(arr, back))
+                if fmt == "jpg":
+                    f = exif_mod.exif_fields(data)
+                    scrubbed, had_gps = exif_mod.strip_gps(data)
+                    f2 = exif_mod.exif_fields(scrubbed)
+                    disp = exif_mod.auto_orient(back, orient)
+                    want = (w, h) if orient >= 5 else (h, w)
+                    ok = bool(
+                        ok
+                        and f is not None
+                        and f["orientation"] == orient
+                        and f["has_gps"]
+                        and abs(f["gps_lat"] - (10.0 + doc_id / 100.0)) < 1e-6
+                        and had_gps
+                        and not f2["has_gps"]
+                        and f2["make"] == "SparkCam"
+                        and np.array_equal(
+                            im.decode_image(scrubbed, "jpg"), back
+                        )
+                        and disp.shape[:2] == want
+                    )
                 rows.append((f"img{doc_id:04d}", fmt, w, h, ok))
             yield pd.DataFrame(
                 rows, columns=["image_id", "fmt", "w", "h", "ok"]
