@@ -337,10 +337,17 @@ def html_to_md(html: str) -> str:
 
     t = re.sub(r"\x01(\d+)\x01", _table_restore, t)
     # inline constructs (image before link: <img> has no closing </a>
-    # clash). resolve_img handles srcset + lazy-load fallbacks.
-    t = _IMG_TAG_RE.sub(
-        lambda m: "![{}]({})".format(*reversed(resolve_img(m.group(0)))), t
-    )
+    # clash). resolve_img handles srcset + lazy-load fallbacks; an img
+    # that resolves to nothing but a data-URI placeholder is loader
+    # noise (the real URL lives in a sibling the loader fills in) —
+    # keep its alt text, never the placeholder URL.
+    def _img_md(m: re.Match) -> str:
+        url, alt = resolve_img(m.group(0))
+        if _is_placeholder(url) and url != "":
+            return alt
+        return f"![{alt}]({url})"
+
+    t = _IMG_TAG_RE.sub(_img_md, t)
     t = _A_RE.sub(lambda m: f"[{m.group(2).strip()}]({m.group(1)})", t)
     t = _STRONG_RE.sub(lambda m: f"**{m.group(1).strip()}**", t)
     t = _EM_RE.sub(lambda m: f"*{m.group(1).strip()}*", t)

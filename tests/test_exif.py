@@ -229,3 +229,39 @@ def test_orient_images_stage(spark, exif_images):
     )
     arr = ex.auto_orient(im.decode_image(raw, "jpg"), 6)
     assert g["phash"] == im.phash64(arr)
+
+
+# ---------------------------------------------------------------------------
+# composition: orientation-normalized near-dup (orient_images feeds the
+# banded pHash operator — rotated re-posts of one photo must cluster)
+# ---------------------------------------------------------------------------
+
+
+def test_orientation_invariant_near_dup(spark):
+    from crawler_spark.operators.images_pipeline import (
+        near_duplicate_images,
+        orient_images,
+    )
+
+    rng = np.random.default_rng(77)
+    base = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    upright = im.encode_image(base, "jpg")
+    # the same photo stored rotated 90° CW with orientation 8 — i.e.
+    # camera wrote rotated pixels and tagged how to display them back
+    rotated = ex.insert_exif(
+        im.encode_image(ex.inverse_orient(base, 8), "jpg"), orientation=8
+    )
+    other = im.encode_image(
+        rng.integers(0, 256, (32, 48, 3), dtype=np.uint8), "jpg"
+    )
+    df = spark.createDataFrame(
+        [("up", upright, "jpg"), ("rot", rotated, "jpg"), ("oth", other, "jpg")],
+        "image_id string, bytes binary, fmt string",
+    )
+    oriented = orient_images(df)
+    pairs = near_duplicate_images(
+        oriented.select("image_id", "phash"), max_hamming=7
+    )
+    got = {tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.collect()}
+    assert ("rot", "up") in got
+    assert all("oth" not in p for p in got)

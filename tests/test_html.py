@@ -195,3 +195,20 @@ def test_figure_keeps_non_image_content():
     )
     out = html_to_md(html)
     assert "![Chú thích](http://x/i.jpg)" in out and "thêm chữ" in out
+
+
+def test_unresolvable_placeholder_img_drops_to_alt():
+    # loader noise: data-URI src with no real alternative — keep the
+    # alt text, never emit a data: URL into the image stream
+    html = '<p>trước <img src="data:image/gif;base64,R0lGOD" alt="chú thích"> sau</p>'
+    assert html_to_md(html) == "trước chú thích sau"
+    # the <noscript> twin pattern: placeholder img + real img both
+    # present ⇒ exactly one markdown image, the real one
+    html = (
+        '<img src="data:image/gif;base64,R0lGOD" alt="x">'
+        '<noscript><img src="http://x/real.jpg" alt="x"></noscript>'
+    )
+    out = html_to_md(html)
+    assert out.count("![") == 1 and "http://x/real.jpg" in out
+    # empty src keeps the legacy empty-URL construct
+    assert html_to_md('<img alt="a">') == "![a]()"
