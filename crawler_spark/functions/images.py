@@ -1180,6 +1180,20 @@ def decode_webp(data: bytes) -> np.ndarray:
     return _dec(bytes(data))
 
 
+def encode_svg(arr: np.ndarray) -> bytes:
+    """SVG (functions/svg.py): run-length ``<rect>`` emission — valid
+    standalone SVG, exactly lossless under the subset rasterizer."""
+    from crawler_spark.functions.svg import encode_svg as _enc
+
+    return _enc(arr)
+
+
+def decode_svg(data: bytes) -> np.ndarray:
+    from crawler_spark.functions.svg import decode_svg as _dec
+
+    return _dec(bytes(data))
+
+
 def encode_tiff(arr: np.ndarray) -> bytes:
     """TIFF (functions/tiff.py): LZW + horizontal predictor, chunky
     RGB strips — lossless for the registry contract."""
@@ -1205,6 +1219,7 @@ CODECS = {
     "webp": (encode_webp, decode_webp),
     "tiff": (encode_tiff, decode_tiff),
     "ico": (encode_ico, decode_ico),
+    "svg": (encode_svg, decode_svg),
 }
 LOSSY_FMTS = {"qjpg", "jpg"}
 

@@ -2681,7 +2681,7 @@ ORACLE_SQL["q55_sequence_packing"] = Q55_SQL
 # is the graft's replacement.
 # ---------------------------------------------------------------------------
 
-_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2", "webp", "tiff", "gif", "ico"]  # mirrored in Q56_SQL
+_Q56_FMTS = ["ppm", "bmp", "png", "qjpg", "jpg", "jp2", "webp", "tiff", "gif", "ico", "svg"]  # mirrored in Q56_SQL
 
 
 def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2716,7 +2716,11 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                     axis=-1,
                 ).astype(np.uint8)
-                if fmt == "gif":  # GIF is palettized: quantize ≤64 colors
+                if fmt in ("gif", "svg"):
+                    # GIF is palettized; SVG is run-length vector —
+                    # quantize to ≤64 colors (GIF: palette bound; SVG:
+                    # full-variance noise is the pathological case for
+                    # a vector format, not its envelope)
                     arr = (arr // 64 * 64).astype(np.uint8)
                 data = im.encode_image(arr, fmt)
                 if fmt == "jpg":  # EXIF leg: plant → parse → scrub
@@ -2766,10 +2770,10 @@ def q56_image_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q56_SQL = """
 SELECT 'img' || lpad(doc_id::VARCHAR, 4, '0') AS image_id,
-       CASE doc_id % 10 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+       CASE doc_id % 11 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
             WHEN 2 THEN 'png' WHEN 3 THEN 'qjpg' WHEN 4 THEN 'jpg'
             WHEN 5 THEN 'jp2' WHEN 6 THEN 'webp' WHEN 7 THEN 'tiff'
-            WHEN 8 THEN 'gif' ELSE 'ico' END AS fmt,
+            WHEN 8 THEN 'gif' WHEN 9 THEN 'ico' ELSE 'svg' END AS fmt,
        (16 + (doc_id % 4) * 16)::INT AS w,
        (16 + ((doc_id * 3) % 4) * 16)::INT AS h,
        true AS ok
