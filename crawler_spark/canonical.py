@@ -13,6 +13,10 @@ for agreement:
     (JVM-side, whole-stage-codegen'd — the hot path).
 
 Spec (applied in order):
+  0. non-hierarchical schemes (``data:``/``about:``/``mailto:``/
+     ``javascript:``) pass through trimmed but otherwise UNCHANGED —
+     a data URI's payload is case-significant (base64), and none of
+     these ever reach the frontier (they carry no host)
   1. strip surrounding whitespace
   2. drop the ``#fragment``
   3. default scheme ``http`` if missing ``://``
@@ -36,10 +40,15 @@ from pyspark.sql import functions as F
 
 _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://")
 
+#: opaque (non-hierarchical) schemes: canonicalization is identity
+_OPAQUE_RE = re.compile(r"^(?:data|about|mailto|javascript):", re.I)
+
 
 def canonicalize(url: str) -> str:
     """Pure-Python mirror of :func:`canonical_url_col`."""
     u = url.strip()
+    if _OPAQUE_RE.match(u):
+        return u
     hash_idx = u.find("#")
     if hash_idx >= 0:
         u = u[:hash_idx]
@@ -72,8 +81,8 @@ def canonical_url_col(url: Column | str) -> Column:
     spec — no UDF, stays inside whole-stage codegen. Must agree with
     :func:`canonicalize` byte-for-byte (tested on a seeded adversarial corpus)."""
     c = F.col(url) if isinstance(url, str) else url
-    u = F.trim(c)  # parity with canonicalize() tested in tests/test_canonical.py
-    u = F.regexp_replace(u, r"(?s)#.*$", "")
+    t = F.trim(c)  # parity with canonicalize() tested in tests/test_canonical.py
+    u = F.regexp_replace(t, r"(?s)#.*$", "")
     has_scheme = u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://")
     u = F.when(has_scheme, u).otherwise(F.concat(F.lit("http://"), u))
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -90,7 +99,10 @@ def canonical_url_col(url: Column | str) -> Column:
     path = F.regexp_replace(path, r"/{2,}", "/")
     path = F.when(F.length(path) > 1, F.regexp_replace(path, r"/$", "")).otherwise(path)
     query = F.when(query == F.lit("?"), F.lit("")).otherwise(query)
-    return F.concat(scheme, F.lit("://"), hostport, path, query)
+    hier = F.concat(scheme, F.lit("://"), hostport, path, query)
+    return F.when(
+        t.rlike(r"^(?i)(?:data|about|mailto|javascript):"), t
+    ).otherwise(hier)
 
 
 def host_col(canonical: Column | str) -> Column:

@@ -146,6 +146,52 @@ def _is_placeholder(url: str | None) -> bool:
     return u == "" or u.startswith("data:") or u.startswith("about:")
 
 
+_DATA_URI_RE = re.compile(r"^data:([^,]*),(.*)$", re.S)
+
+
+def parse_data_uri(url: str) -> tuple[str, bytes] | None:
+    """RFC 2397 data URI → (mediatype, payload bytes), or None when it
+    doesn't parse. Handles the ``;base64`` encoding (whitespace
+    tolerant, as browsers are) and the percent-encoded text form."""
+    m = _DATA_URI_RE.match(url.strip())
+    if m is None:
+        return None
+    meta, raw = m.group(1), m.group(2)
+    parts = [p.strip() for p in meta.split(";") if p.strip()]
+    is_b64 = bool(parts) and parts[-1].lower() == "base64"
+    mediatype = (parts[0] if parts and "/" in parts[0] else "text/plain").lower()
+    try:
+        if is_b64:
+            import base64
+
+            s = re.sub(r"\s+", "", raw)
+            s += "=" * (-len(s) % 4)  # browsers tolerate missing padding
+            payload = base64.b64decode(s, validate=True)
+        else:
+            from urllib.parse import unquote_to_bytes
+
+            payload = unquote_to_bytes(raw)
+    except (ValueError, TypeError):
+        return None
+    return mediatype, payload
+
+
+def substantive_data_uri(url: str) -> bool:
+    """True when an inline data URI carries a REAL image: the payload
+    header-probes as a registry format (magic bytes, never the
+    mediatype label — the real web lies there too) with claimed
+    dimensions above the tracker/placeholder floor (1×1 and 2×2
+    beacons are loader noise; anything larger is content a crawler
+    would have fetched from a URL)."""
+    parsed = parse_data_uri(url)
+    if parsed is None:
+        return False
+    from crawler_spark.functions.images import probe_image
+
+    probe = probe_image(parsed[1])
+    return probe is not None and max(probe[1], probe[2]) > 2
+
+
 def parse_srcset(value: str) -> list[tuple[str, float, str]]:
     """HTML-spec srcset grammar (comma-separated image candidate
     strings, each ``URL [Nw | Nx]``) → [(url, weight, kind)] where
@@ -340,10 +386,16 @@ def html_to_md(html: str) -> str:
     # clash). resolve_img handles srcset + lazy-load fallbacks; an img
     # that resolves to nothing but a data-URI placeholder is loader
     # noise (the real URL lives in a sibling the loader fills in) —
-    # keep its alt text, never the placeholder URL.
+    # keep its alt text, never the placeholder URL. EXCEPTION: a data
+    # URI whose payload header-probes as a real image above the 1-2px
+    # tracker floor is inline CONTENT (small logos/icons ship this
+    # way) — it keeps its markdown row and is ingested downstream
+    # without a fetch (operators/images_pipeline.ingest_data_uris).
     def _img_md(m: re.Match) -> str:
         url, alt = resolve_img(m.group(0))
         if _is_placeholder(url) and url != "":
+            if url.strip().lower().startswith("data:") and substantive_data_uri(url):
+                return f"![{alt}]({url.strip()})"
             return alt
         return f"![{alt}]({url})"
 

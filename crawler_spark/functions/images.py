@@ -1233,6 +1233,233 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Content sniffing: the real web lies about extensions and Content-Type
+# (a .jpg URL serving PNG bytes is routine), so byte-store ingestion
+# trusts magic bytes, never labels. sniff_format is prefix-only (no
+# decode); probe_image additionally reads w/h from the HEADER alone —
+# the cheap pre-decode filter a crawler runs on every payload (drop
+# 1-px trackers, skip decoding past a size budget) without paying the
+# entropy-decode cost.
+# ---------------------------------------------------------------------------
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Magic-byte detection over the codec registry → fmt key or None."""
+    d = bytes(data[:64])
+    if d.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if d.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if d.startswith(b"\xff\xd8\xff"):
+        return "jpg"
+    if d.startswith(b"RIFF") and d[8:12] == b"WEBP":
+        return "webp"
+    if d.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
+    if d.startswith(b"\x00\x00\x00\x0cjP  \r\n\x87\n") or d.startswith(b"\xff\x4f\xff\x51"):
+        return "jp2"
+    if d.startswith(b"BM"):
+        return "bmp"
+    if d.startswith(b"\x00\x00\x01\x00"):
+        return "ico"
+    if d.startswith(b"QJPG"):
+        return "qjpg"
+    if len(d) >= 3 and d[0:1] == b"P" and d[1] in b"123456" and d[2:3].isspace():
+        return "ppm"
+    # SVG: XML with an <svg> root — skip BOM, whitespace, <?...?>
+    # decls, comments, and DOCTYPE before the first element
+    head = bytes(data[:1024])
+    if head.startswith(b"\xef\xbb\xbf"):
+        head = head[3:]
+    i = 0
+    while i < len(head):
+        while i < len(head) and head[i : i + 1].isspace():
+            i += 1
+        if head[i : i + 2] == b"<?":
+            j = head.find(b"?>", i)
+            if j < 0:
+                return None
+            i = j + 2
+        elif head[i : i + 4] == b"<!--":
+            j = head.find(b"-->", i)
+            if j < 0:
+                return None
+            i = j + 3
+        elif head[i : i + 2] == b"<!":  # DOCTYPE
+            j = head.find(b">", i)
+            if j < 0:
+                return None
+            i = j + 1
+        else:
+            break
+    if head[i : i + 4] == b"<svg" and (
+        len(head) == i + 4 or head[i + 4 : i + 5] in (b" ", b"\t", b"\n", b"\r", b">", b"/")
+    ):
+        return "svg"
+    return None
+
+
+def _jpeg_header_dims(d: bytes) -> tuple[int, int] | None:
+    """Marker walk to the first SOF (C0–C3, C5–C7, C9–CB, CD–CF)."""
+    i = 2
+    n = len(d)
+    while i + 4 <= n:
+        if d[i] != 0xFF:
+            i += 1
+            continue
+        m = d[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xFF:
+            i += 1
+            continue
+        seglen = int.from_bytes(d[i + 2 : i + 4], "big")
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(d[i + 5 : i + 7], "big")
+            w = int.from_bytes(d[i + 7 : i + 9], "big")
+            return (w, h)
+        i += 2 + seglen
+    return None
+
+
+def probe_image(data: bytes) -> tuple[str, int, int] | None:
+    """(fmt, w, h) from magic bytes + header fields ONLY (no pixel
+    decode), or None when the bytes are not a registry format / the
+    header is truncated. The w/h is what the header CLAIMS — the
+    decode stage still validates; this is the pre-decode gate."""
+    data = bytes(data)
+    fmt = sniff_format(data)
+    if fmt is None:
+        return None
+    try:
+        if fmt == "png":
+            w = int.from_bytes(data[16:20], "big")
+            h = int.from_bytes(data[20:24], "big")
+        elif fmt == "gif":
+            w = int.from_bytes(data[6:8], "little")
+            h = int.from_bytes(data[8:10], "little")
+        elif fmt == "jpg":
+            wh = _jpeg_header_dims(data)
+            if wh is None:
+                return None
+            w, h = wh
+        elif fmt == "bmp":
+            w = int.from_bytes(data[18:22], "little", signed=True)
+            h = abs(int.from_bytes(data[22:26], "little", signed=True))
+        elif fmt == "webp":
+            chunk = data[12:16]
+            if chunk == b"VP8L":
+                bits = int.from_bytes(data[21:25], "little")
+                w = (bits & 0x3FFF) + 1
+                h = ((bits >> 14) & 0x3FFF) + 1
+            elif chunk == b"VP8X":
+                w = int.from_bytes(data[24:27], "little") + 1
+                h = int.from_bytes(data[27:30], "little") + 1
+            elif chunk == b"VP8 ":
+                # lossy keyframe: dims at the frame-header tag
+                w = int.from_bytes(data[26:28], "little") & 0x3FFF
+                h = int.from_bytes(data[28:30], "little") & 0x3FFF
+            else:
+                return None
+        elif fmt == "tiff":
+            endian = "<" if data[:2] == b"II" else ">"
+            bo = "little" if endian == "<" else "big"
+            off = int.from_bytes(data[4:8], bo)
+            cnt = int.from_bytes(data[off : off + 2], bo)
+            w = h = 0
+            for k in range(cnt):
+                e = off + 2 + 12 * k
+                tag = int.from_bytes(data[e : e + 2], bo)
+                typ = int.from_bytes(data[e + 2 : e + 4], bo)
+                val = int.from_bytes(
+                    data[e + 8 : e + 10] if typ == 3 else data[e + 8 : e + 12], bo
+                )
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+            if not (w and h):
+                return None
+        elif fmt == "ico":
+            w = data[6] or 256
+            h = data[7] or 256
+        elif fmt == "jp2":
+            i = data.find(b"ihdr")  # jp2h header box when present
+            if 0 <= i < 256:
+                h = int.from_bytes(data[i + 4 : i + 8], "big")
+                w = int.from_bytes(data[i + 8 : i + 12], "big")
+            else:
+                # SOC+SIZ of the codestream (raw or inside a jp2c box):
+                # Xsiz/Ysiz minus the XOsiz/YOsiz grid offsets
+                p = data.find(b"\xff\x4f\xff\x51")
+                if p < 0:
+                    return None
+                w = int.from_bytes(data[p + 8 : p + 12], "big") - int.from_bytes(
+                    data[p + 16 : p + 20], "big"
+                )
+                h = int.from_bytes(data[p + 12 : p + 16], "big") - int.from_bytes(
+                    data[p + 20 : p + 24], "big"
+                )
+        elif fmt == "qjpg":
+            w = int.from_bytes(data[4:6], "little")
+            h = int.from_bytes(data[6:8], "little")
+        elif fmt == "ppm":
+            parts: list[int] = []
+            i = 2
+            while len(parts) < 2 and i < len(data):
+                while i < len(data) and data[i : i + 1].isspace():
+                    i += 1
+                if data[i : i + 1] == b"#":
+                    while i < len(data) and data[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < len(data) and not data[j : j + 1].isspace():
+                    j += 1
+                parts.append(int(data[i:j]))
+                i = j
+            if len(parts) < 2:
+                return None
+            w, h = parts
+        else:  # svg — regex the root tag only (no full XML parse)
+            import re as _re
+
+            m = _re.search(rb"<svg\b[^>]*>", data[:4096])
+            if m is None:
+                return None
+            tag = m.group(0).decode("utf-8", "replace")
+            wm = _re.search(r"""width=["']([0-9.]+)["']""", tag)
+            hm = _re.search(r"""height=["']([0-9.]+)["']""", tag)
+            if wm and hm:
+                w, h = int(float(wm.group(1))), int(float(hm.group(1)))
+            else:
+                vb = _re.search(r"""viewBox=["']([^"']*)["']""", tag)
+                if not vb:
+                    return None
+                nums = [float(x) for x in vb.group(1).replace(",", " ").split()]
+                if len(nums) != 4:
+                    return None
+                w, h = int(nums[2]), int(nums[3])
+        if w <= 0 or h <= 0:
+            return None
+        return (fmt, int(w), int(h))
+    except (IndexError, ValueError):
+        return None
+
+
+def decode_image_auto(data: bytes) -> tuple[str, np.ndarray]:
+    """Sniff-then-decode: (fmt, pixels). Raises ValueError when the
+    bytes match no registry magic."""
+    fmt = sniff_format(data)
+    if fmt is None:
+        raise ValueError("unrecognized image bytes")
+    return fmt, decode_image(bytes(data), fmt)
+
+
+# ---------------------------------------------------------------------------
 # Perceptual hash + PSNR
 # ---------------------------------------------------------------------------
 

@@ -78,15 +78,27 @@ def build_images_table(extractions: DataFrame, byte_store: DataFrame) -> DataFra
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crawler_spark.functions.images import sniff_format
+
         for pdf in batches:
-            stats = decode_stats_batch(pdf["bytes"], pdf["fmt"])
+            # trust magic bytes over the declared label (real-web
+            # Content-Type/extension lies): decode by the sniffed
+            # format when one matches, and RECORD the true format
+            fmts = pd.Series(
+                [
+                    (sniff_format(b) or f) if b is not None else f
+                    for b, f in zip(pdf["bytes"], pdf["fmt"])
+                ],
+                index=pdf.index,
+            )
+            stats = decode_stats_batch(pdf["bytes"], fmts)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
                     "bytes": pdf["bytes"],
                     "w": stats["dec_w"],
                     "h": stats["dec_h"],
-                    "fmt": pdf["fmt"],
+                    "fmt": fmts,
                     "caption": pdf["caption"],
                     "phash": stats["dec_phash"],
                     "img_url": pdf["img_url"],
@@ -95,6 +107,60 @@ def build_images_table(extractions: DataFrame, byte_store: DataFrame) -> DataFra
             )
 
     return joined.repartition(F.col("img_url")).mapInPandas(_decode, IMAGES_SCHEMA)
+
+
+BYTE_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("fmt", T.StringType(), False),
+    ]
+)
+
+
+def ingest_data_uris(extractions: DataFrame) -> DataFrame:
+    """Inline ``data:`` images → byte_store-shaped rows, NO fetch.
+
+    The HTML→MD pass keeps a data URI only when its payload
+    header-probes as a real image above the tracker floor
+    (functions/html.py `_img_md`), so every row here is expected to
+    parse; rows that still don't (truncated base64 etc.) are dropped —
+    they have no bytes to quarantine. image_id is a content hash, so
+    the same inline logo pasted on 10^6 pages is ONE image row.
+
+    Scale shape: the payload already travels inside the extraction row
+    (it was inline in the HTML), so this is one dropDuplicates shuffle
+    on the URI string — the dedup the byte_store join needs anyway —
+    then a map-only decode. No network stage, no driver state.
+    """
+    uris = (
+        extractions.filter(F.col("img_url").startswith("data:"))
+        .select("img_url")
+        .dropDuplicates(["img_url"])
+    )
+
+    def _ingest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from crawler_spark.functions.html import parse_data_uri
+        from crawler_spark.functions.images import sniff_format
+
+        for pdf in batches:
+            rows = []
+            for url in pdf["img_url"]:
+                parsed = parse_data_uri(url)
+                if parsed is None:
+                    continue
+                payload = parsed[1]
+                fmt = sniff_format(payload)
+                if fmt is None:
+                    continue
+                iid = "duri" + hashlib.sha256(payload).hexdigest()[:16]
+                rows.append((url, iid, payload, fmt))
+            yield pd.DataFrame(rows, columns=["url", "image_id", "bytes", "fmt"])
+
+    return uris.mapInPandas(_ingest, BYTE_STORE_SCHEMA)
 
 
 _VALIDATE_FIELDS = [

@@ -639,10 +639,20 @@ class CrawlEngine:
         image+caption pairs live in Iceberg tables" leg.
 
         ``byte_store(url, image_id, bytes, fmt)`` is the image-fetch
-        stage's output (the fixture CDN table in tests)."""
-        from crawler_spark.operators.images_pipeline import build_images_table
+        stage's output (the fixture CDN table in tests). Inline
+        ``data:`` images discovered during extraction are ingested
+        alongside — they need no fetch stage at all (the payload
+        traveled inside the page HTML)."""
+        from crawler_spark.operators.images_pipeline import (
+            build_images_table,
+            ingest_data_uris,
+        )
 
-        images = build_images_table(self.extractions(), byte_store)
+        ext = self.extractions()
+        full_store = byte_store.select("url", "image_id", "bytes", "fmt").unionByName(
+            ingest_data_uris(ext)
+        )
+        images = build_images_table(ext, full_store)
         self.store.commit("images", images, lineage={"op": "materialize_images"})
         out = self.store.read("images")
         return {

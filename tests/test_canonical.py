@@ -31,6 +31,13 @@ HAND_CASES = [
     "http://example.com?query-no-path",
     "http://example.com/a//b/?x=//y//z",
     "https://site0.test/private/doc/3",
+    # opaque schemes: identity (case-significant payloads, no host)
+    "data:image/png;base64,iVBORw0KGgoAAAANSUhEUg==",
+    "  data:image/svg+xml,%3Csvg%20width%3D%229%22%3E  ",
+    "DATA:text/plain,Hello#NotAFragment",
+    "mailto:Someone@Example.COM",
+    "about:blank",
+    "javascript:void(0)",
 ]
 
 
