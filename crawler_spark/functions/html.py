@@ -146,6 +146,89 @@ def _is_placeholder(url: str | None) -> bool:
     return u == "" or u.startswith("data:") or u.startswith("about:")
 
 
+# --------------------------------------------------------------------------
+# On-page crawl directives: <meta name=robots>, X-Robots-Tag, rel=canonical
+# (public conventions: HTML spec + the REP meta/header extensions all
+# major engines document). Subset notes: agent-scoped X-Robots-Tag rows
+# ("googlebot: noindex") apply to ALL agents here; only head-level
+# canonical is meaningful per spec but the scan is document-wide.
+# --------------------------------------------------------------------------
+
+_META_TAG_RE = re.compile(r"(?is)<meta\b[^>]*>")
+_LINK_TAG_RE = re.compile(r"(?is)<link\b[^>]*>")
+_ATTR_ANY_RE = re.compile(r"""([a-zA-Z-]+)\s*=\s*("[^"]*"|'[^']*')""")
+
+#: directive tokens that matter to a crawler; everything else
+#: (nosnippet, noarchive, max-image-preview:…) is indexing-UI noise
+_NOINDEX_TOKENS = {"noindex", "none"}
+_NOFOLLOW_TOKENS = {"nofollow", "none"}
+
+
+def _tag_attrs_any(tag_text: str) -> dict[str, str]:
+    return {
+        m.group(1).lower(): m.group(2)[1:-1]
+        for m in _ATTR_ANY_RE.finditer(tag_text)
+    }
+
+
+def _robots_tokens(value: str) -> set[str]:
+    """Comma-separated directive list → lowercase token set. An
+    optional leading agent scope ("googlebot: noindex") is stripped;
+    parameterized tokens ("unavailable_after: <date>") are ignored."""
+    toks: set[str] = set()
+    for i, part in enumerate(value.split(",")):
+        p = part.strip().lower()
+        if i == 0 and ":" in p:
+            head, _, tail = p.partition(":")
+            if head.strip() not in _NOINDEX_TOKENS | _NOFOLLOW_TOKENS | {
+                "all", "index", "follow", "unavailable_after",
+            }:
+                p = tail.strip()  # agent scope, not a directive
+        if ":" in p:  # parameterized (unavailable_after etc.)
+            continue
+        if p:
+            toks.add(p)
+    return toks
+
+
+def page_directives(
+    html: str | None, x_robots: str | None = None
+) -> tuple[bool, bool, str | None]:
+    """(noindex, nofollow, canonical_href) for one fetched page.
+
+    Union of every <meta name=robots> tag and the X-Robots-Tag header
+    — most-restrictive wins across sources (the documented conflict
+    rule). canonical is the FIRST <link rel=canonical href=…>;
+    relative hrefs are returned as-is (the caller resolves against
+    the page URL)."""
+    noindex = nofollow = False
+    canonical: str | None = None
+    if x_robots:
+        toks = _robots_tokens(x_robots)
+        noindex |= bool(toks & _NOINDEX_TOKENS)
+        nofollow |= bool(toks & _NOFOLLOW_TOKENS)
+    if html:
+        head = html[:65536]  # directives live in <head>; bound the scan
+        for m in _META_TAG_RE.finditer(head):
+            a = _tag_attrs_any(m.group(0))
+            if a.get("name", "").strip().lower() != "robots":
+                continue
+            toks = _robots_tokens(a.get("content", ""))
+            noindex |= bool(toks & _NOINDEX_TOKENS)
+            nofollow |= bool(toks & _NOFOLLOW_TOKENS)
+        for m in _LINK_TAG_RE.finditer(head):
+            a = _tag_attrs_any(m.group(0))
+            rels = set(a.get("rel", "").lower().split())
+            if "canonical" in rels and a.get("href"):
+                canonical = a["href"].strip()
+                break
+    return noindex, nofollow, canonical
+
+
+#: link-level rel values that take a link out of discovery
+NOFOLLOW_RELS = {"nofollow", "ugc", "sponsored"}
+
+
 _DATA_URI_RE = re.compile(r"^data:([^,]*),(.*)$", re.S)
 
 
@@ -400,7 +483,18 @@ def html_to_md(html: str) -> str:
         return f"![{alt}]({url})"
 
     t = _IMG_TAG_RE.sub(_img_md, t)
-    t = _A_RE.sub(lambda m: f"[{m.group(2).strip()}]({m.group(1)})", t)
+
+    # rel=nofollow/ugc/sponsored: the author disavows the link — keep
+    # the anchor TEXT (it is content) but never the URL, so discovery
+    # (which reads markdown links) structurally cannot follow it
+    def _a_md(m: re.Match) -> str:
+        open_tag = m.group(0)[: m.group(0).find(">") + 1]
+        rm = re.search(r"""(?i)\brel=["']([^"']*)["']""", open_tag)
+        if rm and set(re.split(r"[\s,]+", rm.group(1).lower())) & NOFOLLOW_RELS:
+            return m.group(2).strip()
+        return f"[{m.group(2).strip()}]({m.group(1)})"
+
+    t = _A_RE.sub(_a_md, t)
     t = _STRONG_RE.sub(lambda m: f"**{m.group(1).strip()}**", t)
     t = _EM_RE.sub(lambda m: f"*{m.group(1).strip()}*", t)
     t = _DEL_RE.sub(lambda m: f"~~{m.group(1).strip()}~~", t)

@@ -58,6 +58,15 @@ FETCH_RESULT_FIELDS = [
     T.StructField("latency_ms", T.IntegerType(), False),
 ]
 
+# on-page crawl directives (meta robots / X-Robots-Tag / rel=canonical)
+# — appended by fetchers that parse them; the engine honors these
+# columns only when present, so the bare 4-column contract is a no-op
+DIRECTIVE_FIELDS = [
+    T.StructField("noindex", T.BooleanType(), False),
+    T.StructField("nofollow", T.BooleanType(), False),
+    T.StructField("canonical", T.StringType(), True),
+]
+
 # appended by fetchers that surface redirect chains + HTTP validators
 # (HttpFetcher); fixture fetchers keep the 4-column contract unchanged
 HTTP_EXTRA_FIELDS = [
@@ -74,9 +83,20 @@ class FixtureFetcher:
     """Deterministic fetcher over the synthetic web graph.
 
     pages: {canonical_url: (body, fail_rounds, latency_ms)}
+    directives: optional {url: (noindex, nofollow, canonical)} — when
+        set, the fetcher emits the DIRECTIVE_FIELDS columns (fixture
+        bodies are already markdown, so meta/header parsing happens
+        here, at the fetch boundary, same as HttpFetcher).
     """
 
     pages: dict[str, tuple[str, int, int]]
+    directives: dict[str, tuple[bool, bool, str | None]] | None = None
+
+    @property
+    def RESULT_FIELDS(self):  # noqa: N802 — fetcher-contract name
+        return FETCH_RESULT_FIELDS + (
+            DIRECTIVE_FIELDS if self.directives is not None else []
+        )
 
     def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
         bodies, statuses, succ, lat = [], [], [], []
@@ -97,6 +117,11 @@ class FixtureFetcher:
             succ,
             lat,
         )
+        if self.directives is not None:
+            d = [self.directives.get(u, (False, False, None)) for u in pdf["url"]]
+            out["noindex"] = [x[0] for x in d]
+            out["nofollow"] = [x[1] for x in d]
+            out["canonical"] = [x[2] for x in d]
         return out
 
 
@@ -202,7 +227,7 @@ class HttpFetcher:
 
     max_redirects: int = 10
 
-    RESULT_FIELDS = FETCH_RESULT_FIELDS + HTTP_EXTRA_FIELDS
+    RESULT_FIELDS = FETCH_RESULT_FIELDS + HTTP_EXTRA_FIELDS + DIRECTIVE_FIELDS
 
     def _open_no_redirect(self, url: str, headers: dict):
         """One request with redirects surfaced as HTTPError (urllib
@@ -241,7 +266,13 @@ class HttpFetcher:
         import urllib.error
         import urllib.parse
 
-        def result(body=None, status=0, final=url, hops=0, nm=False, et=None, lm=None):
+        def result(
+            body=None, status=0, final=url, hops=0, nm=False, et=None, lm=None,
+            xr=None,
+        ):
+            from crawler_spark.functions.html import page_directives
+
+            noindex, nofollow, canonical = page_directives(body, xr)
             return {
                 "body": body,
                 "status": int(status),
@@ -251,6 +282,9 @@ class HttpFetcher:
                 "not_modified": nm,
                 "etag": et,
                 "last_modified": lm,
+                "noindex": noindex,
+                "nofollow": nofollow,
+                "canonical": canonical,
             }
 
         base_headers: dict = {}
@@ -280,6 +314,7 @@ class HttpFetcher:
                             hops=hops,
                             et=r.headers.get("ETag"),
                             lm=r.headers.get("Last-Modified"),
+                            xr=r.headers.get("X-Robots-Tag"),
                         )
                 except urllib.error.HTTPError as e:
                     status = int(e.code)
@@ -327,6 +362,9 @@ class HttpFetcher:
             "not_modified",
             "etag",
             "last_modified",
+            "noindex",
+            "nofollow",
+            "canonical",
         ):
             out[col] = [r[col] for r in rows]
         out["latency_ms"] = lat

@@ -375,6 +375,28 @@ class CrawlEngine:
 
         ok = fetched.filter(F.col("success"))
 
+        # ---- on-page crawl directives (meta robots / X-Robots-Tag /
+        # rel=canonical) — honored ONLY when the fetcher parsed them
+        # (DIRECTIVE_FIELDS in its contract); the bare 4-column
+        # fixture contract is a provable no-op. noindex keeps a page
+        # out of the CONTENT corpus (extraction + sentences) but never
+        # out of the pages archive; nofollow keeps its links out of
+        # discovery; canonical declarations land in an alias table
+        # (the corpus-dedup signal — targets are NOT auto-enqueued;
+        # route them through enqueue_discovered when wanted).
+        has_directives = "noindex" in fetched.columns
+        if has_directives:
+            aliases = (
+                ok.filter(F.col("canonical").isNotNull())
+                .withColumn("canonical_url", canonical_url_col(F.col("canonical")))
+                .filter(F.col("canonical_url") != F.col("url"))
+                .select("url", "canonical_url")
+                .withColumn("round", F.lit(rnd))
+            )
+            self.store.commit(
+                "canonical_aliases", aliases, mode="append", lineage={"round": rnd}
+            )
+
         # ---- content-seen dedup (Mercator-style; opt-in) -------------------
         # URL-seen can't catch ALIASES — distinct URLs serving identical
         # bytes (mirrors, tracking-param variants, soft-404 templates).
@@ -409,8 +431,9 @@ class CrawlEngine:
             fresh = ok
 
         # ---- extraction: image+caption pairs (C1-as-extract) -------------
+        indexable = fresh.filter(~F.col("noindex")) if has_directives else fresh
         imgs = (
-            fresh.select(
+            indexable.select(
                 F.col("url").alias("page_url"),
                 F.posexplode(md_images_col(F.col("body"))).alias("_pos", "_img"),
             )
@@ -425,15 +448,21 @@ class CrawlEngine:
         self.store.commit("extractions", imgs, mode="append", lineage={"round": rnd})
 
         # ---- pages sink (ALL fetched pages archive, dups included) --------
-        page_cols = [
-            "url_key", "url", "host", "depth",
-            F.lit(rnd).alias("fetch_round"), "status", "body",
-        ] + (["content_fp"] if self.content_seen else [])
+        page_cols = (
+            [
+                "url_key", "url", "host", "depth",
+                F.lit(rnd).alias("fetch_round"), "status", "body",
+            ]
+            + (["content_fp"] if self.content_seen else [])
+            + (["noindex"] if has_directives else [])
+        )
         pages = ok.select(*page_cols)
         self.store.commit("pages", pages, mode="append", lineage={"round": rnd})
 
         # ---- discovery: lazy chapter expansion (depth 0 only) -------------
         parents = fresh.filter((F.col("depth") == 0) & F.col("has_chapters"))
+        if has_directives:
+            parents = parents.filter(~F.col("nofollow"))
         links = (
             parents.select(
                 F.col("url").alias("page_url"),
@@ -611,6 +640,8 @@ class CrawlEngine:
         from crawler_spark.operators.treegen import build_sentence_tables
 
         pages = self.store.read("pages")
+        if "noindex" in pages.columns:  # directive: archive keeps the
+            pages = pages.filter(~F.col("noindex"))  # page, corpus doesn't
         meta = self.store.read("frontier").select(
             "url_key", "doc_id", "document_number", "has_chapters"
         )

@@ -1,0 +1,205 @@
+"""On-page crawl directives: <meta name=robots> / X-Robots-Tag /
+rel=canonical / rel=nofollow.
+
+The reference crawls two cooperating sites and needs none of these;
+an open-web crawler MUST honor them (REP meta/header extensions all
+major engines document). Semantics under test: noindex keeps a page
+out of the content corpus (extraction + sentences) but never out of
+the pages archive or the crawl log; nofollow keeps a page's links out
+of discovery; link-level rel=nofollow/ugc/sponsored strips the URL at
+HTML→MD time so discovery structurally cannot see it; canonical
+declarations land in an alias table (corpus-dedup signal), never
+auto-enqueued. Fetchers that don't parse directives (the bare
+4-column contract) make every branch a no-op — proven by the
+unchanged crawl-parity suite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_spark.functions.html import html_to_md, page_directives
+from crawler_spark.oracle.fixtures import build_world
+from crawler_spark.plans.store import SnapshotStore
+from crawler_spark.sources.fetch import FixtureFetcher
+from crawler_spark.sources.fixtures_io import read_table, write_world
+from crawler_spark.streaming.rounds import CrawlEngine
+
+# --------------------------------------------------------------------------
+# parsing
+# --------------------------------------------------------------------------
+
+
+def test_meta_robots_tokens():
+    html = '<html><head><meta name="robots" content="noindex, nofollow"></head></html>'
+    assert page_directives(html) == (True, True, None)
+    assert page_directives('<meta name="robots" content="NONE">') == (True, True, None)
+    assert page_directives('<meta name="robots" content="index, follow">') == (
+        False, False, None,
+    )
+    # most-restrictive union across multiple tags
+    two = '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">'
+    assert page_directives(two) == (True, True, None)
+    # other meta names don't trigger
+    assert page_directives('<meta name="googlebot" content="noindex">') == (
+        False, False, None,
+    )
+    # parameterized tokens ignored
+    assert page_directives(
+        '<meta name="robots" content="unavailable_after: 2026-01-01, noindex">'
+    ) == (True, False, None)
+
+
+def test_x_robots_tag_header():
+    assert page_directives(None, "noindex") == (True, False, None)
+    assert page_directives(None, "googlebot: noindex, nofollow") == (True, True, None)
+    assert page_directives("<p>x</p>", "none") == (True, True, None)
+    # header and meta union
+    assert page_directives('<meta name="robots" content="nofollow">', "noindex") == (
+        True, True, None,
+    )
+
+
+def test_rel_canonical_first_wins():
+    html = (
+        '<head><link rel="stylesheet" href="/s.css">'
+        '<link rel="canonical" href="http://a.com/one">'
+        '<link rel="canonical" href="http://a.com/two"></head>'
+    )
+    assert page_directives(html) == (False, False, "http://a.com/one")
+
+
+def test_nofollow_links_keep_text_drop_url():
+    md = html_to_md(
+        '<p><a href="http://x/1">good</a> and '
+        '<a rel="nofollow" href="http://x/2">paid</a> and '
+        '<a rel="UGC noopener" href="http://x/3">comment</a> and '
+        '<a rel="sponsored" href="http://x/4">ad</a></p>'
+    )
+    assert "[good](http://x/1)" in md
+    for url, text in [("http://x/2", "paid"), ("http://x/3", "comment"),
+                      ("http://x/4", "ad")]:
+        assert url not in md and text in md
+
+
+# --------------------------------------------------------------------------
+# engine honoring (fixture fetcher carries the directive columns)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def directive_run(spark, tmp_path_factory):
+    world = build_world(n_docs=12, seed=31)
+    fd = str(tmp_path_factory.mktemp("dir_world"))
+    write_world(spark, world, fd)
+
+    live = {
+        r["source_url"]
+        for r in world.seeds
+        if world.pages.get(r["source_url"]) is not None
+        and world.pages[r["source_url"]].fail_rounds == 0
+    }
+    # group by document: a doc seeded under several mirror URLs would
+    # dilute a per-URL directive, so pick docs with exactly ONE live URL
+    by_doc: dict[str, list[dict]] = {}
+    for r in world.seeds:
+        if r["source_url"] in live:
+            by_doc.setdefault(r["document_id"], []).append(r)
+    chaptered = [
+        rows[0]
+        for rows in by_doc.values()
+        if len(rows) == 1 and rows[0]["has_chapters"]
+    ]
+    flat = [
+        rows[0]
+        for rows in by_doc.values()
+        if len(rows) == 1 and not rows[0]["has_chapters"]
+    ]
+    assert len(chaptered) >= 2 and len(flat) >= 2
+    nofollow_url = chaptered[0]["source_url"]
+    control_url = chaptered[1]["source_url"]
+    noindex_url = flat[0]["source_url"]
+    canon_url = flat[1]["source_url"]
+    canon_target = "http://example.com/THE-canonical"
+
+    fetcher = FixtureFetcher(
+        pages={
+            u: (p.body, p.fail_rounds, p.latency_ms)
+            for u, p in world.pages.items()
+        },
+        directives={
+            nofollow_url: (False, True, None),
+            noindex_url: (True, False, None),
+            canon_url: (False, False, canon_target),
+        },
+    )
+    eng = CrawlEngine(
+        spark=spark,
+        store=SnapshotStore(spark, str(tmp_path_factory.mktemp("dir_store"))),
+        fetcher=fetcher,
+        robots=read_table(spark, fd, "robots"),
+        politeness=read_table(spark, fd, "politeness"),
+    )
+    eng.init_frontier(read_table(spark, fd, "seeds"))
+    eng.run(max_rounds=50)
+    eng.build_documents()
+    return eng, {
+        "nofollow": nofollow_url,
+        "control": control_url,
+        "noindex": noindex_url,
+        "canon": canon_url,
+        "nofollow_doc": chaptered[0]["document_id"],
+        "control_doc": chaptered[1]["document_id"],
+        "noindex_doc": flat[0]["document_id"],
+        "canon_target": canon_target,
+    }
+
+
+def test_nofollow_page_links_never_scheduled(directive_run):
+    eng, u = directive_run
+    frontier = eng.store.read("frontier")
+    kids = {
+        r["doc_id"]: r["n"]
+        for r in frontier.filter(F.col("depth") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert kids.get(u["nofollow_doc"], 0) == 0  # disavowed links
+    assert kids.get(u["control_doc"], 0) > 0  # control still expands
+
+
+def test_noindex_archived_but_not_in_corpus(directive_run):
+    eng, u = directive_run
+    # archived + logged
+    pages = eng.store.read("pages")
+    assert pages.filter(F.col("url") == u["noindex"]).count() == 1
+    assert "noindex" in pages.columns
+    # no extraction rows
+    assert (
+        eng.extractions().filter(F.col("page_url") == u["noindex"]).count() == 0
+    )
+    # control noindex-free page of the same shape DID extract
+    assert eng.extractions().filter(F.col("page_url") == u["canon"]).count() > 0
+    # sentences exclude the noindex doc
+    sents = eng.store.read("sentences")
+    assert sents.filter(F.col("doc_id") == u["noindex_doc"]).count() == 0
+    # but other docs are present
+    assert sents.count() > 0
+
+
+def test_canonical_alias_recorded_not_enqueued(directive_run):
+    eng, u = directive_run
+    aliases = eng.store.read("canonical_aliases")
+    rows = aliases.collect()
+    assert len(rows) == 1
+    assert rows[0]["url"] == u["canon"]
+    # canonicalized form: host lowercases, path case preserved
+    assert rows[0]["canonical_url"] == "http://example.com/THE-canonical"
+    # target is a dedup signal, never a frontier row
+    assert (
+        eng.store.read("frontier")
+        .filter(F.col("url") == rows[0]["canonical_url"])
+        .count()
+        == 0
+    )

@@ -123,6 +123,23 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/robots-header":
+            body = b"<html><body>scoped</body></html>"
+            self.send_response(200)
+            self.send_header("X-Robots-Tag", "noindex, nofollow")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/robots-meta":
+            body = (
+                b'<html><head><meta name="robots" content="nofollow">'
+                b'<link rel="canonical" href="http://canon.test/page">'
+                b"</head><body>x</body></html>"
+            )
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path == "/huge":
             body = b"x" * 3000
             self.send_response(200)
@@ -333,3 +350,30 @@ def test_http_fetcher_through_spark(spark, server):
     assert {u: s for u, (s, _) in got.items()} == {
         u: s for u, (s, _) in fx.items()
     }
+
+
+def test_http_fetcher_directives_over_sockets(server):
+    """X-Robots-Tag header and meta/link markup parse at the fetch
+    boundary: the DIRECTIVE_FIELDS columns come back filled over a
+    real HTTP exchange, not just from unit-level parsing."""
+    f = HttpFetcher(timeout_s=0.4, retries=2, backoff_s=0.01)
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                f"{server}/robots-header",
+                f"{server}/robots-meta",
+                f"{server}/ok",
+            ],
+            "attempt": [1, 1, 1],
+        }
+    )
+    out = f.fetch_batch(pdf).set_index("url")
+    hdr = out.loc[f"{server}/robots-header"]
+    assert bool(hdr["noindex"]) and bool(hdr["nofollow"])
+    assert hdr["canonical"] is None
+    meta = out.loc[f"{server}/robots-meta"]
+    assert not bool(meta["noindex"]) and bool(meta["nofollow"])
+    assert meta["canonical"] == "http://canon.test/page"
+    plain = out.loc[f"{server}/ok"]
+    assert not bool(plain["noindex"]) and not bool(plain["nofollow"])
+    assert plain["canonical"] is None
