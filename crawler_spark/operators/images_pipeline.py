@@ -57,12 +57,30 @@ IMAGES_SCHEMA = T.StructType(
 )
 
 
-def build_images_table(extractions: DataFrame, byte_store: DataFrame) -> DataFrame:
+#: decoded-pixel admission budget: 64 M px × 3 B ≈ 192 MB per row —
+#: one oversized row cannot OOM an executor running several Arrow
+#: batches concurrently. Real content tops out far below this; only
+#: decompression bombs (tiny payload, huge header dims) live above it.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def build_images_table(
+    extractions: DataFrame,
+    byte_store: DataFrame,
+    max_pixels: int = MAX_DECODE_PIXELS,
+) -> DataFrame:
     """extractions(page_url, caption, img_url, img_order, round)
     ⨝ byte_store(url, image_id, bytes, fmt) → input_hint images table.
 
     Caption policy: first caption wins in crawl order (round, page_url,
     img_order) — the same uniqBy semantics as seed dedup (D1).
+
+    Admission: every payload is header-probed first (probe_image — no
+    pixel decode). Rows whose header CLAIMS more than ``max_pixels``
+    quarantine as decode_ok=False without the decoder ever running —
+    the decompression-bomb gate (a 1 KB payload claiming 60000×60000
+    would otherwise allocate ~10 GB). The probe also supplies the true
+    format when the declared label lies.
     """
     caps = first_wins(
         extractions,
@@ -78,20 +96,31 @@ def build_images_table(extractions: DataFrame, byte_store: DataFrame) -> DataFra
     )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from crawler_spark.functions.images import sniff_format
+        from crawler_spark.functions.images import probe_image, sniff_format
 
         for pdf in batches:
             # trust magic bytes over the declared label (real-web
             # Content-Type/extension lies): decode by the sniffed
-            # format when one matches, and RECORD the true format
+            # format when one matches, and RECORD the true format;
+            # header-claimed dims above the budget never reach decode
+            probes = [
+                probe_image(b) if b is not None else None for b in pdf["bytes"]
+            ]
             fmts = pd.Series(
                 [
-                    (sniff_format(b) or f) if b is not None else f
-                    for b, f in zip(pdf["bytes"], pdf["fmt"])
+                    (p[0] if p else sniff_format(b) or f) if b is not None else f
+                    for p, b, f in zip(probes, pdf["bytes"], pdf["fmt"])
                 ],
                 index=pdf.index,
             )
-            stats = decode_stats_batch(pdf["bytes"], fmts)
+            admitted = pd.Series(
+                [
+                    b if not (p and p[1] * p[2] > max_pixels) else None
+                    for p, b in zip(probes, pdf["bytes"])
+                ],
+                index=pdf.index,
+            )
+            stats = decode_stats_batch(admitted, fmts)
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],

@@ -205,3 +205,41 @@ def test_images_table_data_uri_and_fmt_lie(spark):
     liar = out["liar"]
     assert liar["decode_ok"] and liar["fmt"] == "png"
     assert (liar["w"], liar["h"]) == (10, 12)
+
+
+def test_decode_bomb_quarantined_before_decode(spark):
+    """A 33-byte payload whose header claims 60000×60000 (≈10 GB
+    decoded) quarantines via the header probe — the decoder never
+    runs. A normal row in the same batch decodes fine."""
+    import struct
+    import zlib
+
+    from crawler_spark.operators.images_pipeline import build_images_table
+
+    ihdr = struct.pack(">II5B", 60000, 60000, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert im.probe_image(bomb) == ("png", 60000, 60000)
+    good = im.encode_image(np.full((6, 5, 3), 9, np.uint8), "png")
+    ext = _extractions(
+        spark,
+        [
+            ("http://a/1", "bomb", "http://cdn/bomb.png", 1, 0),
+            ("http://a/1", "good", "http://cdn/good.png", 2, 0),
+        ],
+    )
+    store = spark.createDataFrame(
+        [
+            ("http://cdn/bomb.png", "b1", bomb, "png"),
+            ("http://cdn/good.png", "g1", good, "png"),
+        ],
+        "url string, image_id string, bytes binary, fmt string",
+    )
+    out = {r["caption"]: r for r in build_images_table(ext, store).collect()}
+    assert not out["bomb"]["decode_ok"] and out["bomb"]["fmt"] == "png"
+    assert out["good"]["decode_ok"] and (out["good"]["w"], out["good"]["h"]) == (5, 6)
