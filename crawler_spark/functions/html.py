@@ -229,6 +229,43 @@ def page_directives(
 NOFOLLOW_RELS = {"nofollow", "ugc", "sponsored"}
 
 
+def social_image(html: str | None) -> tuple[str, str] | None:
+    """The page-declared representative image: (url, caption) from
+    Open Graph / Twitter Card meta tags, or None.
+
+    Resolution (documented, deterministic): first ``og:image`` (or
+    ``og:image:url``/``og:image:secure_url``), falling back to
+    ``twitter:image``; caption is ``og:image:alt`` else
+    ``twitter:image:alt`` else ``og:title`` else "". Both
+    ``property=`` (OG spec) and ``name=`` (common in the wild) are
+    accepted. This is head metadata html_to_md never sees — most
+    modern pages declare their canonical image+caption pair HERE, not
+    in an <img> tag."""
+    if not html:
+        return None
+    og = tw = alt_img = alt_tw = title = None
+    for m in _META_TAG_RE.finditer(html[:65536]):
+        a = _tag_attrs_any(m.group(0))
+        key = (a.get("property") or a.get("name") or "").strip().lower()
+        content = a.get("content", "").strip()
+        if not content:
+            continue
+        if key in ("og:image", "og:image:url", "og:image:secure_url"):
+            og = og or content
+        elif key == "twitter:image":
+            tw = tw or content
+        elif key == "og:image:alt":
+            alt_img = alt_img or content
+        elif key == "twitter:image:alt":
+            alt_tw = alt_tw or content
+        elif key == "og:title":
+            title = title or content
+    url = og or tw  # og wins regardless of document order
+    if url is None:
+        return None
+    return url, (alt_img or alt_tw or title or "")
+
+
 _DATA_URI_RE = re.compile(r"^data:([^,]*),(.*)$", re.S)
 
 

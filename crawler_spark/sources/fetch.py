@@ -67,6 +67,14 @@ DIRECTIVE_FIELDS = [
     T.StructField("canonical", T.StringType(), True),
 ]
 
+# the page-declared representative image (og:image / twitter:image) —
+# head metadata the HTML→MD body conversion never sees; the engine
+# unions it into the extraction stream (img_order 0) when present
+SOCIAL_FIELDS = [
+    T.StructField("og_image", T.StringType(), True),
+    T.StructField("og_caption", T.StringType(), True),
+]
+
 # appended by fetchers that surface redirect chains + HTTP validators
 # (HttpFetcher); fixture fetchers keep the 4-column contract unchanged
 HTTP_EXTRA_FIELDS = [
@@ -91,11 +99,14 @@ class FixtureFetcher:
 
     pages: dict[str, tuple[str, int, int]]
     directives: dict[str, tuple[bool, bool, str | None]] | None = None
+    social: dict[str, tuple[str, str]] | None = None
 
     @property
     def RESULT_FIELDS(self):  # noqa: N802 — fetcher-contract name
-        return FETCH_RESULT_FIELDS + (
-            DIRECTIVE_FIELDS if self.directives is not None else []
+        return (
+            FETCH_RESULT_FIELDS
+            + (DIRECTIVE_FIELDS if self.directives is not None else [])
+            + (SOCIAL_FIELDS if self.social is not None else [])
         )
 
     def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,6 +133,10 @@ class FixtureFetcher:
             out["noindex"] = [x[0] for x in d]
             out["nofollow"] = [x[1] for x in d]
             out["canonical"] = [x[2] for x in d]
+        if self.social is not None:
+            s = [self.social.get(u, (None, None)) for u in pdf["url"]]
+            out["og_image"] = [x[0] for x in s]
+            out["og_caption"] = [x[1] for x in s]
         return out
 
 
@@ -227,7 +242,9 @@ class HttpFetcher:
 
     max_redirects: int = 10
 
-    RESULT_FIELDS = FETCH_RESULT_FIELDS + HTTP_EXTRA_FIELDS + DIRECTIVE_FIELDS
+    RESULT_FIELDS = (
+        FETCH_RESULT_FIELDS + HTTP_EXTRA_FIELDS + DIRECTIVE_FIELDS + SOCIAL_FIELDS
+    )
 
     def _open_no_redirect(self, url: str, headers: dict):
         """One request with redirects surfaced as HTTPError (urllib
@@ -270,9 +287,10 @@ class HttpFetcher:
             body=None, status=0, final=url, hops=0, nm=False, et=None, lm=None,
             xr=None,
         ):
-            from crawler_spark.functions.html import page_directives
+            from crawler_spark.functions.html import page_directives, social_image
 
             noindex, nofollow, canonical = page_directives(body, xr)
+            social = social_image(body)
             return {
                 "body": body,
                 "status": int(status),
@@ -285,6 +303,8 @@ class HttpFetcher:
                 "noindex": noindex,
                 "nofollow": nofollow,
                 "canonical": canonical,
+                "og_image": social[0] if social else None,
+                "og_caption": social[1] if social else None,
             }
 
         base_headers: dict = {}
@@ -365,6 +385,8 @@ class HttpFetcher:
             "noindex",
             "nofollow",
             "canonical",
+            "og_image",
+            "og_caption",
         ):
             out[col] = [r[col] for r in rows]
         out["latency_ms"] = lat

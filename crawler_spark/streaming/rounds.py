@@ -445,6 +445,23 @@ class CrawlEngine:
             )
             .withColumn("round", F.lit(rnd))
         )
+        if "og_image" in fetched.columns:
+            # page-declared representative image (og:image/twitter:image)
+            # joins the extraction stream at img_order 0 — so under the
+            # first-wins caption policy the page's DECLARED caption
+            # outranks inline alt text for the same image (the same
+            # precedence figcaption already has over alt)
+            og = (
+                indexable.filter(F.col("og_image").isNotNull())
+                .select(
+                    F.col("url").alias("page_url"),
+                    F.coalesce(F.col("og_caption"), F.lit("")).alias("caption"),
+                    canonical_url_col(F.col("og_image")).alias("img_url"),
+                    F.lit(0).cast("int").alias("img_order"),
+                )
+                .withColumn("round", F.lit(rnd))
+            )
+            imgs = og.unionByName(imgs)
         self.store.commit("extractions", imgs, mode="append", lineage={"round": rnd})
 
         # ---- pages sink (ALL fetched pages archive, dups included) --------

@@ -18,7 +18,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from crawler_spark.functions.html import html_to_md, page_directives
+from crawler_spark.functions.html import html_to_md, page_directives, social_image
 from crawler_spark.oracle.fixtures import build_world
 from crawler_spark.plans.store import SnapshotStore
 from crawler_spark.sources.fetch import FixtureFetcher
@@ -82,6 +82,33 @@ def test_nofollow_links_keep_text_drop_url():
         assert url not in md and text in md
 
 
+def test_social_image_resolution():
+    # og wins over twitter regardless of document order
+    html = (
+        '<meta name="twitter:image" content="http://x/tw.png">'
+        '<meta property="og:image" content="http://x/og.png">'
+        '<meta property="og:title" content="Title">'
+    )
+    assert social_image(html) == ("http://x/og.png", "Title")
+    # og:image:alt outranks og:title; first og:image wins
+    html2 = (
+        '<meta property="og:image" content="http://x/1.png">'
+        '<meta property="og:image" content="http://x/2.png">'
+        '<meta property="og:image:alt" content="alt text">'
+        '<meta property="og:title" content="T">'
+    )
+    assert social_image(html2) == ("http://x/1.png", "alt text")
+    # twitter-only page still resolves; name= accepted for og too
+    assert social_image(
+        '<meta name="twitter:image" content="http://x/t.png">'
+        '<meta name="twitter:image:alt" content="tw alt">'
+    ) == ("http://x/t.png", "tw alt")
+    assert social_image("<p>no meta</p>") is None
+    assert social_image(None) is None
+    # empty content ignored
+    assert social_image('<meta property="og:image" content="">') is None
+
+
 # --------------------------------------------------------------------------
 # engine honoring (fixture fetcher carries the directive columns)
 # --------------------------------------------------------------------------
@@ -131,6 +158,10 @@ def directive_run(spark, tmp_path_factory):
             nofollow_url: (False, True, None),
             noindex_url: (True, False, None),
             canon_url: (False, False, canon_target),
+        },
+        social={
+            canon_url: ("http://CDN.example.com/hero.png", "the hero shot"),
+            noindex_url: ("http://cdn.example.com/hidden.png", "never extracted"),
         },
     )
     eng = CrawlEngine(
@@ -186,6 +217,26 @@ def test_noindex_archived_but_not_in_corpus(directive_run):
     assert sents.filter(F.col("doc_id") == u["noindex_doc"]).count() == 0
     # but other docs are present
     assert sents.count() > 0
+
+
+def test_og_image_joins_extraction_at_order_zero(directive_run):
+    eng, u = directive_run
+    rows = (
+        eng.extractions()
+        .filter(F.col("page_url") == u["canon"])
+        .orderBy("img_order")
+        .collect()
+    )
+    assert rows and rows[0]["img_order"] == 0
+    # canonicalized URL (host lowercased), declared caption carried
+    assert rows[0]["img_url"] == "http://cdn.example.com/hero.png"
+    assert rows[0]["caption"] == "the hero shot"
+    # body-discovered images follow at order >= 1
+    assert all(r["img_order"] >= 1 for r in rows[1:])
+    # noindex page's og row is suppressed with the rest of its content
+    assert (
+        eng.extractions().filter(F.col("page_url") == u["noindex"]).count() == 0
+    )
 
 
 def test_canonical_alias_recorded_not_enqueued(directive_run):

@@ -134,6 +134,8 @@ class _Handler(BaseHTTPRequestHandler):
             body = (
                 b'<html><head><meta name="robots" content="nofollow">'
                 b'<link rel="canonical" href="http://canon.test/page">'
+                b'<meta property="og:image" content="http://canon.test/hero.jpg">'
+                b'<meta property="og:image:alt" content="hero alt">'
                 b"</head><body>x</body></html>"
             )
             self.send_response(200)
@@ -374,6 +376,9 @@ def test_http_fetcher_directives_over_sockets(server):
     meta = out.loc[f"{server}/robots-meta"]
     assert not bool(meta["noindex"]) and bool(meta["nofollow"])
     assert meta["canonical"] == "http://canon.test/page"
+    assert meta["og_image"] == "http://canon.test/hero.jpg"
+    assert meta["og_caption"] == "hero alt"
     plain = out.loc[f"{server}/ok"]
     assert not bool(plain["noindex"]) and not bool(plain["nofollow"])
     assert plain["canonical"] is None
+    assert plain["og_image"] is None
