@@ -105,6 +105,82 @@ def canonical_url_col(url: Column | str) -> Column:
     ).otherwise(hier)
 
 
+def resolve_url(base: str, ref: str) -> str:
+    """RFC 3986 §5 reference resolution — Python twin (urljoin), used
+    by the sequential oracle and pandas UDFs. ``base`` should be a
+    canonical URL; the result is NOT canonicalized (callers chain
+    :func:`canonicalize`)."""
+    from urllib.parse import urljoin
+
+    ref = ref.strip()
+    if _OPAQUE_RE.match(ref):
+        return ref
+    return urljoin(base, ref)
+
+
+def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
+    """RFC 3986 §5 resolution as built-in Column expressions — the
+    JVM/codegen twin of :func:`resolve_url` (agreement fuzz-tested
+    against urljoin in tests/test_canonical.py). ``base`` must be a
+    CANONICAL absolute URL (the engine's page URLs are).
+
+    Case split (spec §5.2.2): absolute ref → as-is; protocol-relative
+    ``//h/p`` → base scheme; root-relative ``/p`` → base origin;
+    ``?q``/``#f`` → base path + suffix; else merge with the base
+    directory. Dot segments are removed by fixed-point regex passes —
+    8 ``..`` levels and 8 ``.`` segments, far past real-page depth
+    (documented bound; resolution beyond it leaves literal dots that
+    canonicalization keeps, never a wrong-host URL)."""
+    b = F.col(base) if isinstance(base, str) else base
+    r = F.trim(F.col(ref) if isinstance(ref, str) else ref)
+
+    scheme = F.regexp_extract(b, r"^([a-z][a-z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(b, r"^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    bpath = F.regexp_extract(b, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    bdir = F.regexp_replace(bpath, r"[^/]*$", "")
+    bdir = F.when(bdir == F.lit(""), F.lit("/")).otherwise(bdir)
+
+    rpath = F.regexp_extract(r, r"^([^?#]*)", 1)
+    rtail = F.regexp_replace(r, r"^[^?#]*", "")  # ?query and/or #frag
+
+    # root-relative refs replace the base path; others merge into the
+    # base directory — both then get identical dot-segment removal
+    # (urljoin normalizes dots in BOTH forms).
+    mpath = F.when(rpath.startswith("/"), rpath).otherwise(
+        F.concat(bdir, rpath)
+    )  # always starts with "/"
+    # dot-segment removal (§5.2.4) as ONE aggregate() over the path
+    # segments — exact at any depth, and a single expression node (a
+    # regex fixed-point here bloats the per-round plan enough to make
+    # Catalyst optimization the crawl bottleneck): "." drops, ".."
+    # pops (over-pops at the root are ignored per spec), and a
+    # trailing "."/".." leaves a directory (trailing slash)
+    segs = F.split(F.regexp_replace(mpath, r"^/", ""), "/")
+    kept = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(s == ".", acc)
+        .when(s == "..", F.slice(acc, F.lit(1), F.greatest(F.size(acc) - 1, F.lit(0))))
+        .otherwise(F.concat(acc, F.array(s))),
+    )
+    kept = F.when(
+        F.element_at(segs, -1).isin(".", ".."),
+        F.concat(kept, F.array(F.lit(""))),
+    ).otherwise(kept)
+    mpath = F.concat(F.lit("/"), F.array_join(kept, "/"))
+    relative = F.concat(origin, mpath, rtail)
+
+    has_scheme = r.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+    return (
+        F.when(r == F.lit(""), b)
+        .when(has_scheme, r)  # absolute (incl. opaque data:/mailto:)
+        .when(r.startswith("//"), F.concat(scheme, F.lit(":"), r))
+        .when(r.startswith("#"), F.concat(b, r))
+        .when(r.startswith("?"), F.concat(origin, bpath, r))
+        .otherwise(relative)
+    )
+
+
 def host_col(canonical: Column | str) -> Column:
     """Host (without port) of a canonical URL — the politeness partition
     key (north rule: frontier hash-partitioned by host)."""

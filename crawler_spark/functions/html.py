@@ -229,6 +229,22 @@ def page_directives(
 NOFOLLOW_RELS = {"nofollow", "ugc", "sponsored"}
 
 
+_BASE_TAG_RE = re.compile(r"(?is)<base\b[^>]*>")
+
+
+def base_href(html: str | None) -> str | None:
+    """The first ``<base href>`` (HTML spec: only the first counts).
+    May itself be relative — callers resolve it against the document
+    URI before using it as the resolution base."""
+    if not html:
+        return None
+    m = _BASE_TAG_RE.search(html[:65536])
+    if m is None:
+        return None
+    href = _tag_attrs_any(m.group(0)).get("href", "").strip()
+    return href or None
+
+
 def social_image(html: str | None) -> tuple[str, str] | None:
     """The page-declared representative image: (url, caption) from
     Open Graph / Twitter Card meta tags, or None.

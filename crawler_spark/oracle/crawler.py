@@ -34,7 +34,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from crawler_spark.canonical import canonicalize, host_of
+from crawler_spark.canonical import canonicalize, host_of, resolve_url
 from crawler_spark.functions.text import MD_IMG_RE, extract_md_images
 from crawler_spark.oracle.fixtures import MAX_ATTEMPTS, World, robots_allowed
 
@@ -187,7 +187,7 @@ def run_oracle(
                     {
                         "page_url": e.url,
                         "caption": caption,
-                        "img_url": canonicalize(link),
+                        "img_url": canonicalize(resolve_url(e.url, link)),
                         "img_order": order,
                     }
                 )
@@ -195,7 +195,7 @@ def run_oracle(
             if e.depth == 0 and has_chapters_by_url.get(e.url, False):
                 seen_keys: set[str | None] = set()
                 for _text, link in MD_LINK_RE.findall(page.body):
-                    cu = canonicalize(link)
+                    cu = canonicalize(resolve_url(e.url, link))
                     if cu == e.url:
                         continue  # cycle guard (getChapters.ts:52-57)
                     key = derived_chapter_key(cu)

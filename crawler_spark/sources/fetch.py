@@ -75,6 +75,10 @@ SOCIAL_FIELDS = [
     T.StructField("og_caption", T.StringType(), True),
 ]
 
+# <base href> — overrides the document URI as the RFC 3986 resolution
+# base for every relative link/src on the page (HTML spec: first wins)
+BASE_FIELDS = [T.StructField("base_href", T.StringType(), True)]
+
 # appended by fetchers that surface redirect chains + HTTP validators
 # (HttpFetcher); fixture fetchers keep the 4-column contract unchanged
 HTTP_EXTRA_FIELDS = [
@@ -243,7 +247,11 @@ class HttpFetcher:
     max_redirects: int = 10
 
     RESULT_FIELDS = (
-        FETCH_RESULT_FIELDS + HTTP_EXTRA_FIELDS + DIRECTIVE_FIELDS + SOCIAL_FIELDS
+        FETCH_RESULT_FIELDS
+        + HTTP_EXTRA_FIELDS
+        + DIRECTIVE_FIELDS
+        + SOCIAL_FIELDS
+        + BASE_FIELDS
     )
 
     def _open_no_redirect(self, url: str, headers: dict):
@@ -287,10 +295,15 @@ class HttpFetcher:
             body=None, status=0, final=url, hops=0, nm=False, et=None, lm=None,
             xr=None,
         ):
-            from crawler_spark.functions.html import page_directives, social_image
+            from crawler_spark.functions.html import (
+                base_href,
+                page_directives,
+                social_image,
+            )
 
             noindex, nofollow, canonical = page_directives(body, xr)
             social = social_image(body)
+            base = base_href(body)
             return {
                 "body": body,
                 "status": int(status),
@@ -305,6 +318,7 @@ class HttpFetcher:
                 "canonical": canonical,
                 "og_image": social[0] if social else None,
                 "og_caption": social[1] if social else None,
+                "base_href": base,
             }
 
         base_headers: dict = {}
@@ -387,6 +401,7 @@ class HttpFetcher:
             "canonical",
             "og_image",
             "og_caption",
+            "base_href",
         ):
             out[col] = [r[col] for r in rows]
         out["latency_ms"] = lat

@@ -92,3 +92,84 @@ def test_idempotent():
     for u in HAND_CASES + _random_urls(200):
         c = canonicalize(u)
         assert canonicalize(c) == c, repr(u)
+
+
+# --------------------------------------------------------------------------
+# RFC 3986 reference resolution (real-web links are relative)
+# --------------------------------------------------------------------------
+
+RESOLVE_HAND = [
+    # (base, ref) — expected = urllib.parse.urljoin
+    ("http://h.test/a/b/c", "d"),
+    ("http://h.test/a/b/c", "./d"),
+    ("http://h.test/a/b/c", "../d"),
+    ("http://h.test/a/b/c", "../../d"),
+    ("http://h.test/a/b/c", "../../../../d"),  # over-pop → root
+    ("http://h.test/a/b/c", "/x/y"),
+    ("http://h.test/a/b/c", "//other.test/p"),
+    ("https://h.test/a/b/c", "//other.test/p"),
+    ("http://h.test/a/b/c", "http://abs.test/q"),
+    ("http://h.test/a/b/c", "HTTPS://abs.test/q"),
+    ("http://h.test/a/b/c", "?q=1"),
+    ("http://h.test/a/b/c?old=1", "?q=1"),
+    ("http://h.test/a/b/c", "#frag"),
+    ("http://h.test/a/b/c", ""),
+    ("http://h.test", "x"),
+    ("http://h.test/", "x/y/../z"),
+    ("http://h.test/a/", "b/./c/./d"),
+    ("http://h.test/a/b/", "../"),
+    ("http://h.test/a/b/", ".."),
+    ("http://h.test/a/b/", "."),
+    ("http://h.test/a/b/c", "d/e?q=2#f"),
+    ("http://h.test/vn/tin-tức/bài-1", "../ảnh/x.png"),
+    ("http://h.test/a/b/c", "data:image/png;base64,AAA"),
+    ("http://h.test/a/b/c", "mailto:x@y.z"),
+]
+
+
+def _resolve_fuzz(n=300):
+    rnd = random.Random(7)
+    bases = [
+        "http://h.test", "http://h.test/", "http://h.test/a",
+        "http://h.test/a/b/c", "https://x.test/p/q/", "http://h.test/a?q=1",
+    ]
+    seg = ["d", "dd", "..", ".", "đ-ẫ", "x1"]
+    out = []
+    for _ in range(n):
+        parts = [rnd.choice(seg) for _ in range(rnd.randint(1, 5))]
+        ref = ("/" if rnd.random() < 0.3 else "") + "/".join(parts)
+        if rnd.random() < 0.3:
+            ref += rnd.choice(["?q=1", "#f", "?a=b#c"])
+        out.append((rnd.choice(bases), ref))
+    return out
+
+
+def test_resolve_url_python_matches_urljoin():
+    from urllib.parse import urljoin
+
+    from crawler_spark.canonical import resolve_url
+
+    for base, ref in RESOLVE_HAND + _resolve_fuzz():
+        assert resolve_url(base, ref) == urljoin(base, ref), (base, ref)
+
+
+def test_resolve_url_col_matches_urljoin(spark):
+    """The JVM Column implementation agrees with RFC 3986 (urljoin)
+    on hand cases + 300 fuzzed (base, ref) pairs including dot-segment
+    ladders, over-pops, and non-ASCII path segments."""
+    from urllib.parse import urljoin
+
+    from crawler_spark.canonical import resolve_url_col
+
+    cases = RESOLVE_HAND + _resolve_fuzz()
+    df = spark.createDataFrame(
+        [(i, b, r) for i, (b, r) in enumerate(cases)], "i int, b string, r string"
+    )
+    got = {
+        row["i"]: row["res"]
+        for row in df.select(
+            "i", resolve_url_col(F.col("b"), F.col("r")).alias("res")
+        ).collect()
+    }
+    for i, (b, r) in enumerate(cases):
+        assert got[i] == urljoin(b, r), (b, r, got[i])

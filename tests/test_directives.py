@@ -82,6 +82,19 @@ def test_nofollow_links_keep_text_drop_url():
         assert url not in md and text in md
 
 
+def test_base_href_first_wins():
+    from crawler_spark.functions.html import base_href
+
+    html = (
+        '<head><base href="/deep/dir/"><base href="/ignored/">'
+        "</head><body></body>"
+    )
+    assert base_href(html) == "/deep/dir/"
+    assert base_href("<base target='_blank'>") is None
+    assert base_href("<p>none</p>") is None
+    assert base_href(None) is None
+
+
 def test_social_image_resolution():
     # og wins over twitter regardless of document order
     html = (

@@ -134,6 +134,7 @@ class _Handler(BaseHTTPRequestHandler):
             body = (
                 b'<html><head><meta name="robots" content="nofollow">'
                 b'<link rel="canonical" href="http://canon.test/page">'
+                b'<base href="/deep/dir/">'
                 b'<meta property="og:image" content="http://canon.test/hero.jpg">'
                 b'<meta property="og:image:alt" content="hero alt">'
                 b"</head><body>x</body></html>"
@@ -378,7 +379,9 @@ def test_http_fetcher_directives_over_sockets(server):
     assert meta["canonical"] == "http://canon.test/page"
     assert meta["og_image"] == "http://canon.test/hero.jpg"
     assert meta["og_caption"] == "hero alt"
+    assert meta["base_href"] == "/deep/dir/"
     plain = out.loc[f"{server}/ok"]
     assert not bool(plain["noindex"]) and not bool(plain["nofollow"])
     assert plain["canonical"] is None
     assert plain["og_image"] is None
+    assert plain["base_href"] is None
