@@ -3141,7 +3141,13 @@ ORACLE_SQL["q59_phash_real_pixels"] = Q59_SQL
 
 
 def q60_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed preprocess: gates → exact dedup → PII scrub → final
+    deterministic WEIGHTED MIXING (operators/mixing.py): three synth
+    domains get rates {0.5, 1.0, 2.5} — one downsampled, one kept,
+    one UPSAMPLED (2 whole epochs + a 0.5 Bernoulli third) — selection
+    by md5 row-hash so the DuckDB oracle replays the exact sample."""
     from crawler_spark.functions.pii import scrub_pii_col
+    from crawler_spark.operators.mixing import weighted_sample
 
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = base.unionByName(
@@ -3157,7 +3163,7 @@ def q60_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("w")
     )
     win = W.partitionBy("text_hash").orderBy("doc_id")
-    return (
+    cleaned = (
         staged.withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") == 1)  # exact dedup, first-wins
         .select(
@@ -3166,6 +3172,17 @@ def q60_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text_hash",
             F.length(scrub_pii_col("text")).cast("bigint").alias("scrubbed_len"),
         )
+        .withColumn(
+            "domain",
+            F.concat(F.lit("d"), (F.col("doc_id") % 3).cast("string")),
+        )
+    )
+    return weighted_sample(
+        cleaned,
+        domain_col="domain",
+        key_col="doc_id",
+        weights={"d0": 0.5, "d1": 1.0, "d2": 2.5},
+        seed=60,
     )
 
 
@@ -3185,16 +3202,33 @@ gated AS (
   WHERE list_contains(w, 'the') AND len(w) >= 40),
 dd AS (
   SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
-  FROM gated)
-SELECT doc_id, n_words, text_hash,
-       length(
-         regexp_replace(
+  FROM gated),
+cleaned AS (
+  SELECT doc_id, n_words, text_hash,
+         length(
            regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
-           '\+?\d[\d \-()]{7,}\d', '<PHONE>', 'g'))::BIGINT AS scrubbed_len
-FROM dd WHERE rn = 1
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+             '\+?\d[\d \-()]{7,}\d', '<PHONE>', 'g'))::BIGINT AS scrubbed_len,
+         'd' || (doc_id % 3)::VARCHAR AS domain
+  FROM dd WHERE rn = 1),
+-- deterministic weighted mixing twin (operators/mixing.py): md5
+-- row-hash uniform, floor(w) whole epochs + fractional Bernoulli
+mixed AS (
+  SELECT *,
+         CASE domain WHEN 'd0' THEN 0.5::DOUBLE
+                     WHEN 'd1' THEN 1.0::DOUBLE ELSE 2.5::DOUBLE END AS w,
+         ('0x' || substr(md5(doc_id::VARCHAR || '|60'), 1, 8))::UBIGINT
+           / 4294967296.0 AS u
+  FROM cleaned),
+counted AS (
+  SELECT * EXCLUDE (w, u),
+         (floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END)::INT AS n
+  FROM mixed)
+SELECT * EXCLUDE (n), unnest(generate_series(1, n))::INT AS epoch
+FROM counted WHERE n > 0
 """
 
 QUERIES["q60_preprocess_pipeline"] = q60_preprocess_pipeline
