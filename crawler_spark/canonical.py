@@ -118,6 +118,35 @@ def resolve_url(base: str, ref: str) -> str:
     return urljoin(base, ref)
 
 
+_MD_REF_RE = re.compile(r"(!?\[[^\]]*\])\(([^)]*)\)")
+_ABS_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def absolutize_md(body: str, base: str) -> str:
+    """Rewrite every RELATIVE markdown link/image ref in ``body`` to
+    its absolute form against ``base`` (RFC 3986, urljoin).
+
+    This runs INSIDE the fetch stage's existing Python boundary
+    (sources/fetch.fetch_scheduled), where the body is in hand and the
+    work is Arrow-parallel — so the per-round JVM plans stay exactly
+    as cheap as in the absolute-URL world. (Both pure-Column variants
+    measured badly in the engine loop: a regex fixed-point bloated
+    Catalyst optimization time, and an aggregate() HOF is
+    CodegenFallback, interpreting the whole projection — 5× on
+    tools/bench_engine.py. One C-speed regex pass per body here is
+    noise next to the fetch itself.) Absolute and opaque (data:,
+    mailto:) refs pass through byte-identical."""
+    def _sub(m: re.Match) -> str:
+        ref = m.group(2)
+        if not ref or _ABS_RE.match(ref.strip()) or ref.startswith("//"):
+            if ref.startswith("//"):  # protocol-relative: adopt base scheme
+                return f"{m.group(1)}({resolve_url(base, ref)})"
+            return m.group(0)
+        return f"{m.group(1)}({resolve_url(base, ref)})"
+
+    return _MD_REF_RE.sub(_sub, body)
+
+
 def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
     """RFC 3986 §5 resolution as built-in Column expressions — the
     JVM/codegen twin of :func:`resolve_url` (agreement fuzz-tested

@@ -451,7 +451,42 @@ def fetch_scheduled(
     )
 
     def _fetch(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fetcher.fetch_batch(pdf)
+        out = fetcher.fetch_batch(pdf)
+        # normalize link space at THE Python boundary that already
+        # exists: rewrite relative markdown refs to absolute against
+        # <base href> (itself resolved) else the post-redirect URI
+        # else the request URL, and resolve relative rel=canonical /
+        # og:image declarations. Downstream JVM stages (discovery,
+        # extraction) then stay pure canonicalize — no per-round plan
+        # growth (see canonical.absolutize_md for the measurements).
+        from crawler_spark.canonical import absolutize_md, resolve_url
+
+        cols = out.columns
+        bodies = out["body"].tolist()
+        urls = out["url"].tolist()
+        finals = out["final_url"].tolist() if "final_url" in cols else None
+        basehs = out["base_href"].tolist() if "base_href" in cols else None
+        canons = out["canonical"].tolist() if "canonical" in cols else None
+        ogs = out["og_image"].tolist() if "og_image" in cols else None
+        for i, body in enumerate(bodies):
+            doc = (finals[i] if finals is not None else None) or urls[i]
+            base = (
+                resolve_url(doc, basehs[i])
+                if basehs is not None and basehs[i]
+                else doc
+            )
+            if body is not None:
+                bodies[i] = absolutize_md(body, base)
+            if canons is not None and canons[i]:
+                canons[i] = resolve_url(base, canons[i])
+            if ogs is not None and ogs[i]:
+                ogs[i] = resolve_url(base, ogs[i])
+        out["body"] = bodies
+        if canons is not None:
+            out["canonical"] = canons
+        if ogs is not None:
+            out["og_image"] = ogs
+        return out
 
     keys = ["host", "host_salt"] if salted else ["host"]
     if num_partitions is None:

@@ -32,12 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from crawler_spark.canonical import (
-    canonical_url_col,
-    host_col,
-    resolve_url_col,
-    url_key_col,
-)
+from crawler_spark.canonical import canonical_url_col, host_col, url_key_col
 from crawler_spark.functions.text import md_images_col
 from crawler_spark.operators.dedup import ShardedBloom, anti_join_seen, first_wins
 from crawler_spark.operators.politeness import (
@@ -394,10 +389,7 @@ class CrawlEngine:
             aliases = (
                 ok.filter(F.col("canonical").isNotNull())
                 .withColumn(
-                    "canonical_url",
-                    canonical_url_col(
-                        resolve_url_col(F.col("url"), F.col("canonical"))
-                    ),
+                    "canonical_url", canonical_url_col(F.col("canonical"))
                 )
                 .filter(F.col("canonical_url") != F.col("url"))
                 .select("url", "canonical_url")
@@ -441,37 +433,21 @@ class CrawlEngine:
             fresh = ok
 
         # ---- extraction: image+caption pairs (C1-as-extract) -------------
+        # relative refs were already absolutized at the fetch boundary
+        # (fetch_scheduled → canonical.absolutize_md, against
+        # <base href> else final_url else the page URL) — so every
+        # JVM stage here stays pure canonicalize, identical plans to
+        # the absolute-URL world
         indexable = fresh.filter(~F.col("noindex")) if has_directives else fresh
-
-        # RFC 3986 resolution base for every link/src on a page:
-        # <base href> (itself resolved against the retrieval URI) else
-        # the post-redirect URI else the request URL. Real-web links
-        # are overwhelmingly RELATIVE; fixture worlds use absolute
-        # URLs, for which resolution is the identity (parity holds).
-        _doc_uri = (
-            canonical_url_col(F.coalesce(F.col("final_url"), F.col("url")))
-            if "final_url" in fetched.columns
-            else F.col("url")  # frontier URLs are canonical by construction
-        )
-        if "base_href" in fetched.columns:
-            base_expr = resolve_url_col(
-                _doc_uri, F.coalesce(F.col("base_href"), F.lit(""))
-            )
-        else:
-            base_expr = _doc_uri
-
         imgs = (
             indexable.select(
                 F.col("url").alias("page_url"),
-                base_expr.alias("_base"),
                 F.posexplode(md_images_col(F.col("body"))).alias("_pos", "_img"),
             )
             .select(
                 "page_url",
                 F.col("_img.caption").alias("caption"),
-                canonical_url_col(
-                    resolve_url_col(F.col("_base"), F.col("_img.link"))
-                ).alias("img_url"),
+                canonical_url_col(F.col("_img.link")).alias("img_url"),
                 (F.col("_pos") + 1).cast("int").alias("img_order"),
             )
             .withColumn("round", F.lit(rnd))
@@ -487,9 +463,7 @@ class CrawlEngine:
                 .select(
                     F.col("url").alias("page_url"),
                     F.coalesce(F.col("og_caption"), F.lit("")).alias("caption"),
-                    canonical_url_col(
-                        resolve_url_col(base_expr, F.col("og_image"))
-                    ).alias("img_url"),
+                    canonical_url_col(F.col("og_image")).alias("img_url"),
                     F.lit(0).cast("int").alias("img_order"),
                 )
                 .withColumn("round", F.lit(rnd))
@@ -516,7 +490,6 @@ class CrawlEngine:
         links = (
             parents.select(
                 F.col("url").alias("page_url"),
-                base_expr.alias("_base"),
                 "host_rank",
                 F.col("host").alias("parent_host"),
                 "site",
@@ -528,11 +501,7 @@ class CrawlEngine:
                     F.regexp_extract_all(F.col("body"), F.lit(MD_LINK_PAT), F.lit(2))
                 ).alias("pos", "raw_link"),
             )
-            .withColumn(
-                "url",
-                canonical_url_col(resolve_url_col(F.col("_base"), F.col("raw_link"))),
-            )
-            .drop("_base")
+            .withColumn("url", canonical_url_col(F.col("raw_link")))
             .filter(F.col("url") != F.col("page_url"))  # cycle guard D4
             .withColumn(
                 "_parts", F.split(F.col("url"), "_")

@@ -173,3 +173,31 @@ def test_resolve_url_col_matches_urljoin(spark):
     }
     for i, (b, r) in enumerate(cases):
         assert got[i] == urljoin(b, r), (b, r, got[i])
+
+
+def test_absolutize_md_rewrites_only_relative_refs():
+    """Fetch-boundary link normalization: relative markdown refs
+    become absolute; absolute/opaque refs (and all other bytes) stay
+    byte-identical."""
+    from crawler_spark.canonical import absolutize_md
+
+    base = "http://h.test/a/b/page"
+    body = (
+        "# T\n"
+        "[abs](http://x.test/q) [rel](chap-2) [up](../up/x) [root](/r)\n"
+        "![img](pics/i.png) ![dataimg](data:image/gif;base64,R0lA)\n"
+        "[proto](//cdn.test/y) [mail](mailto:a@b.c) plain text"
+    )
+    out = absolutize_md(body, base)
+    assert "[abs](http://x.test/q)" in out
+    assert "[rel](http://h.test/a/b/chap-2)" in out
+    assert "[up](http://h.test/a/up/x)" in out
+    assert "[root](http://h.test/r)" in out
+    assert "![img](http://h.test/a/b/pics/i.png)" in out
+    assert "![dataimg](data:image/gif;base64,R0lA)" in out
+    assert "[proto](http://cdn.test/y)" in out
+    assert "[mail](mailto:a@b.c)" in out
+    assert out.startswith("# T\n") and out.endswith("plain text")
+    # a fully-absolute body is byte-identical (fixture worlds)
+    abs_body = "[a](http://x/1) ![b](http://x/2.png)"
+    assert absolutize_md(abs_body, base) == abs_body
