@@ -50,6 +50,81 @@ def anti_join_seen(candidates: DataFrame, seen: DataFrame, key: str = "url") -> 
     return candidates.join(seen.select(key).distinct(), on=key, how="left_anti")
 
 
+def resolve_canonical_chains(
+    aliases: DataFrame,
+    url_col: str = "url",
+    target_col: str = "canonical_url",
+    max_iter: int = 6,
+) -> DataFrame:
+    """(url, canonical) with every rel=canonical DECLARATION CHAIN
+    followed to its sink: A→B, B→C resolves both A and B to C.
+
+    The engine's `canonical_aliases` table holds one hop per page;
+    consumers (corpus dedup, alias-aware content attribution) need the
+    fixed point. Pointer DOUBLING: each iteration composes the map
+    with itself, so chains up to 2^max_iter collapse in max_iter
+    hash-join rounds (real-web chains are 1–2 hops; 2^6 is paranoia,
+    same shape as the components operator's jumping). Mutual/cyclic
+    declarations (A⇄B — a real-web misconfiguration) converge to the
+    cycle's LEAST url, deterministically. `localCheckpoint` cuts the
+    doubling lineage like the components loop does."""
+    cur = aliases.select(
+        F.col(url_col).alias("url"), F.col(target_col).alias("canonical")
+    ).dropDuplicates(["url"])
+    for _ in range(max_iter):
+        nxt = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("url").alias("_u"), F.col("canonical").alias("_t")
+                ).alias("b"),
+                F.col("a.canonical") == F.col("b._u"),
+                "left",
+            )
+            .select(
+                F.col("a.url").alias("url"),
+                # a cycle step that would point back at the row itself
+                # stops; the tie-break below canonicalizes the pair
+                F.when(
+                    F.col("_t").isNull() | (F.col("_t") == F.col("a.url")),
+                    F.col("a.canonical"),
+                )
+                .otherwise(F.col("_t"))
+                .alias("canonical"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(cur.alias("c"), "url")
+            .filter(F.col("n.canonical") != F.col("c.canonical"))
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    # mutual pairs (A→B and B→A survive as two rows pointing at each
+    # other): collapse both to the least member
+    pair = cur.select(F.col("url").alias("_pu"), F.col("canonical").alias("_pc"))
+    return (
+        cur.join(
+            pair,
+            (F.col("canonical") == F.col("_pu")) & (F.col("_pc") == F.col("url")),
+            "left",
+        )
+        .select(
+            "url",
+            F.when(
+                F.col("_pu").isNotNull(), F.least(F.col("url"), F.col("canonical"))
+            )
+            .otherwise(F.col("canonical"))
+            .alias("canonical"),
+        )
+        .filter(F.col("url") != F.col("canonical"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sharded bloom filter
 # ---------------------------------------------------------------------------

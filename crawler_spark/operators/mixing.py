@@ -91,6 +91,16 @@ def temperature_weights(
     return {d: target_rows * (p / z) / counts[d] for d, p in powed.items()}
 
 
+def deterministic_shuffle(df: DataFrame, key_col: str, seed: int | str = 0) -> DataFrame:
+    """Global pseudo-random training order: sort by md5(key|seed).
+    One range exchange (the sort a training-data writer pays anyway);
+    the order is a pure function of (key, seed) — identical on any
+    cluster size or run, and replayable by an oracle. Pair with
+    ``epoch`` keys from :func:`weighted_sample` so upsampled copies
+    of a document land far apart (key the hash on (doc, epoch))."""
+    return df.orderBy(det_uniform_col(F.col(key_col), seed), F.col(key_col))
+
+
 def mix_corpus(
     df: DataFrame,
     domain_col: str,

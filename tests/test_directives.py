@@ -267,3 +267,39 @@ def test_canonical_alias_recorded_not_enqueued(directive_run):
         .count()
         == 0
     )
+
+
+def test_resolve_canonical_chains(spark):
+    """A→B→C→D chains collapse to the sink; mutual A⇄B pairs collapse
+    to the least member; unrelated hops untouched; self-maps drop."""
+    from crawler_spark.operators.dedup import resolve_canonical_chains
+
+    rows = [
+        ("http://h/a", "http://h/b"),
+        ("http://h/b", "http://h/c"),
+        ("http://h/c", "http://h/d"),
+        ("http://h/x", "http://h/y"),  # 1-hop
+        ("http://h/m1", "http://h/m2"),  # mutual pair
+        ("http://h/m2", "http://h/m1"),
+        ("http://h/s", "http://h/s"),  # self declaration
+    ]
+    df = spark.createDataFrame(rows, "url string, canonical_url string")
+    got = {
+        r["url"]: r["canonical"] for r in resolve_canonical_chains(df).collect()
+    }
+    assert got["http://h/a"] == "http://h/d"
+    assert got["http://h/b"] == "http://h/d"
+    assert got["http://h/c"] == "http://h/d"
+    assert got["http://h/x"] == "http://h/y"
+    # least member becomes the canonical: m1 self-maps (filtered), m2→m1
+    assert "http://h/m1" not in got
+    assert got["http://h/m2"] == "http://h/m1"
+    assert "http://h/s" not in got  # self-map filtered
+
+    # a longer chain than one doubling step still converges
+    chain = [(f"http://h/c{i}", f"http://h/c{i+1}") for i in range(9)]
+    df2 = spark.createDataFrame(chain, "url string, canonical_url string")
+    got2 = {
+        r["url"]: r["canonical"] for r in resolve_canonical_chains(df2).collect()
+    }
+    assert all(v == "http://h/c9" for v in got2.values())

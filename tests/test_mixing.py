@@ -114,3 +114,17 @@ def test_map_only_plan(spark):
     out = weighted_sample(df, "domain", "doc_id", {"d0": 1.5, "d1": 0.5, "d2": 1.0})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_deterministic_shuffle_order(spark):
+    from crawler_spark.operators.mixing import deterministic_shuffle
+
+    df = _corpus(spark, n=500, parts=3)
+    a = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=3).collect()]
+    b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(df.repartition(11), "doc_id", seed=3).collect()
+    ]
+    assert a == b and a != sorted(a)  # same order, and it's shuffled
+    c = [r["doc_id"] for r in deterministic_shuffle(df, "doc_id", seed=4).collect()]
+    assert c != a and sorted(c) == sorted(a)
