@@ -147,6 +147,58 @@ def absolutize_md(body: str, base: str) -> str:
     return _MD_REF_RE.sub(_sub, body)
 
 
+_HTML_URL_ATTR_RE = re.compile(
+    r"""(?is)\b(href|src|data-src|data-lazy-src|data-original|poster)"""
+    r"""\s*=\s*("[^"]*"|'[^']*'|[^\s"'=<>`]+)"""
+)
+_HTML_SRCSET_RE = re.compile(
+    r"""(?is)\b(srcset|data-srcset)\s*=\s*("[^"]*"|'[^']*')"""
+)
+
+
+def absolutize_html(body: str, base: str) -> str:
+    """The HTML twin of :func:`absolutize_md`: rewrite relative URL
+    attributes (href/src/lazy-load variants/poster, plus every srcset
+    candidate) to absolute against ``base``. HttpFetcher bodies are
+    raw HTML — markdown-ref rewriting alone never sees their links,
+    and a later HTML→MD conversion would hand pure-canonicalize
+    stages a bare "img/x.jpg" that mangles into a garbage host.
+    Absolute/opaque values and all other bytes pass through
+    unchanged; rewritten attributes come back double-quoted."""
+
+    def _ref(v: str) -> str | None:
+        v = v.strip()
+        if not v or v.startswith("#") or (
+            _ABS_RE.match(v) and not v.startswith("//")
+        ):
+            return None
+        return resolve_url(base, v)
+
+    def _attr(m: re.Match) -> str:
+        raw = m.group(2)
+        val = raw[1:-1] if raw[:1] in "\"'" else raw
+        new = _ref(val)
+        return m.group(0) if new is None or new == val else f'{m.group(1)}="{new}"'
+
+    def _srcset(m: re.Match) -> str:
+        parts = []
+        changed = False
+        for cand in m.group(2)[1:-1].split(","):
+            toks = cand.split()
+            if toks:
+                new = _ref(toks[0])
+                if new is not None and new != toks[0]:
+                    toks[0] = new
+                    changed = True
+            parts.append(" ".join(toks))
+        if not changed:
+            return m.group(0)
+        return f'{m.group(1)}="{", ".join(p for p in parts if p)}"'
+
+    body = _HTML_SRCSET_RE.sub(_srcset, body)
+    return _HTML_URL_ATTR_RE.sub(_attr, body)
+
+
 def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
     """RFC 3986 §5 resolution as built-in Column expressions — the
     JVM/codegen twin of :func:`resolve_url` (agreement fuzz-tested

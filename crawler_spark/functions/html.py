@@ -156,7 +156,12 @@ def _is_placeholder(url: str | None) -> bool:
 
 _META_TAG_RE = re.compile(r"(?is)<meta\b[^>]*>")
 _LINK_TAG_RE = re.compile(r"(?is)<link\b[^>]*>")
-_ATTR_ANY_RE = re.compile(r"""([a-zA-Z-]+)\s*=\s*("[^"]*"|'[^']*')""")
+# quoted OR unquoted values — unquoted attributes are valid HTML5 and
+# common in the wild; a directive parser that misses <meta name=robots
+# content=noindex> silently indexes pages that opted out
+_ATTR_ANY_RE = re.compile(
+    r"""([a-zA-Z-]+)\s*=\s*("[^"]*"|'[^']*'|[^\s"'=<>`]+)"""
+)
 
 #: directive tokens that matter to a crawler; everything else
 #: (nosnippet, noarchive, max-image-preview:…) is indexing-UI noise
@@ -166,7 +171,9 @@ _NOFOLLOW_TOKENS = {"nofollow", "none"}
 
 def _tag_attrs_any(tag_text: str) -> dict[str, str]:
     return {
-        m.group(1).lower(): m.group(2)[1:-1]
+        m.group(1).lower(): (
+            m.group(2)[1:-1] if m.group(2)[:1] in "\"'" else m.group(2)
+        )
         for m in _ATTR_ANY_RE.finditer(tag_text)
     }
 
@@ -316,16 +323,17 @@ def substantive_data_uri(url: str) -> bool:
     """True when an inline data URI carries a REAL image: the payload
     header-probes as a registry format (magic bytes, never the
     mediatype label — the real web lies there too) with claimed
-    dimensions above the tracker/placeholder floor (1×1 and 2×2
-    beacons are loader noise; anything larger is content a crawler
-    would have fetched from a URL)."""
+    dimensions above the tracker/placeholder floor: BOTH dimensions
+    must exceed 2 px (1×1/2×2 beacons AND 1×N spacer/divider strips
+    are loader/layout noise; anything genuinely 2-D is content a
+    crawler would have fetched from a URL)."""
     parsed = parse_data_uri(url)
     if parsed is None:
         return False
     from crawler_spark.functions.images import probe_image
 
     probe = probe_image(parsed[1])
-    return probe is not None and max(probe[1], probe[2]) > 2
+    return probe is not None and min(probe[1], probe[2]) > 2
 
 
 def parse_srcset(value: str) -> list[tuple[str, float, str]]:
@@ -542,8 +550,8 @@ def html_to_md(html: str) -> str:
     # (which reads markdown links) structurally cannot follow it
     def _a_md(m: re.Match) -> str:
         open_tag = m.group(0)[: m.group(0).find(">") + 1]
-        rm = re.search(r"""(?i)\brel=["']([^"']*)["']""", open_tag)
-        if rm and set(re.split(r"[\s,]+", rm.group(1).lower())) & NOFOLLOW_RELS:
+        rel = _tag_attrs_any(open_tag).get("rel")
+        if rel and set(re.split(r"[\s,]+", rel.lower())) & NOFOLLOW_RELS:
             return m.group(2).strip()
         return f"[{m.group(2).strip()}]({m.group(1)})"
 

@@ -54,73 +54,58 @@ def resolve_canonical_chains(
     aliases: DataFrame,
     url_col: str = "url",
     target_col: str = "canonical_url",
-    max_iter: int = 6,
 ) -> DataFrame:
     """(url, canonical) with every rel=canonical DECLARATION CHAIN
-    followed to its sink: A→B, B→C resolves both A and B to C.
+    followed to its end: A→B, B→C resolves both A and B to C.
 
     The engine's `canonical_aliases` table holds one hop per page;
     consumers (corpus dedup, alias-aware content attribution) need the
-    fixed point. Pointer DOUBLING: each iteration composes the map
-    with itself, so chains up to 2^max_iter collapse in max_iter
-    hash-join rounds (real-web chains are 1–2 hops; 2^6 is paranoia,
-    same shape as the components operator's jumping). Mutual/cyclic
-    declarations (A⇄B — a real-web misconfiguration) converge to the
-    cycle's LEAST url, deterministically. `localCheckpoint` cuts the
-    doubling lineage like the components loop does."""
-    cur = aliases.select(
-        F.col(url_col).alias("url"), F.col(target_col).alias("canonical")
-    ).dropDuplicates(["url"])
-    for _ in range(max_iter):
-        nxt = (
-            cur.alias("a")
-            .join(
-                cur.select(
-                    F.col("url").alias("_u"), F.col("canonical").alias("_t")
-                ).alias("b"),
-                F.col("a.canonical") == F.col("b._u"),
-                "left",
-            )
-            .select(
-                F.col("a.url").alias("url"),
-                # a cycle step that would point back at the row itself
-                # stops; the tie-break below canonicalizes the pair
-                F.when(
-                    F.col("_t").isNull() | (F.col("_t") == F.col("a.url")),
-                    F.col("a.canonical"),
-                )
-                .otherwise(F.col("_t"))
-                .alias("canonical"),
-            )
-            .localCheckpoint(eager=True)
+    fixed point. Built on the proven components operator rather than
+    bespoke pointer-chasing (a doubling loop oscillates on chains that
+    FEED a cycle — E→D→A⇄B assigned E and D different canonicals
+    depending on iteration parity): each weakly-connected alias
+    cluster elects ONE canonical — its unique sink (the node that
+    declares no canonical of its own) when the cluster has exactly
+    one, else (cyclic misconfigurations, which have no sink) the
+    cluster's lexicographically least url. Exact for chains, trees,
+    cycles, and chains-into-cycles; scale shape = the components
+    operator's (pre-contracted pointer jumping) + three hash joins."""
+    from crawler_spark.operators.components import connected_components
+
+    a = (
+        aliases.select(
+            F.col(url_col).alias("url"), F.col(target_col).alias("target")
         )
-        changed = (
-            nxt.alias("n")
-            .join(cur.alias("c"), "url")
-            .filter(F.col("n.canonical") != F.col("c.canonical"))
-            .limit(1)
-            .count()
-        )
-        cur = nxt
-        if changed == 0:
-            break
-    # mutual pairs (A→B and B→A survive as two rows pointing at each
-    # other): collapse both to the least member
-    pair = cur.select(F.col("url").alias("_pu"), F.col("canonical").alias("_pc"))
+        .filter(F.col("url") != F.col("target"))
+        .dropDuplicates(["url"])
+    )
+    names = (
+        a.select(F.col("url").alias("name"))
+        .unionByName(a.select(F.col("target").alias("name")))
+        .distinct()
+        .withColumn("node", F.xxhash64("name"))
+    )
+    comp = connected_components(
+        a.select(F.xxhash64("url").alias("src"), F.xxhash64("target").alias("dst"))
+    )
+    labeled = names.join(comp, "node").select("name", "comp")
+    # sinks: cluster members that declare no canonical themselves
+    sinks = labeled.join(
+        a.select(F.col("url").alias("name")).distinct(), "name", "left_anti"
+    )
+    sink_pick = sinks.groupBy("comp").agg(
+        F.count("*").alias("n_sinks"), F.min("name").alias("sink")
+    )
+    cluster_min = labeled.groupBy("comp").agg(F.min("name").alias("cmin"))
+    canon = cluster_min.join(sink_pick, "comp", "left").select(
+        "comp",
+        F.when(F.col("n_sinks") == 1, F.col("sink"))
+        .otherwise(F.col("cmin"))
+        .alias("canonical"),
+    )
     return (
-        cur.join(
-            pair,
-            (F.col("canonical") == F.col("_pu")) & (F.col("_pc") == F.col("url")),
-            "left",
-        )
-        .select(
-            "url",
-            F.when(
-                F.col("_pu").isNotNull(), F.least(F.col("url"), F.col("canonical"))
-            )
-            .otherwise(F.col("canonical"))
-            .alias("canonical"),
-        )
+        labeled.join(canon, "comp")
+        .select(F.col("name").alias("url"), "canonical")
         .filter(F.col("url") != F.col("canonical"))
     )
 

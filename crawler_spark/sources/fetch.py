@@ -348,7 +348,12 @@ class HttpFetcher:
                             hops=hops,
                             et=r.headers.get("ETag"),
                             lm=r.headers.get("Last-Modified"),
-                            xr=r.headers.get("X-Robots-Tag"),
+                            # repeated X-Robots-Tag headers are legal
+                            # (CDN + origin layering) — union them all
+                            xr=", ".join(
+                                r.headers.get_all("X-Robots-Tag") or []
+                            )
+                            or None,
                         )
                 except urllib.error.HTTPError as e:
                     status = int(e.code)
@@ -459,7 +464,11 @@ def fetch_scheduled(
         # og:image declarations. Downstream JVM stages (discovery,
         # extraction) then stay pure canonicalize — no per-round plan
         # growth (see canonical.absolutize_md for the measurements).
-        from crawler_spark.canonical import absolutize_md, resolve_url
+        from crawler_spark.canonical import (
+            absolutize_html,
+            absolutize_md,
+            resolve_url,
+        )
 
         cols = out.columns
         bodies = out["body"].tolist()
@@ -476,7 +485,14 @@ def fetch_scheduled(
                 else doc
             )
             if body is not None:
-                bodies[i] = absolutize_md(body, base)
+                # markdown refs always; HTML url attributes when the
+                # body carries tags (HttpFetcher returns raw HTML —
+                # its links live in href/src/srcset, which a later
+                # HTML→MD conversion passes through verbatim)
+                body = absolutize_md(body, base)
+                if "<" in body:
+                    body = absolutize_html(body, base)
+                bodies[i] = body
             if canons is not None and canons[i]:
                 canons[i] = resolve_url(base, canons[i])
             if ogs is not None and ogs[i]:

@@ -201,3 +201,29 @@ def test_absolutize_md_rewrites_only_relative_refs():
     # a fully-absolute body is byte-identical (fixture worlds)
     abs_body = "[a](http://x/1) ![b](http://x/2.png)"
     assert absolutize_md(abs_body, base) == abs_body
+
+
+def test_absolutize_html_attributes_and_srcset():
+    """The HTML twin: href/src/lazy-load/poster and every srcset
+    candidate rewrite to absolute; absolute/opaque/fragment values and
+    all other bytes pass through."""
+    from crawler_spark.canonical import absolutize_html
+
+    base = "http://h.test/a/b/page"
+    html = (
+        '<a href="../up">u</a><img src=pics/i.png alt=x>'
+        "<img data-src='/lazy.png' srcset=\"s/1.png 1x, /s/2.png 2x\">"
+        '<video poster="p.jpg"></video>'
+        '<a href="http://abs.test/q">abs</a><a href="#frag">f</a>'
+        '<img src="data:image/gif;base64,R0lA">'
+        "<p>src= in text is untouched only if not attr-shaped</p>"
+    )
+    out = absolutize_html(html, base)
+    assert 'href="http://h.test/a/up"' in out
+    assert 'src="http://h.test/a/b/pics/i.png"' in out
+    assert 'data-src="http://h.test/lazy.png"' in out
+    assert 'srcset="http://h.test/a/b/s/1.png 1x, http://h.test/s/2.png 2x"' in out
+    assert 'poster="http://h.test/a/b/p.jpg"' in out
+    assert 'href="http://abs.test/q"' in out
+    assert 'href="#frag"' in out
+    assert 'src="data:image/gif;base64,R0lA"' in out

@@ -296,10 +296,51 @@ def test_resolve_canonical_chains(spark):
     assert got["http://h/m2"] == "http://h/m1"
     assert "http://h/s" not in got  # self-map filtered
 
-    # a longer chain than one doubling step still converges
+    # a 10-hop chain still converges
     chain = [(f"http://h/c{i}", f"http://h/c{i+1}") for i in range(9)]
     df2 = spark.createDataFrame(chain, "url string, canonical_url string")
     got2 = {
         r["url"]: r["canonical"] for r in resolve_canonical_chains(df2).collect()
     }
     assert all(v == "http://h/c9" for v in got2.values())
+
+    # a chain FEEDING a cycle (E→D→A⇄B): every member of the cluster —
+    # including the cycle nodes — gets the SAME canonical (least url,
+    # since a cyclic cluster has no sink)
+    df3 = spark.createDataFrame(
+        [
+            ("http://h/e", "http://h/d"),
+            ("http://h/d", "http://h/a"),
+            ("http://h/a", "http://h/b"),
+            ("http://h/b", "http://h/a"),
+        ],
+        "url string, canonical_url string",
+    )
+    got3 = {
+        r["url"]: r["canonical"] for r in resolve_canonical_chains(df3).collect()
+    }
+    assert got3 == {
+        "http://h/e": "http://h/a",
+        "http://h/d": "http://h/a",
+        "http://h/b": "http://h/a",
+    }
+
+
+def test_unquoted_attribute_values_parse():
+    """Unquoted attribute values are valid HTML5 and common in the
+    wild — a directive parser that misses them silently indexes pages
+    that opted out."""
+    assert page_directives("<meta name=robots content=noindex>") == (
+        True, False, None,
+    )
+    assert page_directives("<link rel=canonical href=http://a.com/x>") == (
+        False, False, "http://a.com/x",
+    )
+    md = html_to_md('<a href="http://x/2" rel=nofollow>spam</a>')
+    assert "http://x/2" not in md and "spam" in md
+    from crawler_spark.functions.html import base_href, social_image
+
+    assert base_href("<base href=/deep/>") == "/deep/"
+    assert social_image("<meta property=og:image content=http://x/i.png>") == (
+        "http://x/i.png", "",
+    )

@@ -126,7 +126,10 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/robots-header":
             body = b"<html><body>scoped</body></html>"
             self.send_response(200)
-            self.send_header("X-Robots-Tag", "noindex, nofollow")
+            # split across two header lines (CDN + origin layering):
+            # the client must union ALL X-Robots-Tag instances
+            self.send_header("X-Robots-Tag", "noindex")
+            self.send_header("X-Robots-Tag", "nofollow")
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -247,3 +247,45 @@ def test_rect_fast_path_matches_scanline_filler():
         pts = [(x, y), (x + rw, y), (x + rw, y + rh), (x, y + rh)]
         _fill_polygons(ref, [pts], (0x12, 0x34, 0x56))
         assert np.array_equal(fast, ref), (x, y, rw, rh)
+
+
+# --------------------------------------------------------------------------
+# review regressions (r4 s7): fill="none" inheritance, containers, post-Z
+# --------------------------------------------------------------------------
+
+
+def test_inherited_fill_none_renders_unpainted():
+    """<svg fill="none"> (the Feather/Lucide icon pattern) must leave
+    fill-less children UNPAINTED — 'none' inherits as none, never
+    collapsing into the default black."""
+    img = decode_svg(_doc('<rect width="20" height="20"/>', extra='fill="none"'))
+    assert (img == 255).all()
+    # a child can still override back to a color
+    img2 = decode_svg(
+        _doc('<g fill="none"><rect width="20" height="20" fill="red"/></g>')
+    )
+    assert (img2 == (255, 0, 0)).all(axis=-1).all()
+
+
+def test_anchor_is_renderable_container():
+    img = decode_svg(
+        _doc('<a href="#x"><rect width="20" height="20" fill="red"/></a>')
+    )
+    assert (img == (255, 0, 0)).all(axis=-1).all()
+
+
+def test_nested_svg_raises():
+    with pytest.raises(ValueError):
+        decode_svg(_doc('<svg x="2" width="4" height="4"><rect width="2" height="2"/></svg>'))
+
+
+def test_subpath_after_z_starts_at_current_point():
+    """Z returns the pen to the subpath start; a drawing command right
+    after Z begins the NEW subpath from that point (spec 8.3.3)."""
+    sub = parse_path("M0 0 L10 0 L10 10 Z L0 10 L10 10 Z")
+    assert sub[1][0] == (0.0, 0.0)  # seeded with the current point
+    img = decode_svg(
+        _doc('<path d="M2 2 L18 2 L18 8 Z L2 18 L18 18 Z" fill="black"/>')
+    )
+    blk = (img == 0).all(axis=-1)
+    assert blk[16, 9]  # second triangle (2,2)-(2,18)-(18,18) is filled
