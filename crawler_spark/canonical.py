@@ -135,7 +135,10 @@ def absolutize_md(body: str, base: str) -> str:
     CodegenFallback, interpreting the whole projection — 5× on
     tools/bench_engine.py. One C-speed regex pass per body here is
     noise next to the fetch itself.) Absolute and opaque (data:,
-    mailto:) refs pass through byte-identical."""
+    mailto:) refs pass through byte-identical. Fenced code blocks and
+    inline code spans are content, not links — they pass through
+    byte-identical (a ``[x](y)`` inside a fence is sample code;
+    rewriting it mutates the page's bytes)."""
     def _sub(m: re.Match) -> str:
         ref = m.group(2)
         if not ref or _ABS_RE.match(ref.strip()) or ref.startswith("//"):
@@ -144,7 +147,22 @@ def absolutize_md(body: str, base: str) -> str:
             return m.group(0)
         return f"{m.group(1)}({resolve_url(base, ref)})"
 
-    return _MD_REF_RE.sub(_sub, body)
+    # _MD_CODE_RE has ONE capture group, so split() alternates
+    # prose, code, prose, code … — rewrite only the even (prose) slots
+    parts = _MD_CODE_RE.split(body)
+    return "".join(
+        p if i % 2 else _MD_REF_RE.sub(_sub, p) for i, p in enumerate(parts)
+    )
+
+
+#: protected markdown regions: fenced code blocks (``` / ~~~ up to the
+#: closing fence or EOF, CommonMark's unclosed-fence rule) and inline
+#: code spans (single line, no nesting)
+_MD_CODE_RE = re.compile(
+    r"(?sm)(^[ \t]{0,3}```.*?(?:^[ \t]{0,3}```[^\n]*$|\Z)"
+    r"|^[ \t]{0,3}~~~.*?(?:^[ \t]{0,3}~~~[^\n]*$|\Z)"
+    r"|`[^`\n]+`)"
+)
 
 
 _HTML_URL_ATTR_RE = re.compile(
@@ -181,19 +199,23 @@ def absolutize_html(body: str, base: str) -> str:
         return m.group(0) if new is None or new == val else f'{m.group(1)}="{new}"'
 
     def _srcset(m: re.Match) -> str:
+        # spec tokenizer shared with functions/html.py: a data-URI
+        # candidate stays one token (its base64 comma is NOT a
+        # candidate separator) and _ref leaves it untouched via
+        # _ABS_RE, so the stored attribute bytes can't be corrupted
+        from crawler_spark.functions.html import split_srcset
+
         parts = []
         changed = False
-        for cand in m.group(2)[1:-1].split(","):
-            toks = cand.split()
-            if toks:
-                new = _ref(toks[0])
-                if new is not None and new != toks[0]:
-                    toks[0] = new
-                    changed = True
-            parts.append(" ".join(toks))
+        for url, desc in split_srcset(m.group(2)[1:-1]):
+            new = _ref(url)
+            if new is not None and new != url:
+                url = new
+                changed = True
+            parts.append(f"{url} {desc}".strip() if desc else url)
         if not changed:
             return m.group(0)
-        return f'{m.group(1)}="{", ".join(p for p in parts if p)}"'
+        return f'{m.group(1)}="{", ".join(parts)}"'
 
     body = _HTML_SRCSET_RE.sub(_srcset, body)
     return _HTML_URL_ATTR_RE.sub(_attr, body)
@@ -208,10 +230,12 @@ def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
     Case split (spec §5.2.2): absolute ref → as-is; protocol-relative
     ``//h/p`` → base scheme; root-relative ``/p`` → base origin;
     ``?q``/``#f`` → base path + suffix; else merge with the base
-    directory. Dot segments are removed by fixed-point regex passes —
-    8 ``..`` levels and 8 ``.`` segments, far past real-page depth
-    (documented bound; resolution beyond it leaves literal dots that
-    canonicalization keeps, never a wrong-host URL)."""
+    directory. Dot segments are removed by ONE ``aggregate()`` HOF
+    over the path segments — exact at ANY depth, but a
+    CodegenFallback expression (same cost note as absolutize_md's
+    bench comment). The engine's hot path resolves at the fetch
+    boundary in Python (sources/fetch.py); this Column variant exists
+    for tests/oracle parity only."""
     b = F.col(base) if isinstance(base, str) else base
     r = F.trim(F.col(ref) if isinstance(ref, str) else ref)
 

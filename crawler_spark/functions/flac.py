@@ -67,7 +67,19 @@ def _crc8(data: bytes) -> int:
     return c
 
 
+_CRC16_SHIFT_TABLES: list[np.ndarray] = []
+
+
 def _crc16(data: bytes) -> int:
+    """CRC-16/BUZZ (poly 0x8005, init 0) — vectorized log-step fold.
+
+    The byte-at-a-time recurrence c' = ((c<<8)&0xFFFF) ^ TAB[(c>>8)^b]
+    splits, because CRC tables are GF(2)-linear (TAB[a^b]=TAB[a]^TAB[b]),
+    into c' = f(c) ^ TAB[b] with f(c) = ((c<<8)&0xFFFF) ^ TAB[c>>8].
+    So crc = XOR_i f^(n-1-i)(TAB[b_i]): gather TAB over all bytes at
+    once, then apply f^(2^k) power-tables (S_{k+1} = S_k∘S_k, built
+    lazily, 128 KiB each) to the positions whose distance has bit k
+    set, and XOR-reduce. O(n·log n) table gathers, no per-byte Python."""
     global _CRC16_TABLE
     if _CRC16_TABLE is None:
         tab = []
@@ -77,10 +89,29 @@ def _crc16(data: bytes) -> int:
                 c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else (c << 1) & 0xFFFF
             tab.append(c)
         _CRC16_TABLE = tab
-    c = 0
-    for b in data:
-        c = ((c << 8) & 0xFFFF) ^ _CRC16_TABLE[(c >> 8) ^ b]
-    return c
+    n = len(data)
+    if n < 64:  # scalar path: table-walk beats setup for tiny inputs
+        c = 0
+        for b in data:
+            c = ((c << 8) & 0xFFFF) ^ _CRC16_TABLE[(c >> 8) ^ b]
+        return c
+    tab16 = np.asarray(_CRC16_TABLE, np.uint16)
+    if not _CRC16_SHIFT_TABLES:
+        v = np.arange(65536, dtype=np.uint32)
+        s0 = (((v << 8) & 0xFFFF) ^ tab16[v >> 8]).astype(np.uint16)
+        _CRC16_SHIFT_TABLES.append(s0)
+    dist = np.arange(n - 1, -1, -1, dtype=np.int64)
+    vals = tab16[np.frombuffer(data, np.uint8)]
+    k = 0
+    while (1 << k) <= n - 1:
+        while k >= len(_CRC16_SHIFT_TABLES):
+            prev = _CRC16_SHIFT_TABLES[-1]
+            _CRC16_SHIFT_TABLES.append(prev[prev])
+        sel = (dist >> k) & 1 == 1
+        if sel.any():
+            vals[sel] = _CRC16_SHIFT_TABLES[k][vals[sel]]
+        k += 1
+    return int(np.bitwise_xor.reduce(vals))
 
 
 # --------------------------------------------------------------------------
@@ -152,6 +183,25 @@ class _BitWriter:
             n -= 32
         self.write(1, n + 1)
 
+    def write_bitarray(self, arr: np.ndarray) -> None:
+        """Append a uint8 0/1 bit array (MSB-first) in bulk: flush the
+        partial accumulator into the array, packbits the full bytes,
+        keep the sub-byte tail in the accumulator. This is the bulk
+        lane for the vectorized residual/verbatim encoders."""
+        if self.nbits:
+            head = np.array(
+                [(self.acc >> (self.nbits - 1 - i)) & 1 for i in range(self.nbits)],
+                np.uint8,
+            )
+            arr = np.concatenate([head, arr])
+            self.acc = 0
+            self.nbits = 0
+        nfull = (len(arr) >> 3) << 3
+        if nfull:
+            self.buf += np.packbits(arr[:nfull]).tobytes()
+        for b in arr[nfull:].tolist():
+            self.write(int(b), 1)
+
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
@@ -209,16 +259,166 @@ _SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 # --------------------------------------------------------------------------
 # Decode
+#
+# Subframe bodies are decoded against a per-frame *bit window* — one
+# np.unpackbits over a bounded slice plus its set-bit index — instead
+# of the per-bit _BitReader (which stays for the tiny metadata / frame
+# headers). The rice hot path is fully vectorized: terminators are the
+# greedy chain "first 1-bit ≥ previous terminator + 1 + param" over
+# the window's ones[] index, materialized with pointer doubling
+# (log2(n) numpy gathers — exact, no per-sample Python), quotients
+# fall out of the chain, and the fixed-width remainders / escape /
+# verbatim samples are one fancy-indexed matmul. Measured ≥20× the
+# r4 bit-at-a-time reader on the q61 fixture shapes (BENCH.md §2b-ter).
 # --------------------------------------------------------------------------
 
 
-def _decode_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
-    method = br.read(2)
+class _Overrun(Exception):
+    """Read past the current bit window — retry with a bigger one
+    (decode_flac enlarges and re-decodes the frame) or, when the
+    window already reaches EOF, a genuinely truncated stream."""
+
+
+class _Win:
+    """A frame-local bit window: ``bits`` (uint8 0/1, MSB-first) over
+    ``data[lo:hi]``, ``ones`` (positions of set bits, for unary /
+    rice-terminator scans) and a lazy ``rank`` (cumulative set-bit
+    count — turns "first 1-bit ≥ p" into one gather). Positions are
+    relative to ``lo * 8``."""
+
+    __slots__ = ("bits", "ones", "n", "at_eof", "_rank")
+
+    def __init__(self, data: bytes, lo: int, hi: int):
+        arr = np.frombuffer(data, np.uint8, hi - lo, lo)
+        self.bits = np.unpackbits(arr)
+        self.ones = np.flatnonzero(self.bits).astype(np.int64)
+        self.n = len(self.bits)
+        self.at_eof = hi >= len(data)
+        self._rank = None
+
+    def rank(self) -> np.ndarray:
+        """rank[b] = number of set bits at positions ≤ b."""
+        if self._rank is None:
+            self._rank = np.cumsum(self.bits, dtype=np.int64)
+        return self._rank
+
+
+def _w_scalar(win: _Win, pos: int, nbits: int) -> tuple[int, int]:
+    """Small fixed-width read (headers, warmups, coefficients)."""
+    if pos + nbits > win.n:
+        raise _Overrun
+    v = 0
+    for b in win.bits[pos : pos + nbits].tolist():
+        v = (v << 1) | b
+    return v, pos + nbits
+
+
+def _w_scalar_signed(win: _Win, pos: int, nbits: int) -> tuple[int, int]:
+    v, pos = _w_scalar(win, pos, nbits)
+    if v >= 1 << (nbits - 1):
+        v -= 1 << nbits
+    return v, pos
+
+
+def _w_unary(win: _Win, pos: int, limit: int = 1 << 20) -> tuple[int, int]:
+    j = int(np.searchsorted(win.ones, pos))
+    if j >= len(win.ones):
+        raise _Overrun
+    t = int(win.ones[j])
+    if t - pos > limit:
+        raise FlacError("flac: runaway unary code")
+    return t - pos, t + 1
+
+
+def _w_fixed_vec(win: _Win, pos: int, count: int, width: int,
+                 signed: bool) -> tuple[np.ndarray, int]:
+    """``count`` consecutive ``width``-bit integers as one gather."""
+    if width == 0:
+        return np.zeros(count, np.int64), pos
+    end = pos + count * width
+    if end > win.n:
+        raise _Overrun
+    if count == 0:
+        return np.zeros(0, np.int64), pos
+    sh = np.arange(width - 1, -1, -1, dtype=np.int64)
+    idx = pos + np.arange(count, dtype=np.int64)[:, None] * width + np.arange(width)
+    v = (win.bits[idx].astype(np.int64) << sh).sum(axis=1)
+    if signed:
+        half = np.int64(1) << (width - 1)
+        v = v - ((v >= half).astype(np.int64) << width)
+    return v, end
+
+
+def _rice_vec(win: _Win, pos: int, count: int, param: int) -> tuple[np.ndarray, int]:
+    """``count`` rice codes (unary quotient + ``param``-bit remainder)
+    starting at bit ``pos``. Terminator chain by pointer doubling:
+    nxt[j] = first set bit ≥ ones[j] + 1 + param is one searchsorted
+    for ALL ones; the greedy chain from the first set bit ≥ pos is
+    then log2(count) gathers. Exact — the chain definition IS the
+    sequential decode recurrence."""
+    if count == 0:
+        return np.zeros(0, np.int64), pos
+    step = 1 + param
+    R = win.rank()
+    j0 = int(R[pos - 1]) if pos else 0
+    # provable index bound: each code consumes its terminator plus at
+    # most `param` remainder ones — slice the window's ones[] to it so
+    # the chain costs O(count·param), not O(window)
+    O = win.ones[j0 : j0 + count * step + 2]
+    m = len(O)
+    if m == 0:
+        raise _Overrun
+    # nxt[j] = index of first set bit ≥ O[j] + step == #ones at
+    # positions ≤ O[j] + param — a rank gather, no searchsorted
+    tgt = O + param
+    if int(tgt[-1]) >= win.n:
+        over = tgt >= win.n
+        tgt = np.minimum(tgt, win.n - 1)
+        nxt = np.minimum(R[tgt] - j0, m)
+        nxt[over] = m
+    else:
+        nxt = np.minimum(R[tgt] - j0, m)
+    nxt = np.append(nxt, m)  # sentinel self-loop = overran the window
+    chain = np.empty(count, np.int64)
+    chain[0] = 0  # O is sliced to start at the first set bit ≥ pos
+    L, jump = 1, nxt
+    while L < count:
+        take = min(L, count - L)
+        chain[L : L + take] = jump[chain[:take]]
+        L += take
+        if L < count:
+            jump = jump[jump]
+    if chain[-1] >= m:
+        raise _Overrun
+    T = O[chain]
+    starts = np.empty(count, np.int64)
+    starts[0] = pos
+    starts[1:] = T[:-1] + step
+    q = T - starts
+    if int(q.max()) > (1 << 20):
+        raise FlacError("flac: runaway unary code")
+    end = int(T[-1]) + step
+    if end > win.n:
+        raise _Overrun
+    if param:
+        sh = np.arange(param - 1, -1, -1, dtype=np.int64)
+        idx = (T + 1)[:, None] + np.arange(param)
+        r = (win.bits[idx].astype(np.int64) << sh).sum(axis=1)
+        v = (q << param) | r
+    else:
+        v = q
+    return (v >> 1) ^ -(v & 1), end  # un-zigzag
+
+
+def _decode_residual(
+    win: _Win, pos: int, blocksize: int, order: int
+) -> tuple[np.ndarray, int]:
+    method, pos = _w_scalar(win, pos, 2)
     if method > 1:
         raise FlacError("flac: reserved residual method")
     pbits = 4 if method == 0 else 5
     escape = (1 << pbits) - 1
-    po = br.read(4)
+    po, pos = _w_scalar(win, pos, 4)
     nparts = 1 << po
     if blocksize % nparts or (blocksize >> po) < order:
         raise FlacError("flac: bad partition order")
@@ -226,42 +426,47 @@ def _decode_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
     idx = 0
     for p in range(nparts):
         count = (blocksize >> po) - (order if p == 0 else 0)
-        param = br.read(pbits)
+        param, pos = _w_scalar(win, pos, pbits)
         if param == escape:
-            width = br.read(5)
-            for i in range(count):
-                out[idx + i] = br.read_signed(width) if width else 0
+            width, pos = _w_scalar(win, pos, 5)
+            vals, pos = _w_fixed_vec(win, pos, count, width, signed=True)
+            out[idx : idx + count] = vals
         else:
-            for i in range(count):
-                q = br.read_unary()
-                r = br.read(param) if param else 0
-                v = (q << param) | r
-                out[idx + i] = (v >> 1) ^ -(v & 1)  # un-zigzag
+            vals, pos = _rice_vec(win, pos, count, param)
+            out[idx : idx + count] = vals
         idx += count
-    return out
+    return out, pos
 
 
-def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
-    if br.read_bit():
+def _decode_subframe(
+    win: _Win, pos: int, blocksize: int, bps: int
+) -> tuple[np.ndarray, int]:
+    pad, pos = _w_scalar(win, pos, 1)
+    if pad:
         raise FlacError("flac: subframe padding bit set")
-    stype = br.read(6)
+    stype, pos = _w_scalar(win, pos, 6)
     wasted = 0
-    if br.read_bit():
-        wasted = br.read_unary() + 1
+    flag, pos = _w_scalar(win, pos, 1)
+    if flag:
+        w, pos = _w_unary(win, pos)
+        wasted = w + 1
     eff = bps - wasted
     if eff <= 0:
         raise FlacError("flac: wasted bits exceed sample size")
     if stype == 0:  # CONSTANT
-        v = br.read_signed(eff)
+        v, pos = _w_scalar_signed(win, pos, eff)
         out = np.full(blocksize, v, np.int64)
     elif stype == 1:  # VERBATIM
-        out = np.array([br.read_signed(eff) for _ in range(blocksize)], np.int64)
+        out, pos = _w_fixed_vec(win, pos, blocksize, eff, signed=True)
     elif 8 <= stype <= 12:  # FIXED
         order = stype - 8
         if order > blocksize:
             raise FlacError("flac: fixed order exceeds block")
-        warm = [br.read_signed(eff) for _ in range(order)]
-        res = _decode_residual(br, blocksize, order)
+        warm = []
+        for _ in range(order):
+            v, pos = _w_scalar_signed(win, pos, eff)
+            warm.append(v)
+        res, pos = _decode_residual(win, pos, blocksize, order)
         # fixed order k means res is the k-th forward difference; invert with k
         # cumulative sums seeded by the warmup's difference pyramid
         head = np.array(warm, np.int64)
@@ -274,26 +479,37 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
         order = (stype & 31) + 1
         if order > blocksize:
             raise FlacError("flac: LPC order exceeds block")
-        warm = [br.read_signed(eff) for _ in range(order)]
-        prec = br.read(4)
+        warm = []
+        for _ in range(order):
+            v, pos = _w_scalar_signed(win, pos, eff)
+            warm.append(v)
+        prec, pos = _w_scalar(win, pos, 4)
         if prec == 15:
             raise FlacError("flac: invalid LPC precision")
         prec += 1
-        shift = br.read_signed(5)
+        shift, pos = _w_scalar_signed(win, pos, 5)
         if shift < 0:
             raise FlacError("flac: negative LPC shift")
-        coef = [br.read_signed(prec) for _ in range(order)]
-        res = _decode_residual(br, blocksize, order)
-        out = np.empty(blocksize, np.int64)
-        out[:order] = warm
-        for i in range(order, blocksize):
+        coef = []
+        for _ in range(order):
+            c, pos = _w_scalar_signed(win, pos, prec)
+            coef.append(c)
+        res, pos = _decode_residual(win, pos, blocksize, order)
+        # the per-sample floor(pred / 2^shift) makes the IIR exact-only
+        # sequentially; pure-Python ints + local bindings are ~4× the
+        # numpy-scalar-indexing loop (and LPC is off the media fixture
+        # hot path — the encoder default is fixed predictors)
+        hist = list(warm)
+        append = hist.append
+        for r in res.tolist():
             pred = 0
             for j in range(order):
-                pred += coef[j] * int(out[i - 1 - j])
-            out[i] = (pred >> shift) + res[i - order]
+                pred += coef[j] * hist[-1 - j]
+            append((pred >> shift) + r)
+        out = np.array(hist, np.int64)
     else:
         raise FlacError(f"flac: reserved subframe type {stype}")
-    return out << wasted if wasted else out
+    return (out << wasted if wasted else out), pos
 
 
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
@@ -374,37 +590,55 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         crc8 = br.read(8)
         if crc8 != _crc8(data[hstart:hdr_end]):
             raise FlacError("flac: frame header CRC mismatch")
-        if ch_code < 8:
-            n_ch = ch_code + 1
-            if n_ch != channels:
-                raise FlacError("flac: channel count change")
-            subs = [
-                _decode_subframe(br, blocksize, fbps) for _ in range(n_ch)
-            ]
-        elif ch_code in (8, 9, 10):
-            if channels != 2:
-                raise FlacError("flac: stereo decorrelation on non-stereo")
-            # the side channel carries one extra bit
-            if ch_code == 8:  # left/side
-                left = _decode_subframe(br, blocksize, fbps)
-                side = _decode_subframe(br, blocksize, fbps + 1)
-                subs = [left, left - side]
-            elif ch_code == 9:  # right/side
-                side = _decode_subframe(br, blocksize, fbps + 1)
-                right = _decode_subframe(br, blocksize, fbps)
-                subs = [right + side, right]
-            else:  # mid/side
-                mid = _decode_subframe(br, blocksize, fbps)
-                side = _decode_subframe(br, blocksize, fbps + 1)
-                m2 = (mid << 1) | (side & 1)
-                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
-        else:
+        if ch_code >= 11:
             raise FlacError("flac: reserved channel assignment")
-        br.align()
-        crc16 = br.read(16)
-        if crc16 != _crc16(data[hstart : br.pos - 2]):
+        if ch_code < 8 and ch_code + 1 != channels:
+            raise FlacError("flac: channel count change")
+        if ch_code >= 8 and channels != 2:
+            raise FlacError("flac: stereo decorrelation on non-stereo")
+        # subframe bodies decode against a frame-local bit window
+        # (8 bytes/sample covers every legal shape incl. verbatim-33 +
+        # headers; a pathological-but-legal rice quotient overruns it
+        # and the window grows ×4 and re-decodes — rare by design)
+        sub_start = br.pos
+        # 3 bytes/sample covers real compressed audio with slack (16-bit
+        # sources code at ~1-2 bytes/sample); verbatim-heavy or
+        # pathological frames overrun once and retry at ×4
+        need = blocksize * channels * 3 + 1024
+        while True:
+            win = _Win(data, sub_start, min(len(data), sub_start + need))
+            try:
+                bpos = 0
+                if ch_code < 8:
+                    subs = []
+                    for _ in range(channels):
+                        s, bpos = _decode_subframe(win, bpos, blocksize, fbps)
+                        subs.append(s)
+                elif ch_code == 8:  # left/side (side carries one extra bit)
+                    left, bpos = _decode_subframe(win, bpos, blocksize, fbps)
+                    side, bpos = _decode_subframe(win, bpos, blocksize, fbps + 1)
+                    subs = [left, left - side]
+                elif ch_code == 9:  # right/side
+                    side, bpos = _decode_subframe(win, bpos, blocksize, fbps + 1)
+                    right, bpos = _decode_subframe(win, bpos, blocksize, fbps)
+                    subs = [right + side, right]
+                else:  # mid/side
+                    mid, bpos = _decode_subframe(win, bpos, blocksize, fbps)
+                    side, bpos = _decode_subframe(win, bpos, blocksize, fbps + 1)
+                    m2 = (mid << 1) | (side & 1)
+                    subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+                break
+            except _Overrun:
+                if win.at_eof:
+                    raise FlacError("flac: bitstream truncated") from None
+                need *= 4
+        pos = sub_start + ((bpos + 7) >> 3)  # byte-align past subframes
+        if pos + 2 > len(data):
+            raise FlacError("flac: bitstream truncated")
+        (crc16,) = struct.unpack(">H", data[pos : pos + 2])
+        if crc16 != _crc16(data[hstart:pos]):
             raise FlacError("flac: frame CRC mismatch")
-        pos = br.pos
+        pos += 2
         for c in range(channels):
             chans[c].append(subs[c])
         got += blocksize
@@ -458,6 +692,35 @@ def _best_rice_param(res: np.ndarray, maxp: int) -> int:
     return best
 
 
+def _fixed_width_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """``vals`` as consecutive ``width``-bit big-endian fields → one
+    uint8 0/1 bit array (two's-complement truncation, like write())."""
+    v = vals.astype(np.int64) & ((np.int64(1) << width) - 1)
+    sh = np.arange(width - 1, -1, -1, dtype=np.int64)
+    return ((v[:, None] >> sh) & 1).astype(np.uint8).reshape(-1)
+
+
+def _rice_code_bits(part: np.ndarray, param: int) -> np.ndarray:
+    """One partition's rice codes as a bit array: zigzag, scatter the
+    unary terminators at their cumulative offsets, gather-scatter the
+    remainder bits — no per-sample Python."""
+    p64 = part.astype(np.int64)
+    z = (np.abs(p64) << 1) - (p64 < 0)
+    q = z >> param
+    lens = q + 1 + param
+    starts = np.cumsum(lens) - lens
+    total = int(starts[-1] + lens[-1]) if len(lens) else 0
+    bits = np.zeros(total, np.uint8)
+    term = starts + q
+    bits[term] = 1
+    if param:
+        sh = np.arange(param - 1, -1, -1, dtype=np.int64)
+        bits[(term + 1)[:, None] + np.arange(param)] = (
+            (z[:, None] >> sh) & 1
+        ).astype(np.uint8)
+    return bits
+
+
 def _write_residual(
     bw: _BitWriter, res: np.ndarray, blocksize: int, order: int,
     partition_order: int, rice2: bool, force_escape: bool,
@@ -478,16 +741,13 @@ def _write_residual(
             width = max(2, m).bit_length() + 1
             bw.write(escape, pbits)
             bw.write(width, 5)
-            for v in part:
-                bw.write(int(v) & ((1 << width) - 1), width)
+            if len(part):
+                bw.write_bitarray(_fixed_width_bits(part, width))
             continue
         param = _best_rice_param(part, escape - 1)
         bw.write(param, pbits)
-        for v in part:
-            z = (abs(int(v)) << 1) - (1 if v < 0 else 0)
-            bw.write_unary(z >> param)
-            if param:
-                bw.write(z & ((1 << param) - 1), param)
+        if len(part):
+            bw.write_bitarray(_rice_code_bits(part, param))
 
 
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
@@ -546,8 +806,10 @@ def _encode_subframe(
     x = x.astype(np.int64)
     wasted = 0
     if wasted_ok and np.any(x):
-        nz = x[x != 0]
-        tz = int(np.min([(int(v) & -int(v)).bit_length() - 1 for v in nz]))
+        # min trailing zeros over all samples == trailing zeros of the
+        # OR-reduce — one scalar, no per-sample bit_length
+        orv = int(np.bitwise_or.reduce(x))
+        tz = (orv & -orv).bit_length() - 1
         wasted = max(0, min(tz, bps - 2))
     eff = bps - wasted
     xe = x >> wasted if wasted else x
@@ -581,8 +843,7 @@ def _encode_subframe(
     else:
         bw.write(0, 1)
     if force == "verbatim":
-        for v in xe:
-            bw.write(int(v) & ((1 << eff) - 1), eff)
+        bw.write_bitarray(_fixed_width_bits(xe, eff))
         return
     if force == "constant" or (force is None and len(set(xe.tolist())) == 1):
         bw.write(int(xe[0]) & ((1 << eff) - 1), eff)

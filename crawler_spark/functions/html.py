@@ -150,12 +150,26 @@ def _is_placeholder(url: str | None) -> bool:
 # On-page crawl directives: <meta name=robots>, X-Robots-Tag, rel=canonical
 # (public conventions: HTML spec + the REP meta/header extensions all
 # major engines document). Subset notes: agent-scoped X-Robots-Tag rows
-# ("googlebot: noindex") apply to ALL agents here; only head-level
-# canonical is meaningful per spec but the scan is document-wide.
+# ("googlebot: noindex") apply to ALL agents here; the scan is bounded
+# at the end of <head> (see _head_scan) per spec head-only semantics.
 # --------------------------------------------------------------------------
 
 _META_TAG_RE = re.compile(r"(?is)<meta\b[^>]*>")
 _LINK_TAG_RE = re.compile(r"(?is)<link\b[^>]*>")
+_HEAD_END_RE = re.compile(r"(?is)</head\s*>|<body\b")
+
+
+def _head_scan(html: str) -> str:
+    """The slice of ``html`` where head metadata lives: up to the end
+    of ``<head>`` (or the first ``<body``) wherever that is — inlined
+    CSS/JSON-LD can push it megabytes in — falling back to the first
+    64 KiB only when the document never closes its head. A fixed
+    64 KiB bound alone silently drops a late <meta name=robots> and
+    admits an opted-out page."""
+    m = _HEAD_END_RE.search(html)
+    if m is not None:
+        return html[: m.start()]
+    return html[:65536]
 # quoted OR unquoted values — unquoted attributes are valid HTML5 and
 # common in the wild; a directive parser that misses <meta name=robots
 # content=noindex> silently indexes pages that opted out
@@ -215,7 +229,7 @@ def page_directives(
         noindex |= bool(toks & _NOINDEX_TOKENS)
         nofollow |= bool(toks & _NOFOLLOW_TOKENS)
     if html:
-        head = html[:65536]  # directives live in <head>; bound the scan
+        head = _head_scan(html)  # directives live in <head>
         for m in _META_TAG_RE.finditer(head):
             a = _tag_attrs_any(m.group(0))
             if a.get("name", "").strip().lower() != "robots":
@@ -245,7 +259,7 @@ def base_href(html: str | None) -> str | None:
     URI before using it as the resolution base."""
     if not html:
         return None
-    m = _BASE_TAG_RE.search(html[:65536])
+    m = _BASE_TAG_RE.search(_head_scan(html))
     if m is None:
         return None
     href = _tag_attrs_any(m.group(0)).get("href", "").strip()
@@ -267,7 +281,7 @@ def social_image(html: str | None) -> tuple[str, str] | None:
     if not html:
         return None
     og = tw = alt_img = alt_tw = title = None
-    for m in _META_TAG_RE.finditer(html[:65536]):
+    for m in _META_TAG_RE.finditer(_head_scan(html)):
         a = _tag_attrs_any(m.group(0))
         key = (a.get("property") or a.get("name") or "").strip().lower()
         content = a.get("content", "").strip()
@@ -336,23 +350,66 @@ def substantive_data_uri(url: str) -> bool:
     return probe is not None and min(probe[1], probe[2]) > 2
 
 
+_SRCSET_WS = " \t\n\r\f"
+
+
+def split_srcset(value: str) -> list[tuple[str, str]]:
+    """HTML-spec srcset tokenizer ("parse a srcset attribute",
+    HTML §4.8.4.3.10) → ``[(url, descriptor)]``.
+
+    A candidate URL is a run of NON-WHITESPACE characters — never a
+    naive comma split — so a ``data:`` URI with its mandatory embedded
+    comma (the lazysizes placeholder convention) survives as one
+    token. A comma only separates candidates when it trails the URL
+    token or sits in descriptor position at paren depth 0."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(value)
+    while i < n:
+        while i < n and (value[i] in _SRCSET_WS or value[i] == ","):
+            i += 1
+        if i >= n:
+            break
+        start = i
+        while i < n and value[i] not in _SRCSET_WS:
+            i += 1
+        url = value[start:i]
+        desc = ""
+        if url.endswith(","):
+            url = url.rstrip(",")
+        else:
+            dstart, depth = i, 0
+            while i < n:
+                c = value[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth = max(0, depth - 1)
+                elif c == "," and depth == 0:
+                    i += 1
+                    break
+                i += 1
+            desc = value[dstart:i].strip().rstrip(",").strip()
+        if url:
+            out.append((url, desc))
+    return out
+
+
 def parse_srcset(value: str) -> list[tuple[str, float, str]]:
     """HTML-spec srcset grammar (comma-separated image candidate
     strings, each ``URL [Nw | Nx]``) → [(url, weight, kind)] where
     kind is ``"w"``/``"x"``/``""``. Whitespace-tolerant; candidates
-    whose URL is a placeholder are dropped."""
+    whose URL is a placeholder are dropped. Tokenized by
+    :func:`split_srcset` so data-URI candidates (placeholders or
+    real payloads) stay whole instead of fragmenting at their base64
+    comma."""
     out: list[tuple[str, float, str]] = []
-    for part in value.split(","):
-        toks = part.split()
-        if not toks:
-            continue
-        url = toks[0]
+    for url, desc in split_srcset(value):
         if _is_placeholder(url):
             continue
         weight, kind = 1.0, ""
-        if len(toks) > 1:
-            d = toks[1].lower()
-            m = re.fullmatch(r"([0-9]+(?:\.[0-9]+)?)([wx])", d)
+        dtoks = desc.split()
+        if dtoks:
+            m = re.fullmatch(r"([0-9]+(?:\.[0-9]+)?)([wx])", dtoks[0].lower())
             if m:
                 weight, kind = float(m.group(1)), m.group(2)
         out.append((url, weight, kind))

@@ -303,7 +303,18 @@ def near_duplicate_images(
     # tighten max_hamming or pre-cluster. Real phash corpora collapse
     # heavily under the distinct() (near-identical images share exact
     # hashes), which is what makes the 8-bit tier usable in practice.
-    hashes = images.select("phash").distinct()
+    # the input is referenced FIVE times below (distinct hashes feeds a
+    # self-join; ids expands candidates twice and feeds the full-hash
+    # self-join). Fingerprint inputs are usually the product of an
+    # expensive decode chain (real JPEG entropy decode in q59, FLAC +
+    # FFT in q61) — without a materialization barrier every reference
+    # re-runs that chain. localCheckpoint stores the 24 B/row
+    # (id, phash) projection once (MEMORY_AND_DISK, cleaned with the
+    # RDD): at 10^9 images that's ~24 GB cluster-wide, far cheaper
+    # than 5× the decode. Lineage truncation is the documented trade:
+    # executor loss re-runs the whole op instead of a partition.
+    ids = images.select("image_id", "phash").localCheckpoint(eager=False)
+    hashes = ids.select("phash").distinct()
     exploded = hashes.select("phash", F.explode(band_arr).alias("b")).select(
         "phash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
     )
@@ -319,7 +330,6 @@ def near_duplicate_images(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    ids = images.select("image_id", "phash")
     same = (
         ids.alias("x")
         .join(ids.alias("y"), "phash")

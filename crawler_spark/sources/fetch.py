@@ -105,6 +105,11 @@ class FixtureFetcher:
     directives: dict[str, tuple[bool, bool, str | None]] | None = None
     social: dict[str, tuple[str, str]] | None = None
 
+    #: fixture bodies are markdown — the HTML-attribute absolutizer
+    #: must never run on them (prose containing href=-shaped text is
+    #: content, not markup; fetch_scheduled gates on this)
+    BODY_KIND = "markdown"
+
     @property
     def RESULT_FIELDS(self):  # noqa: N802 — fetcher-contract name
         return (
@@ -159,6 +164,8 @@ class SyntheticFetcher:
     n_images: int = 2
     n_links: int = 4
     filler_words: int = 120
+
+    BODY_KIND = "markdown"  # generated bodies are markdown
 
     def fetch_batch(self, pdf: pd.DataFrame) -> pd.DataFrame:
         import zlib
@@ -245,6 +252,10 @@ class HttpFetcher:
             return raw.decode("utf-8", "replace")
 
     max_redirects: int = 10
+
+    #: raw HTML off the wire — links live in href/src/srcset
+    #: attributes, so fetch_scheduled runs the HTML absolutizer
+    BODY_KIND = "html"
 
     RESULT_FIELDS = (
         FETCH_RESULT_FIELDS
@@ -446,6 +457,7 @@ def fetch_scheduled(
     adds no second exchange.
     """
     result_fields = getattr(fetcher, "RESULT_FIELDS", FETCH_RESULT_FIELDS)
+    body_kind = getattr(fetcher, "BODY_KIND", "auto")
     result_names = {f.name for f in result_fields}
     # stored validators (etag/last_modified) on the scheduled rows are
     # INPUTS the fetcher consumes and re-emits fresh — drop the input
@@ -485,12 +497,17 @@ def fetch_scheduled(
                 else doc
             )
             if body is not None:
-                # markdown refs always; HTML url attributes when the
-                # body carries tags (HttpFetcher returns raw HTML —
-                # its links live in href/src/srcset, which a later
-                # HTML→MD conversion passes through verbatim)
-                body = absolutize_md(body, base)
-                if "<" in body:
+                # which absolutizer runs is the FETCHER's declaration
+                # (BODY_KIND), not a content sniff: markdown bodies
+                # whose prose contains href=-shaped text must never
+                # hit the HTML pass, and raw-HTML bodies' markdown-
+                # shaped prose must never hit the md pass — both
+                # rewrites would mutate content bytes. "auto" (an
+                # unmarked third-party fetcher) keeps the legacy
+                # both-passes behavior behind the '<' sniff.
+                if body_kind in ("markdown", "auto"):
+                    body = absolutize_md(body, base)
+                if body_kind == "html" or (body_kind == "auto" and "<" in body):
                     body = absolutize_html(body, base)
                 bodies[i] = body
             if canons is not None and canons[i]:

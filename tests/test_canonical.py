@@ -227,3 +227,49 @@ def test_absolutize_html_attributes_and_srcset():
     assert 'href="http://abs.test/q"' in out
     assert 'href="#frag"' in out
     assert 'src="data:image/gif;base64,R0lA"' in out
+
+
+def test_absolutize_html_srcset_with_data_uri_is_untouched():
+    """ADVICE r4: a srcset containing a data URI must not be split at
+    its base64 comma and resolved fragment-by-fragment — the attribute
+    bytes stay identical when no candidate actually needs rewriting,
+    and real relative candidates still rewrite around an inline one."""
+    from crawler_spark.canonical import absolutize_html
+
+    base = "http://h.test/a/b/page"
+    ph = "data:image/gif;base64,R0lGODlhAQABAAAAACH5BAEKAAEALAAAAAABAAEAAAICTAEAOw=="
+    html = f'<img srcset="{ph} 1x" data-srcset="{ph} 1x, http://x/r.jpg 2x">'
+    assert absolutize_html(html, base) == html
+    # a relative candidate NEXT TO a data URI rewrites; the data URI
+    # survives byte-identical inside the rewritten attribute
+    html2 = f'<img srcset="{ph} 1x, s/2.png 2x">'
+    out = absolutize_html(html2, base)
+    assert f'srcset="{ph} 1x, http://h.test/a/b/s/2.png 2x"' in out
+
+
+def test_absolutize_md_skips_code_regions():
+    """Fenced blocks and inline code spans are content: refs inside
+    them pass through byte-identical; prose around them still
+    rewrites."""
+    from crawler_spark.canonical import absolutize_md
+
+    base = "http://h.test/a/page"
+    body = (
+        "[before](x)\n"
+        "```md\n[sample](rel/in-fence) ![i](p.png)\n```\n"
+        "middle [mid](y) and `[inline](code-span)` end\n"
+        "~~~\n[tilde](fence2)\n~~~\n"
+        "[after](z)"
+    )
+    out = absolutize_md(body, base)
+    assert "[before](http://h.test/a/x)" in out
+    assert "[mid](http://h.test/a/y)" in out
+    assert "[after](http://h.test/a/z)" in out
+    assert "[sample](rel/in-fence)" in out and "![i](p.png)" in out
+    assert "`[inline](code-span)`" in out
+    assert "[tilde](fence2)" in out
+    # unclosed fence protects to EOF (CommonMark)
+    body2 = "[a](r)\n```\n[b](s)\n[c](t)"
+    out2 = absolutize_md(body2, base)
+    assert "[a](http://h.test/a/r)" in out2
+    assert "[b](s)" in out2 and "[c](t)" in out2

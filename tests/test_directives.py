@@ -60,6 +60,35 @@ def test_x_robots_tag_header():
     )
 
 
+def test_directives_survive_giant_head():
+    """ADVICE r4: a <head> inflated past 64 KiB by inlined CSS/JSON-LD
+    must not push <meta name=robots> / <base> / og:image out of the
+    scan window — the bound is the end of <head> (or first <body>),
+    not a fixed byte count. The 64 KiB fallback still applies when the
+    document never closes its head."""
+    from crawler_spark.functions.html import base_href, social_image
+
+    filler = "<style>" + ("x" * 100_000) + "</style>"
+    html = (
+        "<head>" + filler
+        + '<meta name="robots" content="noindex">'
+        + '<base href="/deep/">'
+        + '<meta property="og:image" content="http://x/og.png">'
+        + '<link rel="canonical" href="http://a.com/c">'
+        + "</head><body>b</body>"
+    )
+    assert page_directives(html) == (True, False, "http://a.com/c")
+    assert base_href(html) == "/deep/"
+    assert social_image(html) == ("http://x/og.png", "")
+    # body content never leaks into the head scan: a robots meta in
+    # the BODY (malformed page) is outside <head> and stays ignored
+    body_meta = '<head></head><body><meta name="robots" content="noindex"></body>'
+    assert page_directives(body_meta) == (False, False, None)
+    # unclosed head: the 64 KiB fallback window still finds early tags
+    unclosed = '<meta name="robots" content="nofollow">' + "z" * 10_000
+    assert page_directives(unclosed) == (False, True, None)
+
+
 def test_rel_canonical_first_wins():
     html = (
         '<head><link rel="stylesheet" href="/s.css">'

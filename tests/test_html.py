@@ -148,6 +148,45 @@ def test_lazy_load_fallbacks():
     assert html_to_md(html) == "![r](http://x/real.jpg)"
 
 
+def test_srcset_data_uri_candidate_stays_whole():
+    # the lazysizes convention: a data-URI placeholder IN srcset. Its
+    # base64 comma is not a candidate separator — the spec tokenizer
+    # keeps it one token, _is_placeholder drops it, and the real
+    # data-srcset candidates win (ADVICE r4: the naive comma split
+    # let the 'R0lGODlh…' fragment shadow the real URLs)
+    from crawler_spark.functions.html import parse_srcset, split_srcset
+
+    val = "data:image/gif;base64,R0lGODlhAQABAAAAACH5BAEKAAEALAAAAAABAAEAAAICTAEAOw== 1x"
+    assert split_srcset(val) == [
+        ("data:image/gif;base64,R0lGODlhAQABAAAAACH5BAEKAAEALAAAAAABAAEAAAICTAEAOw==", "1x")
+    ]
+    assert parse_srcset(val) == []  # placeholder → dropped whole
+    html = (
+        f'<img srcset="{val}" '
+        'data-srcset="http://x/a.jpg 480w, http://x/b.jpg 960w" alt="ls">'
+    )
+    assert html_to_md(html) == "![ls](http://x/b.jpg)"
+    # multi-candidate: data URI placeholder + a real URL in ONE srcset
+    mixed = f"{val.split(' ')[0]} 1x, http://x/real.jpg 2x"
+    assert parse_srcset(mixed) == [("http://x/real.jpg", 2.0, "x")]
+
+
+def test_split_srcset_spec_edges():
+    from crawler_spark.functions.html import split_srcset
+
+    # trailing-comma URL token (spec: strip, empty descriptor)
+    assert split_srcset("a.jpg, b.jpg 2x") == [("a.jpg", ""), ("b.jpg", "2x")]
+    # NO whitespace around the comma ⇒ per spec that is ONE url token
+    # (this is exactly why data URIs survive); browsers agree
+    assert split_srcset("a.jpg,b.jpg 2x") == [("a.jpg,b.jpg", "2x")]
+    # leading/extra commas and whitespace forms
+    assert split_srcset(" ,\ta.jpg  1w ,, b.jpg ") == [
+        ("a.jpg", "1w"),
+        ("b.jpg", ""),
+    ]
+    assert split_srcset("") == []
+
+
 def test_picture_source_selection():
     html = (
         "<picture>"
