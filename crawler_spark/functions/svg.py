@@ -10,7 +10,9 @@ what the per-row invariant gates need):
   * elements: ``rect`` (incl. rx/ry=0 only), ``circle``, ``ellipse``,
     ``line``, ``polyline``, ``polygon``, ``path``, ``g`` (translate /
     scale transforms), nested ``svg`` root with width/height/viewBox;
-  * ``path`` data: M/m L/l H/h V/v Z/z plus C/c S/s Q/q T/t curves,
+  * ``path`` data: M/m L/l H/h V/v Z/z plus C/c S/s Q/q T/t curves
+    and A/a elliptical arcs (endpoint→center parameterization per
+    W3C SVG 1.1 §F.6, incl. the compact no-separator flag syntax),
     flattened at a fixed 16-segment subdivision (determinism over
     adaptivity), multiple subpaths;
   * paint: ``fill`` (hex #rgb/#rrggbb, rgb(), the CSS named colors the
@@ -31,7 +33,7 @@ draws to the same image, and exactly lossless under this rasterizer
 tier of the q56 per-round codec gate.
 
 Out of scope (documented): text (font metrics are environment data,
-not spec), gradients/patterns/filters, clipping, masks, arcs (A/a),
+not spec), gradients/patterns/filters, clipping, masks,
 anti-aliasing, CSS stylesheets, external references. Unsupported
 constructs raise ``ValueError`` → quarantine-row semantics upstream.
 """
@@ -126,9 +128,100 @@ def _flatten_quad(p0, p1, p2):
     return list(zip(x.tolist(), y.tolist()))
 
 
+def _flatten_arc(p0, rx, ry, rot_deg, large, sweep, p1):
+    """A/a elliptical arc → polyline, by the spec's endpoint→center
+    parameterization (W3C SVG 1.1 §F.6.5) with the §F.6.6 degeneracy
+    rules: coincident endpoints draw nothing, a zero radius is a
+    straight line, too-small radii scale up uniformly (§F.6.6.3)."""
+    import math
+
+    if p0 == p1:
+        return []
+    rx, ry = abs(rx), abs(ry)
+    if rx == 0 or ry == 0:
+        return [p1]
+    phi = math.radians(rot_deg)
+    cosp, sinp = math.cos(phi), math.sin(phi)
+    dx, dy = (p0[0] - p1[0]) / 2.0, (p0[1] - p1[1]) / 2.0
+    x1p = cosp * dx + sinp * dy
+    y1p = -sinp * dx + cosp * dy
+    lam = x1p * x1p / (rx * rx) + y1p * y1p / (ry * ry)
+    if lam > 1:
+        s = math.sqrt(lam)
+        rx *= s
+        ry *= s
+    num = rx * rx * ry * ry - rx * rx * y1p * y1p - ry * ry * x1p * x1p
+    den = rx * rx * y1p * y1p + ry * ry * x1p * x1p
+    co = math.sqrt(max(0.0, num / den)) if den else 0.0
+    if large == sweep:
+        co = -co
+    cxp = co * rx * y1p / ry
+    cyp = -co * ry * x1p / rx
+    cx = cosp * cxp - sinp * cyp + (p0[0] + p1[0]) / 2.0
+    cy = sinp * cxp + cosp * cyp + (p0[1] + p1[1]) / 2.0
+
+    def _ang(ux, uy, vx, vy):
+        d = math.hypot(ux, uy) * math.hypot(vx, vy)
+        c = max(-1.0, min(1.0, (ux * vx + uy * vy) / d))
+        a = math.acos(c)
+        return -a if ux * vy - uy * vx < 0 else a
+
+    ux, uy = (x1p - cxp) / rx, (y1p - cyp) / ry
+    th1 = _ang(1.0, 0.0, ux, uy)
+    dth = _ang(ux, uy, (-x1p - cxp) / rx, (-y1p - cyp) / ry)
+    if not sweep and dth > 0:
+        dth -= 2 * math.pi
+    elif sweep and dth < 0:
+        dth += 2 * math.pi
+    t = np.linspace(0.0, 1.0, _CURVE_N + 1)[1:]
+    th = th1 + t * dth
+    x = cx + rx * np.cos(th) * cosp - ry * np.sin(th) * sinp
+    y = cy + rx * np.cos(th) * sinp + ry * np.sin(th) * cosp
+    pts = list(zip(x.tolist(), y.tolist()))
+    pts[-1] = p1  # pin the exact endpoint (no float drift into joins)
+    return pts
+
+
+_ARC_SEG_RE = re.compile(r"([Aa])([^MmLlHhVvZzCcSsQqTtAa]*)")
+
+
+def _normalize_arc_args(seg: str) -> str:
+    """Arc arguments re-lexed with the spec grammar: the two flags are
+    SINGLE characters, so compact real-icon-set forms like
+    ``a1 1 0 011 0`` (flags 0,1 fused with the following number) must
+    not be read as one float. Returns the args space-separated so the
+    generic tokenizer parses them positionally."""
+    out: list[str] = []
+    i, n, slot = 0, len(seg), 0  # slot = index within the 7-arg group
+    while i < n:
+        ch = seg[i]
+        if ch in " ,\t\n\r":
+            i += 1
+            continue
+        if slot in (3, 4):  # large-arc-flag, sweep-flag
+            if ch not in "01":
+                raise ValueError("svg: bad arc flag")
+            out.append(ch)
+            i += 1
+        else:
+            m = _NUM_RE.match(seg, i)
+            if m is None or m.start() != i:
+                raise ValueError("svg: malformed arc arguments")
+            out.append(m.group(0))
+            i = m.end()
+        slot = (slot + 1) % 7
+    if slot != 0:
+        raise ValueError("svg: arc arguments not a multiple of 7")
+    return " " + " ".join(out) + " "
+
+
 def parse_path(d: str) -> list[list[tuple[float, float]]]:
     """SVG path data → list of subpaths (open subpaths are closed for
     filling, per the spec's fill semantics)."""
+    if "A" in d or "a" in d:
+        d = _ARC_SEG_RE.sub(
+            lambda m: m.group(1) + _normalize_arc_args(m.group(2)), d
+        )
     toks: list = []
     for m in _CMD_RE.finditer(d):
         toks.append(m.group(1) if m.group(1) else float(m.group(2)))
@@ -227,7 +320,17 @@ def parse_path(d: str) -> list[list[tuple[float, float]]]:
                 cur = []
             pos = start
         elif c in "Aa":
-            raise ValueError("svg: elliptical arcs (A) are out of scope")
+            arx, ary, rot, laf, swf, x, y = take(7)
+            if laf not in (0.0, 1.0) or swf not in (0.0, 1.0):
+                raise ValueError("svg: bad arc flag")
+            if c == "a":
+                x += pos[0]
+                y += pos[1]
+            pts = _flatten_arc(pos, arx, ary, rot, bool(laf), bool(swf), (x, y))
+            if pts:
+                cur.extend(pts)
+                pos = pts[-1]
+            prev_ctrl = None
         else:
             raise ValueError(f"svg: unsupported path command {c!r}")
         prev_cmd = c

@@ -940,9 +940,12 @@ def _forward_color_transform(argb, w, h, bits, g2r, g2b, r2b):
     px = argb.view(np.uint8).reshape(h, w, 4)  # B,G,R,A
     gs = px[:, :, 1].astype(np.int8).astype(np.int32)
     red = px[:, :, 2].astype(np.int32)
-    m_g2r = np.int32(np.int8(g2r))
-    m_g2b = np.int32(np.int8(g2b))
-    m_r2b = np.int32(np.int8(r2b))
+    # sign-extend the raw transform bytes explicitly: numpy 2.x makes
+    # out-of-bound Python int -> np.int8 a hard error, so the old
+    # np.int32(np.int8(v)) form would start raising on e.g. v=200
+    m_g2r = np.int32(((g2r & 0xFF) ^ 0x80) - 0x80)
+    m_g2b = np.int32(((g2b & 0xFF) ^ 0x80) - 0x80)
+    m_r2b = np.int32(((r2b & 0xFF) ^ 0x80) - 0x80)
     new_red = (red - ((m_g2r * gs) >> 5)) & 0xFF
     rs = red.astype(np.uint8).astype(np.int8).astype(np.int32)
     new_blue = (px[:, :, 0].astype(np.int32) - ((m_g2b * gs) >> 5) - ((m_r2b * rs) >> 5)) & 0xFF

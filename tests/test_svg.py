@@ -116,6 +116,68 @@ def test_path_triangle_and_curves():
     assert len(sub) == 1 and len(sub[0]) == 33  # 1 + 2×16 flattened
 
 
+def test_arc_full_circle_matches_circle_element():
+    """A circle drawn as two semicircular arcs rasterizes pixel-equal
+    to <circle> at the same flattening (both sample 32 perimeter
+    points): the §F.6 endpoint→center math is exercised end to end."""
+    arcs = _doc(
+        '<path d="M2 10 A 8 8 0 1 1 18 10 A 8 8 0 1 1 2 10 Z" fill="#ff0000"/>'
+    )
+    circ = _doc('<circle cx="10" cy="10" r="8" fill="#ff0000"/>')
+    a, c = decode_svg(arcs), decode_svg(circ)
+    red_a = (a == (255, 0, 0)).all(axis=-1)
+    red_c = (c == (255, 0, 0)).all(axis=-1)
+    # same flattening density ⇒ at most a 1-px ring of disagreement
+    assert red_a[6:14, 6:14].all() and red_c[6:14, 6:14].all()
+    assert (red_a ^ red_c).sum() <= 8
+    assert abs(int(red_a.sum()) - int(red_c.sum())) <= 8
+
+
+def test_arc_compact_flag_syntax():
+    """Real icon sets fuse arc flags with the next number ('011 0');
+    the spec lexes flags as single chars — both forms must parse to
+    the same geometry."""
+    spaced = parse_path("M2 10 A 8 8 0 0 1 18 10")
+    compact = parse_path("M2 10A8 8 0 0118 10")
+    assert spaced == compact
+    # relative form too
+    assert parse_path("M2 10 a 8 8 0 0 1 16 0") == spaced
+
+
+def test_arc_flags_select_the_four_arcs():
+    """large-arc × sweep choose four distinct arcs between the same
+    endpoints (spec §F.6.5 sign rule)."""
+    # radius > chord/2 so the large and small arcs are distinct
+    variants = {
+        (la, sw): parse_path(f"M5 10 A 7 7 0 {la} {sw} 15 10")[0]
+        for la in (0, 1)
+        for sw in (0, 1)
+    }
+    # sweep=1 is the positive-angle direction, which in SVG's y-down
+    # user space is screen-CLOCKWISE: left→right over the TOP (−y).
+    # sweep=0 bows down; large arcs bow further on their side.
+    mid = {k: v[len(v) // 2] for k, v in variants.items()}
+    assert mid[(0, 1)][1] < 10 < mid[(0, 0)][1]
+    assert mid[(1, 1)][1] < mid[(0, 1)][1]
+    assert mid[(1, 0)][1] > mid[(0, 0)][1]
+    # all reach the exact endpoint
+    for v in variants.values():
+        assert v[-1] == (15.0, 10.0)
+
+
+def test_arc_degeneracies():
+    # zero radius → straight line (§F.6.6.1)
+    assert parse_path("M0 0 A 0 5 0 0 1 10 0")[0] == [(0.0, 0.0), (10.0, 0.0)]
+    # coincident endpoints → no segment (§F.6.6.2: arc is omitted)
+    assert parse_path("M3 4 A 5 5 0 0 1 3 4")[0] == [(3.0, 4.0)]
+    # radii too small → scaled up uniformly (§F.6.6.3): becomes the
+    # semicircle on the chord, endpoint exact
+    pts = parse_path("M0 10 A 1 1 0 0 1 10 10")[0]
+    assert pts[-1] == (10.0, 10.0)
+    ys = [p[1] for p in pts]
+    assert min(ys) < 5.5  # bulges to the scaled radius, not the unit one
+
+
 def test_path_multiple_subpaths_evenodd_hole():
     """Outer square + inner square, evenodd → annulus (donut)."""
     d = "M2 2 H18 V18 H2 Z M7 7 H13 V13 H7 Z"
@@ -192,13 +254,13 @@ def test_defs_and_unknown_elements_not_rendered():
     [
         b"not xml at all <",
         b"<html><body/></html>",
-        _doc('<path d="M0 0 A 5 5 0 0 1 10 10" fill="black"/>'),
+        _doc('<path d="M0 0 A 5 5 0 2 1 10 10" fill="black"/>'),
         _doc('<text x="1" y="1">hi</text>'),
         _doc('<g transform="rotate(45)"><rect width="5" height="5"/></g>'),
         _doc('<rect width="5" height="5" fill="#12345"/>'),
         b'<svg xmlns="http://www.w3.org/2000/svg"><rect width="5" height="5"/></svg>',
     ],
-    ids=["malformed", "non-svg-root", "arc", "text", "rotate", "bad-hex", "no-size"],
+    ids=["malformed", "non-svg-root", "bad-arc-flag", "text", "rotate", "bad-hex", "no-size"],
 )
 def test_unsupported_raises_valueerror(data):
     with pytest.raises(ValueError):
