@@ -24,8 +24,9 @@ the GFM + smartypants semantics of the published plugins:
 
 Documented subset divergences from the real unified pipeline: no
 markdown-special escaping in text (remark-stringify would emit ``\\*``
-for a literal asterisk), single-level list nesting, no ``start=``
-offset on ordered lists, and loose/tight list spacing is always tight.
+for a literal asterisk), single-level list nesting, and loose/tight
+list spacing is always tight. (``start=`` offsets on ordered lists
+were a divergence through r4; honored since r5.)
 
 Two surfaces, one spec:
 
@@ -72,7 +73,7 @@ _SOURCE_RE = re.compile(r"(?is)<source\b[^>]*/?>")
 _FIGURE_RE = re.compile(r"(?is)<figure\b[^>]*>(.*?)</figure>")
 _FIGCAP_RE = re.compile(r"(?is)<figcaption\b[^>]*>(.*?)</figcaption>")
 _ATTR_RE = re.compile(r"(?s)([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*')")
-_OL_RE = re.compile(r"(?is)<ol\b[^>]*>(.*?)</ol>")
+_OL_RE = re.compile(r"(?is)<ol\b([^>]*)>(.*?)</ol>")
 _LI_RE = re.compile(r"(?is)<li\b[^>]*>(.*?)</li>")
 _BQ_RE = re.compile(r"(?is)<blockquote\b[^>]*>(.*?)</blockquote>")
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
@@ -529,10 +530,17 @@ def _table_md(m: re.Match) -> str:
 
 
 def _ol_md(m: re.Match) -> str:
-    items = _LI_RE.findall(m.group(1))
+    # honor start= (rehype-remark carries it into the mdast list node
+    # and remark-stringify numbers items from it) — was an enumerated
+    # subset divergence until r5
+    try:
+        start = int(_tag_attrs_any("<ol" + m.group(1) + ">").get("start", "1"))
+    except ValueError:
+        start = 1
+    items = _LI_RE.findall(m.group(2))
     return (
         "\n\n"
-        + "\n".join(f"{i + 1}. {it.strip()}" for i, it in enumerate(items))
+        + "\n".join(f"{start + i}. {it.strip()}" for i, it in enumerate(items))
         + "\n\n"
     )
 

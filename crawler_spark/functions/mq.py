@@ -39,13 +39,20 @@ _QE = [
 
 
 class MQDecoder:
-    """Annex E decoder (INITDEC / DECODE / BYTEIN)."""
+    """Annex E decoder (INITDEC / DECODE / BYTEIN).
+
+    Context state is ONE dict mapping cx → (index << 1) | MPS — a
+    single lookup/store per decision instead of two. DECODE inlines
+    RENORMD/BYTEIN and runs on locals: the MQ interval update is a
+    strict serial dependency (each decision's (a, c) feeds the next),
+    so the only Python-level lever is per-decision overhead — this
+    shape measures ~1.9× the two-dict/helper-call version on the T1
+    decode mix (BENCH.md §2b-bis)."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.bp = 0
-        self.i: dict[int, int] = {}
-        self.mps: dict[int, int] = {}
+        self.st: dict[int, int] = {}
         b0 = data[0] if data else 0xFF
         self.c = b0 << 16
         self._bytein()
@@ -72,47 +79,64 @@ class MQDecoder:
             self.ct = 8
 
     def decode(self, cx: int) -> int:
-        i = self.i.get(cx, 0)
-        mps = self.mps.get(cx, 0)
-        qe, nmps, nlps, switch = _QE[i]
-        self.a -= qe
-        if ((self.c >> 16) & 0xFFFF) < qe:
+        st = self.st
+        s = st.get(cx, 0)
+        qe, nmps, nlps, switch = _QE[s >> 1]
+        mps = s & 1
+        a = self.a - qe
+        c = self.c
+        if ((c >> 16) & 0xFFFF) < qe:
             # LPS exchange path
-            if self.a < qe:
+            if a < qe:
                 d = mps
-                self.i[cx] = nmps
+                st[cx] = (nmps << 1) | mps
             else:
                 d = 1 - mps
-                if switch:
-                    self.mps[cx] = 1 - mps
-                self.i[cx] = nlps
-            self.a = qe
-            self._renorm()
+                st[cx] = (nlps << 1) | (mps ^ switch)
+            a = qe
         else:
-            self.c -= qe << 16
-            if (self.a & 0x8000) == 0:
-                if self.a < qe:
-                    d = 1 - mps
-                    if switch:
-                        self.mps[cx] = 1 - mps
-                    self.i[cx] = nlps
-                else:
-                    d = mps
-                    self.i[cx] = nmps
-                self._renorm()
+            c -= qe << 16
+            if a & 0x8000:
+                self.a = a
+                self.c = c
+                return mps
+            if a < qe:
+                d = 1 - mps
+                st[cx] = (nlps << 1) | (mps ^ switch)
             else:
                 d = mps
-        return d
-
-    def _renorm(self) -> None:
+                st[cx] = (nmps << 1) | mps
+        # RENORMD with BYTEIN inlined, on locals
+        ct = self.ct
+        bp = self.bp
+        data = self.data
+        n = len(data)
         while True:
-            if self.ct == 0:
-                self._bytein()
-            self.a = (self.a << 1) & 0xFFFF
-            self.c = (self.c << 1) & 0xFFFFFFFF
-            self.ct -= 1
-            if self.a & 0x8000:
+            if ct == 0:
+                b0 = data[bp] if bp < n else 0xFF
+                if b0 == 0xFF:
+                    b1 = data[bp + 1] if bp + 1 < n else 0xFF
+                    if b1 > 0x8F:
+                        c += 0xFF00
+                        ct = 8
+                    else:
+                        bp += 1
+                        c += b1 << 9
+                        ct = 7
+                else:
+                    bp += 1
+                    c += (data[bp] if bp < n else 0xFF) << 8
+                    ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
                 break
+        self.a = a
+        self.c = c
+        self.ct = ct
+        self.bp = bp
+        return d
 
 
 class MQEncoder:
@@ -125,13 +149,12 @@ class MQEncoder:
         self.ct = 12
         self.b: int | None = None  # pending byte
         self.out = bytearray()
-        self.i: dict[int, int] = {}
-        self.mps: dict[int, int] = {}
+        self.st: dict[int, int] = {}  # cx → (index << 1) | MPS
 
     def encode(self, d: int, cx: int) -> None:
-        i = self.i.get(cx, 0)
-        mps = self.mps.get(cx, 0)
-        qe, nmps, nlps, switch = _QE[i]
+        s = self.st.get(cx, 0)
+        qe, nmps, nlps, switch = _QE[s >> 1]
+        mps = s & 1
         if d == mps:
             self.a -= qe
             if (self.a & 0x8000) == 0:
@@ -139,7 +162,7 @@ class MQEncoder:
                     self.a = qe
                 else:
                     self.c += qe
-                self.i[cx] = nmps
+                self.st[cx] = (nmps << 1) | mps
                 self._renorm()
             else:
                 self.c += qe
@@ -149,9 +172,7 @@ class MQEncoder:
                 self.c += qe
             else:
                 self.a = qe
-            if switch:
-                self.mps[cx] = 1 - mps
-            self.i[cx] = nlps
+            self.st[cx] = (nlps << 1) | (mps ^ switch)
             self._renorm()
 
     def _renorm(self) -> None:

@@ -236,6 +236,74 @@ def test_figure_keeps_non_image_content():
     assert "![Chú thích](http://x/i.jpg)" in out and "thêm chữ" in out
 
 
+def test_ordered_list_start_offset():
+    """<ol start=N> numbers items from N (rehype-remark carries start
+    into the mdast list; remark-stringify numbers from it) — closed
+    divergence, r5."""
+    assert html_to_md("<ol start='5'><li>a</li><li>b</li></ol>") == "5. a\n6. b"
+    assert html_to_md("<ol><li>a</li><li>b</li></ol>") == "1. a\n2. b"
+    # malformed start falls back to 1
+    assert html_to_md("<ol start='x'><li>a</li></ol>") == "1. a"
+
+
+# ---------------------------------------------------------------------------
+# r5: property-based divergence hunting against the documented subset
+# rules (npm byte-pinning still env-blocked — 5 rounds of retries; see
+# COVERAGE.md — so the published plugin semantics are pinned by
+# invariants the real pipeline also guarantees)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Zs"), max_codepoint=0x24F
+    ),
+    min_size=1,
+    max_size=24,
+).map(lambda s: " ".join(s.split()) or "x")
+
+
+@settings(max_examples=120, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(_TEXT, st.integers(1, 99), st.lists(_TEXT, min_size=1, max_size=4))
+def test_html_to_md_structural_invariants(txt, start, items):
+    """Invariants the real unified pipeline also guarantees: no tag
+    leaks through, code spans keep their content verbatim, ordered
+    lists number from start=, table cell text survives, and
+    entity-encoded markup stays literal text."""
+    lis = "".join(f"<li>{i}</li>" for i in items)
+    html = (
+        f"<h2>{txt}</h2><p>{txt}</p>"
+        f"<ol start='{start}'>{lis}</ol>"
+        f"<pre><code>{txt} *raw*</code></pre>"
+        f"<table><tr><td>{txt}</td><td>b</td></tr></table>"
+        f"<p>&lt;b&gt;{txt}&lt;/b&gt;</p>"
+    )
+    md = html_to_md(html)
+    # no REAL markup leaks (the entity-encoded <b> below is literal
+    # text by design, so the check names the actual tags)
+    for leak in ("<h2", "</h2", "<p>", "<ol", "<li", "<pre", "<table", "<td"):
+        assert leak not in md
+    assert f"## {txt}" in md
+    for k, i in enumerate(items):
+        assert f"{start + k}. {i}" in md  # start-offset numbering
+    assert f"{txt} *raw*" in md  # code content verbatim (no smartypants)
+    assert f"| {txt} | b |" in md
+    assert f"<b>{txt}</b>" in md  # entity-encoded markup is literal text
+
+
+@settings(max_examples=80, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(_TEXT)
+def test_html_to_md_smartypants_scope(txt):
+    """smartypants touches prose only: quotes in text curl, quotes in
+    code spans / fenced blocks never do (the text-node scope of the
+    real retext pipeline)."""
+    md = html_to_md(f"<p>\"{txt}\"</p><code>\"{txt}\"</code>")
+    assert f"“{txt}”" in md
+    assert f'`"{txt}"`' in md
+
+
 def test_unresolvable_placeholder_img_drops_to_alt():
     # loader noise: data-URI src with no real alternative — keep the
     # alt text, never emit a data: URL into the image stream
