@@ -132,16 +132,37 @@ def minhash_pairs(
     bands: int = 32,
     shingle_n: int = 3,
     min_est_jaccard: float = 0.5,
+    materialize_signatures: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with signature-estimated Jaccard ≥ threshold.
 
     Signatures are re-joined to the DEDUPED bare pair set exactly once
     (each side keyed on its doc id), so the estimate costs one lookup
     per surviving pair instead of shipping 2 KB arrays through every
-    band collision and the pair-dedup exchange."""
+    band collision and the pair-dedup exchange.
+
+    ``materialize_signatures`` persists (MEMORY_AND_DISK) the
+    signature table — the production setting for big sweeps (same
+    trade as near_duplicate_images r5): the sig subplan feeds FOUR
+    consumers (both band sides — one via ReusedExchange — and both
+    estimate joins), and its lineage contains the shingle explode +
+    k-min aggregate, so lazy re-derivation costs ~3x the signature
+    build while the cache is k·8 bytes/doc once (~1 TB at 10^9 docs,
+    vs re-shingling the corpus). persist, NOT localCheckpoint: the
+    InMemoryRelation keeps the child's outputPartitioning, so when
+    the input is already hash-partitioned by doc id the estimate
+    joins stay exchange-free — a checkpoint's LogicalRDD reports
+    UnknownPartitioning and forces both back (measured in the
+    composed-pipeline audit, BENCH.md). Default False: one lazy
+    composition, exactly replayable, right for oracle-checked
+    correctness runs."""
     if k % bands:
         raise ValueError(f"bands ({bands}) must divide k ({k})")
     sigs = minhash_signatures(df, id_col, text_col, k=k, shingle_n=shingle_n)
+    if materialize_signatures:
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sigs, bands=bands)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
