@@ -22,11 +22,31 @@ the GFM + smartypants semantics of the published plugins:
     scope;
   * script/style/comment removal; entity unescape.
 
-Documented subset divergences from the real unified pipeline: no
-markdown-special escaping in text (remark-stringify would emit ``\\*``
-for a literal asterisk), single-level list nesting, and loose/tight
-list spacing is always tight. (``start=`` offsets on ordered lists
-were a divergence through r4; honored since r5.)
+Markdown-special ESCAPING in text nodes (r5, closing the top
+enumerated divergence): remark-stringify escapes characters in plain
+text that would otherwise parse as markdown, so HTML text like
+``[not a link](x)`` must come out as ``\\[not a link](x)`` — without
+this, hostile or merely unlucky page TEXT injects phantom
+links/images that the discovery and extraction stages would then
+follow. Implemented with a sentinel scheme: every piece of GENERATED
+markdown syntax is emitted with a ``\\x03`` mark before each special
+character; after smartypants, one escape pass backslash-escapes every
+UNMARKED special (``\\ ` * _ [ ]`` anywhere; ``# >`` and ``- +``
+bullets and ``1.``/``1)`` enumerators at line start), then marks are
+stripped. Code spans/blocks and hr are stash-protected and never
+escaped (text-node scope, same as the real pipeline). Control chars
+``\\x00-\\x08/\\x0b/\\x0c/\\x0e-\\x1f`` are dropped from the input
+first so hostile bytes can't forge placeholders.
+
+Documented subset divergences from the real unified pipeline:
+``!``/``(``/``)``/``~``/``<``/``&`` are not escaped (remark escapes
+``!`` before ``[`` and ``&``/``<`` entity/autolink-shaped runs — the
+semantic injection risk is already closed by escaping the bracket
+itself), setext ``===`` underlines are not escaped (smartypants
+already rewrites ``---`` runs to em dashes), single-level list
+nesting, and loose/tight list spacing is always tight. (``start=``
+offsets on ordered lists were a divergence through r4; honored since
+r5.)
 
 Two surfaces, one spec:
 
@@ -101,6 +121,39 @@ def _unescape(t: str) -> str:
 # protected spans during smartypants: placeholders, markdown URLs, and
 # table delimiter rows (their --- runs are syntax, not text)
 _PROTECT_RE = re.compile(r"(\x00\d+\x00|\]\([^)\s]*\)|^\|[ :\-|]+\|$)", re.M)
+
+# ---- text-node escaping (remark-stringify semantics, r5) -----------------
+#: generated-syntax sentinel: \x03 before a special char means "this is
+#: markdown the converter emitted, not page text — do not escape it"
+_MARKABLE = set("\\`*_[]#>.+-")
+
+
+def _mark(s: str) -> str:
+    """Sentinel-mark every markable char of a GENERATED syntax run (or
+    a link destination, whose bytes are literal there)."""
+    return "".join(("\x03" + c) if c in _MARKABLE else c for c in s)
+
+
+def _img_syntax(alt: str, url: str) -> str:
+    return "!\x03[" + alt + "\x03](" + _mark(url) + ")"
+
+
+# specials escaped ANYWHERE in text (remark's always-unsafe set, minus
+# the documented subset exclusions); marked occurrences are skipped
+_ESC_ANY_RE = re.compile(r"(?<!\x03)([\\`*_\[\]])")
+# line-start constructs: ATX #, blockquote >, - / + bullets (before
+# space), ordered-list enumerators 1. / 1) (before space)
+_ESC_ATX_RE = re.compile(r"(?m)^([ \t]*)([#>])")
+_ESC_BULLET_RE = re.compile(r"(?m)^([ \t]*)([-+])(?=[ \t])")
+_ESC_ENUM_RE = re.compile(r"(?m)^([ \t]*)(\d{1,9})([.)])(?=[ \t])")
+
+
+def _escape_md(t: str) -> str:
+    t = _ESC_ANY_RE.sub(r"\\\1", t)
+    t = _ESC_ATX_RE.sub(r"\1\\\2", t)
+    t = _ESC_BULLET_RE.sub(r"\1\\\2", t)
+    t = _ESC_ENUM_RE.sub(r"\1\2\\\3", t)
+    return t
 
 
 def _smartypants(t: str) -> str:
@@ -467,7 +520,7 @@ def _picture_md(inner: str) -> str:
         if best is not None:
             url = best
             break
-    return f"![{alt}]({url})"
+    return _img_syntax(alt, url)
 
 
 def _figure_md(m: re.Match) -> str:
@@ -487,20 +540,26 @@ def _figure_md(m: re.Match) -> str:
         if im is None:
             return m.group(0)  # no image: leave for the block passes
         url, alt = resolve_img(im.group(0))
-        md = f"![{alt}]({url})"
+        md = _img_syntax(alt, url)
         rest = _IMG_TAG_RE.sub("", rest, count=1)
     if capm:
         caption = re.sub(r"\s+", " ", _TAG_RE.sub("", capm.group(1))).strip()
         if caption:
-            md = re.sub(r"^!\[[^\]]*\]", f"![{caption}]", md)
+            # syntax is \x03-marked: ![ is "!\x03[", ] is "\x03]"
+            md = re.sub(
+                r"^!\x03\[(?:[^\x03]|\x03(?!\]))*\x03\]",
+                lambda _m: "!\x03[" + caption + "\x03]",
+                md,
+            )
     rest = rest.strip()
     return f"\n\n{md}\n\n{rest}\n\n" if rest else f"\n\n{md}\n\n"
 
 
 def _cell_text(raw: str) -> str:
     """One-line cell content: inner tags stay for the later inline
-    passes; whitespace collapses; pipes escape (GFM)."""
-    return re.sub(r"\s+", " ", raw).strip().replace("|", r"\|")
+    passes; whitespace collapses; pipes escape (GFM) — with the
+    escaping backslash marked so the text-escape pass won't double it."""
+    return re.sub(r"\s+", " ", raw).strip().replace("|", "\x03\\|")
 
 
 def _table_md(m: re.Match) -> str:
@@ -540,13 +599,20 @@ def _ol_md(m: re.Match) -> str:
     items = _LI_RE.findall(m.group(2))
     return (
         "\n\n"
-        + "\n".join(f"{start + i}. {it.strip()}" for i, it in enumerate(items))
+        + "\n".join(
+            f"{start + i}\x03. {it.strip()}" for i, it in enumerate(items)
+        )
         + "\n\n"
     )
 
 
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def html_to_md(html: str) -> str:
-    t = _SCRIPT_RE.sub("", html)
+    # hostile bytes must not forge stash placeholders / syntax marks
+    t = _CTRL_RE.sub("", html)
+    t = _SCRIPT_RE.sub("", t)
     t = _COMMENT_RE.sub("", t)
 
     stash: list[str] = []
@@ -578,10 +644,10 @@ def html_to_md(html: str) -> str:
     t = _FIGURE_RE.sub(_figure_md, t)
     t = _PICTURE_RE.sub(lambda m: _picture_md(m.group(1)), t)
     # block constructs
-    t = _HEAD_RE.sub(lambda m: "\n\n" + "#" * int(m.group(1)) + " " + m.group(2).strip() + "\n\n", t)
-    t = _BQ_RE.sub(lambda m: "\n\n> " + m.group(1).strip() + "\n\n", t)
+    t = _HEAD_RE.sub(lambda m: "\n\n" + _mark("#" * int(m.group(1))) + " " + m.group(2).strip() + "\n\n", t)
+    t = _BQ_RE.sub(lambda m: "\n\n\x03> " + m.group(1).strip() + "\n\n", t)
     t = _OL_RE.sub(_ol_md, t)
-    t = _LI_RE.sub(lambda m: "\n- " + m.group(1).strip(), t)
+    t = _LI_RE.sub(lambda m: "\n\x03- " + m.group(1).strip(), t)
     t = _P_RE.sub(lambda m: "\n\n" + m.group(1).strip() + "\n\n", t)
     t = _BR_RE.sub("\n", t)
     t = _HR_RE.sub(lambda _m: "\n\n" + _keep("***") + "\n\n", t)
@@ -604,9 +670,9 @@ def html_to_md(html: str) -> str:
         url, alt = resolve_img(m.group(0))
         if _is_placeholder(url) and url != "":
             if url.strip().lower().startswith("data:") and substantive_data_uri(url):
-                return f"![{alt}]({url.strip()})"
+                return _img_syntax(alt, url.strip())
             return alt
-        return f"![{alt}]({url})"
+        return _img_syntax(alt, url)
 
     t = _IMG_TAG_RE.sub(_img_md, t)
 
@@ -618,11 +684,11 @@ def html_to_md(html: str) -> str:
         rel = _tag_attrs_any(open_tag).get("rel")
         if rel and set(re.split(r"[\s,]+", rel.lower())) & NOFOLLOW_RELS:
             return m.group(2).strip()
-        return f"[{m.group(2).strip()}]({m.group(1)})"
+        return "\x03[" + m.group(2).strip() + "\x03](" + _mark(m.group(1)) + ")"
 
     t = _A_RE.sub(_a_md, t)
-    t = _STRONG_RE.sub(lambda m: f"**{m.group(1).strip()}**", t)
-    t = _EM_RE.sub(lambda m: f"*{m.group(1).strip()}*", t)
+    t = _STRONG_RE.sub(lambda m: "\x03*\x03*" + m.group(1).strip() + "\x03*\x03*", t)
+    t = _EM_RE.sub(lambda m: "\x03*" + m.group(1).strip() + "\x03*", t)
     t = _DEL_RE.sub(lambda m: f"~~{m.group(1).strip()}~~", t)
     # drop everything else, then entities
     t = _TAG_RE.sub("", t)
@@ -630,6 +696,9 @@ def html_to_md(html: str) -> str:
     t = re.sub(r"[ \t]+\n", "\n", t)
     t = re.sub(r"\n{3,}", "\n\n", t)
     t = _smartypants(t)
+    # escape markdown specials in what remains as TEXT (generated
+    # syntax is \x03-marked and skipped), then drop the marks
+    t = _escape_md(t).replace("\x03", "")
     t = re.sub(r"\x00(\d+)\x00", lambda m: stash[int(m.group(1))], t)
     return t.strip()
 

@@ -38,7 +38,8 @@ from crawler_spark.canonical import canonicalize, host_of, resolve_url
 from crawler_spark.functions.text import MD_IMG_RE, extract_md_images
 from crawler_spark.oracle.fixtures import MAX_ATTEMPTS, World, robots_allowed
 
-MD_LINK_RE = re.compile(r"(?<!!)\[([^\]]*)\]\(([^)]*)\)")
+# escape-aware twin of rounds.MD_LINK_PAT (r5): \[escaped\] is text
+MD_LINK_RE = re.compile(r"(?<!!)(?<!\\)\[((?:\\.|[^\]\\])*)\]\(([^)]*)\)")
 
 
 def derived_chapter_key(url: str) -> str | None:

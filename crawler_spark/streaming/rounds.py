@@ -51,8 +51,15 @@ from crawler_spark.operators.robots import (
 from crawler_spark.plans.store import SnapshotStore
 from crawler_spark.sources.fetch import fetch_scheduled, resolve_salted
 
-# markdown links, image syntax excluded (negative lookbehind)
-MD_LINK_PAT = r"(?<!!)\[([^\]]*)\]\(([^)]*)\)"
+# markdown links, image syntax excluded (negative lookbehind).
+# Escape-AWARE (r5): a backslash-escaped \[bracket\] is page TEXT, not
+# a link — the C16 converter escapes markdown-shaped prose exactly so
+# this stage cannot follow it (the reference's discovery reads real DOM
+# hrefs, e.g. rongmotamhon.net/getChapters.ts:52-70, so page text
+# could never inject URLs there either; its escape-UNAWARE regexes
+# live only in the CLEANUP chain, mdUtils.ts:5-11, whose quirk twins
+# in functions/text.py stay byte-pinned).
+MD_LINK_PAT = r"(?<!!)(?<!\\)\[((?:\\.|[^\]\\])*)\]\(([^)]*)\)"
 
 FRONTIER_COLS = [
     "url_key",

@@ -319,3 +319,99 @@ def test_unresolvable_placeholder_img_drops_to_alt():
     assert out.count("![") == 1 and "http://x/real.jpg" in out
     # empty src keeps the legacy empty-URL construct
     assert html_to_md('<img alt="a">') == "![a]()"
+
+
+# ---------------------------------------------------------------------------
+# r5: markdown-special escaping in text nodes (the former top
+# enumerated divergence, now implemented — remark-stringify semantics)
+# ---------------------------------------------------------------------------
+
+import re as _re  # noqa: E402
+
+from crawler_spark.functions.text import MD_IMG_RE, extract_md_images  # noqa: E402
+from crawler_spark.streaming.rounds import MD_LINK_PAT  # noqa: E402
+
+
+def test_text_cannot_inject_links_or_images():
+    """Page TEXT shaped like markdown must not become followable
+    markup: the downstream discovery regex (MD_LINK_PAT) and image
+    extractor must see ONLY the constructs generated from real tags."""
+    html = (
+        "<p>see [not a link](http://evil.test/x) here</p>"
+        "<p>and ![not an image](http://evil.test/y.png)</p>"
+        '<p>real: <a href="http://ok.test/a">anchor</a> and '
+        '<img src="http://ok.test/i.png" alt="pic"></p>'
+    )
+    md = html_to_md(html)
+    links = [u for _t, u in _re.findall(MD_LINK_PAT, md)]
+    assert links == ["http://ok.test/a"], md
+    imgs = extract_md_images(md)
+    assert [u for _a, u in imgs] == ["http://ok.test/i.png"], md
+    # the text is still readable once unescaped
+    assert "\\[not a link\\]" in md and "\\[not an image\\]" in md
+
+
+def test_text_cannot_forge_blocks():
+    """Line-leading text that would parse as ATX headings, quotes,
+    bullets or enumerators is escaped; REAL constructs are not."""
+    md = html_to_md(
+        "<p># not a heading</p><p>> not a quote</p>"
+        "<p>- not a bullet</p><p>12. not an item</p>"
+        "<h1>real</h1><ol><li>item</li></ol><ul><li>bullet</li></ul>"
+    )
+    assert "\\# not a heading" in md
+    assert "\\> not a quote" in md
+    assert "\\- not a bullet" in md
+    assert "12\\. not an item" in md
+    assert "# real" in md and "1. item" in md and "- bullet" in md
+
+
+def test_inline_specials_escape_in_text_not_in_syntax():
+    md = html_to_md("<p>a*b _c_ `d` e\\f</p><p><em>em</em> <strong>st</strong></p>")
+    assert "a\\*b \\_c\\_ \\`d\\` e\\\\f" in md
+    assert "*em*" in md and "**st**" in md
+    # link destinations keep their bytes (underscores are common)
+    md = html_to_md('<a href="http://h.test/a_b_c">t</a>')
+    assert "(http://h.test/a_b_c)" in md
+    # code spans/blocks never escape
+    md = html_to_md("<pre>a * b [x](y)</pre><code>_i_</code>")
+    assert "a * b [x](y)" in md and "`_i_`" in md
+
+
+def test_table_cells_escape_and_pipes_stay_escaped_once():
+    md = html_to_md("<table><tr><td>a|b</td><td>c*d</td></tr></table>")
+    assert "| a\\|b | c\\*d |" in md
+
+
+def test_control_bytes_cannot_forge_placeholders():
+    # \x00/\x01/\x03 in input must not alias the stash/mark machinery
+    md = html_to_md("<p>a\x00" + "0\x00b \x011\x01 c\x03*d</p>")
+    assert md == "a0b 1 c\\*d"
+
+
+@settings(max_examples=120, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("ab *_`[]()#>-+.1\\|~")),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_escape_roundtrip_property(raw):
+    """For ANY special-laden TEXT: (1) the converted markdown yields
+    zero phantom links/images under the repo's own downstream parsers,
+    and (2) stripping the escape backslashes recovers the original
+    text (escaping is lossless) — both properties the real
+    remark-stringify output also satisfies."""
+    txt = " ".join(raw.split())
+    if not txt:
+        txt = "x"
+    md = html_to_md(f"<p>{txt}</p>")
+    assert not _re.findall(MD_LINK_PAT, md), (txt, md)
+    assert not MD_IMG_RE.findall(md), (txt, md)
+    # lossless: unescape and undo smartypants's text rewrites (TeX
+    # quotes, ellipsis, dashes — same order as _smartypants)
+    unescaped = _re.sub(r"\\(.)", r"\1", md)
+    expect = txt.replace("``", "“").replace("...", "…")
+    expect = _re.sub(r"(?<![-|])-{2,3}(?![-|])", "—", expect)
+    assert unescaped == expect, (txt, md)
