@@ -43,10 +43,11 @@ Documented subset divergences from the real unified pipeline:
 ``!`` before ``[`` and ``&``/``<`` entity/autolink-shaped runs — the
 semantic injection risk is already closed by escaping the bracket
 itself), setext ``===`` underlines are not escaped (smartypants
-already rewrites ``---`` runs to em dashes), single-level list
-nesting, and loose/tight list spacing is always tight. (``start=``
-offsets on ordered lists were a divergence through r4; honored since
-r5.)
+already rewrites ``---`` runs to em dashes), and loose/tight list
+spacing is always tight. (``start=`` offsets on ordered lists and
+single-level-only list nesting were divergences through r4; both
+closed in r5 — nested ``<ul>/<ol>`` now convert innermost-first with
+CommonMark continuation-column indentation.)
 
 Two surfaces, one spec:
 
@@ -93,7 +94,6 @@ _SOURCE_RE = re.compile(r"(?is)<source\b[^>]*/?>")
 _FIGURE_RE = re.compile(r"(?is)<figure\b[^>]*>(.*?)</figure>")
 _FIGCAP_RE = re.compile(r"(?is)<figcaption\b[^>]*>(.*?)</figcaption>")
 _ATTR_RE = re.compile(r"(?s)([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*')")
-_OL_RE = re.compile(r"(?is)<ol\b([^>]*)>(.*?)</ol>")
 _LI_RE = re.compile(r"(?is)<li\b[^>]*>(.*?)</li>")
 _BQ_RE = re.compile(r"(?is)<blockquote\b[^>]*>(.*?)</blockquote>")
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
@@ -588,22 +588,64 @@ def _table_md(m: re.Match) -> str:
     return "\n".join(lines)
 
 
-def _ol_md(m: re.Match) -> str:
-    # honor start= (rehype-remark carries it into the mdast list node
-    # and remark-stringify numbers items from it) — was an enumerated
-    # subset divergence until r5
-    try:
-        start = int(_tag_attrs_any("<ol" + m.group(1) + ">").get("start", "1"))
-    except ValueError:
-        start = 1
-    items = _LI_RE.findall(m.group(2))
-    return (
-        "\n\n"
-        + "\n".join(
-            f"{start + i}\x03. {it.strip()}" for i, it in enumerate(items)
-        )
-        + "\n\n"
-    )
+def _list_item(marker: str, content: str) -> str:
+    """One list item: the marker, then the item's lines with
+    continuation lines indented to the marker's visible width — this
+    is what nests an already-converted CHILD list under its parent
+    item (CommonMark column alignment, remark's output shape)."""
+    lines = [ln for ln in content.strip().split("\n") if ln.strip()]
+    if not lines:
+        lines = [""]
+    pad = " " * len(marker.replace("\x03", ""))
+    return marker + lines[0] + "".join("\n" + pad + ln for ln in lines[1:])
+
+
+_LIST_TAG_RE = re.compile(r"(?is)<(/?)(ul|ol)\b([^>]*)>")
+
+
+def _convert_lists(t: str) -> str:
+    """Innermost-first <ul>/<ol> conversion (nested lists were an
+    enumerated subset divergence until r5). The first close tag after
+    a run of opens delimits an innermost list — convert it in place,
+    repeat; an outer list's items then carry their converted children
+    as markdown lines, which :func:`_list_item` indents. Single-level
+    output bytes are identical to the pre-r5 passes (ol gets the
+    block \\n\\n wrapper, ul items each start on their own line)."""
+    while True:
+        stack: list[re.Match] = []
+        pair = None
+        for m in _LIST_TAG_RE.finditer(t):
+            if not m.group(1):
+                stack.append(m)
+            elif stack:
+                pair = (stack.pop(), m)
+                break
+        if pair is None:
+            return t
+        o, c = pair
+        inner = t[o.end() : c.start()]
+        items = _LI_RE.findall(inner)
+        if o.group(2).lower() == "ol":
+            # honor start= (rehype-remark carries it into the mdast
+            # list node and remark-stringify numbers items from it) —
+            # was itself an enumerated divergence until r5
+            try:
+                start = int(
+                    _tag_attrs_any("<ol" + o.group(3) + ">").get("start", "1")
+                )
+            except ValueError:
+                start = 1
+            md = (
+                "\n\n"
+                + "\n".join(
+                    _list_item(f"{start + i}\x03. ", it)
+                    for i, it in enumerate(items)
+                )
+                + "\n\n"
+            )
+        else:
+            md = "".join("\n" + _list_item("\x03- ", it) for it in items)
+        t = t[: o.start()] + md + t[c.end() :]
 
 
 _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
@@ -646,7 +688,8 @@ def html_to_md(html: str) -> str:
     # block constructs
     t = _HEAD_RE.sub(lambda m: "\n\n" + _mark("#" * int(m.group(1))) + " " + m.group(2).strip() + "\n\n", t)
     t = _BQ_RE.sub(lambda m: "\n\n\x03> " + m.group(1).strip() + "\n\n", t)
-    t = _OL_RE.sub(_ol_md, t)
+    t = _convert_lists(t)
+    # orphan <li> outside any list container (wild-web HTML)
     t = _LI_RE.sub(lambda m: "\n\x03- " + m.group(1).strip(), t)
     t = _P_RE.sub(lambda m: "\n\n" + m.group(1).strip() + "\n\n", t)
     t = _BR_RE.sub("\n", t)

@@ -415,3 +415,41 @@ def test_escape_roundtrip_property(raw):
     expect = txt.replace("``", "“").replace("...", "…")
     expect = _re.sub(r"(?<![-|])-{2,3}(?![-|])", "—", expect)
     assert unescaped == expect, (txt, md)
+
+
+# ---------------------------------------------------------------------------
+# r5: nested lists (single-level-only nesting was an enumerated
+# divergence; now innermost-first with CommonMark column indentation)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_lists_indent_to_marker_column():
+    md = html_to_md(
+        "<ul><li>top<ul><li>childA</li><li>childB</li></ul></li>"
+        "<li>next</li></ul>"
+    )
+    assert md == "- top\n  - childA\n  - childB\n- next"
+    # ol parent: 3-column continuation ("1. " is three chars wide)
+    md = html_to_md(
+        "<ol><li>one<ul><li>childA<ul><li>grand</li></ul></li></ul></li>"
+        "<li>two</li></ol>"
+    )
+    assert md == "1. one\n   - childA\n     - grand\n2. two"
+    # mixed: ol nested under ul, start= honored at depth
+    md = html_to_md(
+        "<ul><li>a<ol start='7'><li>x</li><li>y</li></ol></li></ul>"
+    )
+    assert md == "- a\n  7. x\n  8. y"
+
+
+def test_nested_list_items_still_escape_text():
+    md = html_to_md("<ul><li>a*b<ul><li>[x](y)</li></ul></li></ul>")
+    assert md == "- a\\*b\n  - \\[x\\](y)"
+
+
+def test_flat_lists_keep_pre_r5_bytes():
+    # regression guard: single-level output is byte-identical to the
+    # old per-tag passes (goldens elsewhere depend on these shapes)
+    assert html_to_md("<ol start='3'><li>a</li><li>b</li></ol>") == "3. a\n4. b"
+    assert html_to_md("<ul><li>a</li><li>b</li></ul>") == "- a\n- b"
+    assert html_to_md("<li>orphan</li>") == "- orphan"
