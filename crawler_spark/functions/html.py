@@ -42,12 +42,13 @@ Documented subset divergences from the real unified pipeline:
 ``!``/``(``/``)``/``~``/``<``/``&`` are not escaped (remark escapes
 ``!`` before ``[`` and ``&``/``<`` entity/autolink-shaped runs — the
 semantic injection risk is already closed by escaping the bracket
-itself), setext ``===`` underlines are not escaped (smartypants
-already rewrites ``---`` runs to em dashes), and loose/tight list
-spacing is always tight. (``start=`` offsets on ordered lists and
-single-level-only list nesting were divergences through r4; both
-closed in r5 — nested ``<ul>/<ol>`` now convert innermost-first with
-CommonMark continuation-column indentation.)
+itself) and setext ``===`` underlines are not escaped (smartypants
+already rewrites ``---`` runs to em dashes). (The other three
+enumerated structural divergences all closed in r5: ``start=``
+offsets on ordered lists; nested ``<ul>/<ol>``, now converted
+innermost-first with CommonMark continuation-column indentation; and
+loose/tight list spacing — items carrying block ``<p>`` children
+spread with blank lines, rehype-remark's looseness signal.)
 
 Two surfaces, one spec:
 
@@ -588,16 +589,29 @@ def _table_md(m: re.Match) -> str:
     return "\n".join(lines)
 
 
-def _list_item(marker: str, content: str) -> str:
+def _list_item(marker: str, content: str, spread: bool) -> str:
     """One list item: the marker, then the item's lines with
     continuation lines indented to the marker's visible width — this
     is what nests an already-converted CHILD list under its parent
-    item (CommonMark column alignment, remark's output shape)."""
-    lines = [ln for ln in content.strip().split("\n") if ln.strip()]
+    item (CommonMark column alignment, remark's output shape). A
+    SPREAD item (it contained block ``<p>`` children — rehype-remark's
+    looseness signal) keeps the blank lines between its paragraphs;
+    a tight one drops them."""
+    raw = [ln.rstrip() for ln in content.strip().split("\n")]
+    lines: list[str] = []
+    for ln in raw:
+        if ln.strip():
+            lines.append(ln)
+        elif spread and lines and lines[-1]:
+            lines.append("")  # paragraph break inside a loose item
+    while lines and not lines[-1]:
+        lines.pop()
     if not lines:
         lines = [""]
     pad = " " * len(marker.replace("\x03", ""))
-    return marker + lines[0] + "".join("\n" + pad + ln for ln in lines[1:])
+    return marker + lines[0] + "".join(
+        "\n" + (pad + ln if ln else "") for ln in lines[1:]
+    )
 
 
 _LIST_TAG_RE = re.compile(r"(?is)<(/?)(ul|ol)\b([^>]*)>")
@@ -624,6 +638,18 @@ def _convert_lists(t: str) -> str:
             return t
         o, c = pair
         inner = t[o.end() : c.start()]
+        # loose vs tight (remark-stringify): a list whose items carry
+        # block <p> children is SPREAD — items separate with blank
+        # lines and keep their internal paragraph breaks. Convert the
+        # items' <p> blocks here (they are list CONTENT, and the
+        # global paragraph pass would otherwise break the indentation
+        # it runs after).
+        loose = bool(_P_RE.search(inner))
+        if loose:
+            inner = _P_RE.sub(
+                lambda m: "\n\n" + m.group(1).strip() + "\n\n", inner
+            )
+        sep = "\n\n" if loose else "\n"
         items = _LI_RE.findall(inner)
         if o.group(2).lower() == "ol":
             # honor start= (rehype-remark carries it into the mdast
@@ -637,14 +663,17 @@ def _convert_lists(t: str) -> str:
                 start = 1
             md = (
                 "\n\n"
-                + "\n".join(
-                    _list_item(f"{start + i}\x03. ", it)
+                + sep.join(
+                    _list_item(f"{start + i}\x03. ", it, loose)
                     for i, it in enumerate(items)
                 )
                 + "\n\n"
             )
         else:
-            md = "".join("\n" + _list_item("\x03- ", it) for it in items)
+            md = "".join(
+                ("\n\n" if loose else "\n") + _list_item("\x03- ", it, loose)
+                for it in items
+            )
         t = t[: o.start()] + md + t[c.end() :]
 
 

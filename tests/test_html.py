@@ -453,3 +453,21 @@ def test_flat_lists_keep_pre_r5_bytes():
     assert html_to_md("<ol start='3'><li>a</li><li>b</li></ol>") == "3. a\n4. b"
     assert html_to_md("<ul><li>a</li><li>b</li></ul>") == "- a\n- b"
     assert html_to_md("<li>orphan</li>") == "- orphan"
+
+
+def test_loose_lists_from_block_items():
+    # items with <p> children spread (rehype-remark looseness signal):
+    # blank lines between items AND between an item's paragraphs
+    md = html_to_md(
+        "<ul><li><p>para one</p><p>para two</p></li>"
+        "<li><p>second item</p></li></ul>"
+    )
+    assert md == "- para one\n\n  para two\n\n- second item"
+    md = html_to_md("<ol><li><p>a</p><p>b</p></li><li>plain</li></ol>")
+    assert md == "1. a\n\n   b\n\n2. plain"
+    # a tight child nested in a loose parent keeps its own tightness
+    md = html_to_md(
+        "<ul><li><p>top</p><ul><li>c1</li><li>c2</li></ul></li>"
+        "<li><p>x</p></li></ul>"
+    )
+    assert md == "- top\n\n  - c1\n  - c2\n\n- x"
