@@ -135,8 +135,20 @@ def _mark(s: str) -> str:
     return "".join(("\x03" + c) if c in _MARKABLE else c for c in s)
 
 
+def _dest(url: str) -> str:
+    """A link DESTINATION: parens and spaces would terminate/break the
+    ``](...)`` syntax for every downstream consumer, so percent-encode
+    them (semantics-preserving per RFC 3986 — remark-stringify instead
+    backslash-escapes parens, which the escape-unaware reference
+    cleanup regexes could not read back); then sentinel-mark the
+    remaining specials (underscores are common in URLs)."""
+    return _mark(
+        url.replace("(", "%28").replace(")", "%29").replace(" ", "%20")
+    )
+
+
 def _img_syntax(alt: str, url: str) -> str:
-    return "!\x03[" + alt + "\x03](" + _mark(url) + ")"
+    return "!\x03[" + alt + "\x03](" + _dest(url) + ")"
 
 
 # specials escaped ANYWHERE in text (remark's always-unsafe set, minus
@@ -756,7 +768,7 @@ def html_to_md(html: str) -> str:
         rel = _tag_attrs_any(open_tag).get("rel")
         if rel and set(re.split(r"[\s,]+", rel.lower())) & NOFOLLOW_RELS:
             return m.group(2).strip()
-        return "\x03[" + m.group(2).strip() + "\x03](" + _mark(m.group(1)) + ")"
+        return "\x03[" + m.group(2).strip() + "\x03](" + _dest(m.group(1)) + ")"
 
     t = _A_RE.sub(_a_md, t)
     t = _STRONG_RE.sub(lambda m: "\x03*\x03*" + m.group(1).strip() + "\x03*\x03*", t)

@@ -471,3 +471,14 @@ def test_loose_lists_from_block_items():
         "<li><p>x</p></li></ul>"
     )
     assert md == "- top\n\n  - c1\n  - c2\n\n- x"
+
+
+def test_link_destinations_with_parens_and_spaces_stay_parseable():
+    # wiki-style hrefs would otherwise truncate at the first ')' in
+    # every ](...) consumer — percent-encode (RFC 3986-preserving)
+    md = html_to_md('<a href="http://x/wiki/A_(band) v2">t</a>')
+    assert md == "[t](http://x/wiki/A_%28band%29%20v2)"
+    links = _re.findall(MD_LINK_PAT, md)
+    assert links == [("t", "http://x/wiki/A_%28band%29%20v2")]
+    md = html_to_md('<img src="http://x/i (1).png" alt="a">')
+    assert md == "![a](http://x/i%20%281%29.png)"
