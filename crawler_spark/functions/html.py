@@ -116,7 +116,18 @@ _ENTITIES = {
 def _unescape(t: str) -> str:
     for k, v in _ENTITIES.items():
         t = t.replace(k, v)
-    return re.sub(r"&#(\d+);", lambda m: chr(int(m.group(1))), t)
+
+    def _chr(m: re.Match) -> str:
+        # numeric refs must not re-introduce the control bytes the
+        # input sweep removed — '&#3;' would forge a syntax sentinel
+        # and '&#0;' a stash placeholder (escape-pass bypass)
+        n = int(m.group(1))
+        if n > 0x10FFFF:
+            return ""
+        c = chr(n)
+        return "" if _CTRL_RE.match(c) else c
+
+    return re.sub(r"&#(\d+);", _chr, t)
 
 
 # protected spans during smartypants: placeholders, markdown URLs, and
@@ -232,11 +243,19 @@ def _head_scan(html: str) -> str:
     CSS/JSON-LD can push it megabytes in — falling back to the first
     64 KiB only when the document never closes its head. A fixed
     64 KiB bound alone silently drops a late <meta name=robots> and
-    admits an opted-out page."""
-    m = _HEAD_END_RE.search(html)
+    admits an opted-out page.
+
+    Scripts and comments are stripped from the scanned window FIRST
+    (bounded at 1 MiB): a '<body' or '</head>' inside a JS template
+    string or commented-out markup is content, not the head boundary —
+    stopping there hid later robots metas (r5 review), and the strip
+    also keeps the downstream meta/link/base finders from reading
+    tags inside script text."""
+    window = _COMMENT_RE.sub("", _SCRIPT_RE.sub("", html[: 1 << 20]))
+    m = _HEAD_END_RE.search(window)
     if m is not None:
-        return html[: m.start()]
-    return html[:65536]
+        return window[: m.start()]
+    return window[:65536]
 # quoted OR unquoted values — unquoted attributes are valid HTML5 and
 # common in the wild; a directive parser that misses <meta name=robots
 # content=noindex> silently indexes pages that opted out
@@ -662,7 +681,14 @@ def _convert_lists(t: str) -> str:
                 lambda m: "\n\n" + m.group(1).strip() + "\n\n", inner
             )
         sep = "\n\n" if loose else "\n"
-        items = _LI_RE.findall(inner)
+        # </li> is optional per HTML5 and commonly omitted: split on
+        # the OPEN tags, then cut each chunk at its close tag when one
+        # exists — identical items to the strict findall for
+        # well-formed lists, no content loss for unclosed ones
+        items = [
+            re.split(r"(?is)</li\s*>", chunk)[0]
+            for chunk in re.split(r"(?is)<li\b[^>]*>", inner)[1:]
+        ]
         if o.group(2).lower() == "ol":
             # honor start= (rehype-remark carries it into the mdast
             # list node and remark-stringify numbers items from it) —

@@ -311,8 +311,15 @@ def near_duplicate_images(
     # re-runs that chain. localCheckpoint stores the 24 B/row
     # (id, phash) projection once (MEMORY_AND_DISK, cleaned with the
     # RDD): at 10^9 images that's ~24 GB cluster-wide, far cheaper
-    # than 5× the decode. Lineage truncation is the documented trade:
-    # executor loss re-runs the whole op instead of a partition.
+    # than 5× the decode. Lineage truncation is the documented trade,
+    # stated precisely: checkpointed partitions live ONLY in executor
+    # storage, so losing an executor mid-query fails the QUERY
+    # ("checkpoint block not found") and the caller must resubmit —
+    # there is no partition-level recompute path. On a long-lived
+    # cluster where executor churn is expected, swap this for
+    # reliable checkpoint() to a shared dir (setCheckpointDir) and
+    # accept the write amplification, or persist() and accept that
+    # recomputation re-enters the decode lineage.
     ids = images.select("image_id", "phash").localCheckpoint(eager=False)
     hashes = ids.select("phash").distinct()
     exploded = hashes.select("phash", F.explode(band_arr).alias("b")).select(

@@ -102,24 +102,12 @@ def _para(salt: int, start: int, n_words: int) -> str:
     return " ".join(ws)
 
 
-def _page_body(doc_id: int) -> str:
-    """One synthetic HTML page. Planted populations (all by id
-    arithmetic, so oracle counts are closed-form):
-
-    * ``id % 29 == 7``  -> EXACT duplicate of doc id-2 (cleaned text
-      byte-identical; only the URL/title differ).
-    * ``id % 13 == 5``  -> NEAR duplicate of doc id-1 (same paragraphs
-      plus a 5-word tail — 3-shingle Jaccard ~0.99).
-    * ``id % 41 == 3``  -> contaminated (EVAL_PHRASE appended).
-    * ``id % 101 == 17`` -> <meta name=robots content=noindex>.
-
-    Every page carries the promo-banner header and copyright footer
-    lines the boilerplate stage must strip.
-    """
-    exact = doc_id % 29 == 7 and doc_id >= 2
-    near = (not exact) and doc_id % 13 == 5 and doc_id >= 1
-    base = doc_id - 2 if exact else (doc_id - 1 if near else doc_id)
-
+def _text_paras(doc_id: int) -> list[str]:
+    """The paragraph list a doc RENDERS (near-dup tail and
+    contamination included) — exact twins reuse this wholesale so
+    they really are byte-identical to their base's rendered text."""
+    near = doc_id % 13 == 5 and doc_id >= 1
+    base = doc_id - 1 if near else doc_id
     n_paras = 5 + (base % 8)
     start0 = (base * 104729) % 2_500_000
     salt = base % 99991
@@ -131,6 +119,32 @@ def _page_body(doc_id: int) -> str:
         paras.append("zulu yankee xray whiskey victor")
     if doc_id % 41 == 3:
         paras.append("as seen in " + EVAL_PHRASE + " official results")
+    return paras
+
+
+def _page_body(doc_id: int) -> str:
+    """One synthetic HTML page. Planted populations (all by id
+    arithmetic, so oracle counts are closed-form):
+
+    * ``id % 29 == 7``  -> EXACT duplicate of doc id-2: the FULL
+      rendered text of the base — including the base's own near-dup
+      tail or contamination when it has one (r5 review: re-deriving
+      from components broke byte-identity for ~12% of plants) — so
+      cleaned text is byte-identical and only the URL differs.
+    * ``id % 13 == 5``  -> NEAR duplicate of doc id-1 (same paragraphs
+      plus a 5-word tail — 3-shingle Jaccard ~0.99).
+    * ``id % 41 == 3``  -> contaminated (EVAL_PHRASE appended; an
+      exact twin carries its BASE's contamination state, since its
+      text is the base's text).
+    * ``id % 101 == 17`` -> <meta name=robots content=noindex>
+      (doc-own: the attribute is markup, not text).
+
+    Every page carries the promo-banner header and copyright footer
+    lines the boilerplate stage must strip.
+    """
+    exact = doc_id % 29 == 7 and doc_id >= 2
+    base = doc_id - 2 if exact else doc_id
+    paras = _text_paras(base)
     meta = (
         '<meta name="robots" content="noindex">'
         if doc_id % 101 == 17
@@ -189,18 +203,29 @@ def _noindex_udf(body: pd.Series) -> pd.Series:
     )
 
 
-def bench_grams(spark: SparkSession, phrases: list[str], n: int = 13) -> DataFrame:
-    """Distinct xxhash64 13-grams of the decontamination benchmark
-    set — tiny by construction, always broadcast."""
+def _gram_exprs(n: int) -> tuple[str, str]:
+    """The ONE definition of the n-gram hashing both the benchmark
+    side and the corpus side use: (positions-SQL over a word array
+    column ``w``, gram-hash-SQL over ``w`` and a position ``i``).
+    Sharing it is load-bearing — if the two sides hashed grams
+    differently, decontamination would silently match nothing."""
     pos = (
         f"CASE WHEN size(w) >= {n} THEN sequence(1, size(w) - {n - 1}) "
         "ELSE array() END"
     )
+    gram = f"xxhash64(concat_ws(' ', slice(w, i, {n})))"
+    return pos, gram
+
+
+def bench_grams(spark: SparkSession, phrases: list[str], n: int = 13) -> DataFrame:
+    """Distinct xxhash64 13-grams of the decontamination benchmark
+    set — tiny by construction, always broadcast."""
+    pos, gram = _gram_exprs(n)
     bench = spark.createDataFrame([(p,) for p in phrases], ["p"])
     return (
         bench.select(F.split(F.trim("p"), r"\s+").alias("w"))
         .select("w", F.explode(F.expr(pos)).alias("i"))
-        .select(F.expr(f"xxhash64(concat_ws(' ', slice(w, i, {n})))").alias("gram"))
+        .select(F.expr(gram).alias("gram"))
         .distinct()
     )
 
@@ -312,11 +337,7 @@ def ingest_stages(
     # benchmark grams broadcast, hit count aggregates on the pinned
     # partitioning (no exchange)
     n = 13
-    pos = (
-        f"CASE WHEN size(w) >= {n} THEN sequence(1, size(w) - {n - 1}) "
-        "ELSE array() END"
-    )
-    gram = f"xxhash64(concat_ws(' ', slice(w, i, {n})))"
+    pos, gram = _gram_exprs(n)
     bg = bench_grams(spark, bench_phrases, n=n)
     dw = near_deduped.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("w")

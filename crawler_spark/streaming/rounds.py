@@ -58,7 +58,12 @@ from crawler_spark.sources.fetch import fetch_scheduled, resolve_salted
 # hrefs, e.g. rongmotamhon.net/getChapters.ts:52-70, so page text
 # could never inject URLs there either; its escape-UNAWARE regexes
 # live only in the CLEANUP chain, mdUtils.ts:5-11, whose quirk twins
-# in functions/text.py stay byte-pinned).
+# in functions/text.py stay byte-pinned). Known one-char-lookbehind
+# limitation (shared with the oracle twin, so parity holds): a link
+# that directly follows an ESCAPED literal backslash in text
+# ("C:\\[link](u)") is also skipped — the regex cannot count
+# preceding backslashes. The miss is in the conservative direction
+# (a real link is not followed; text can still never forge one).
 MD_LINK_PAT = r"(?<!!)(?<!\\)\[((?:\\.|[^\]\\])*)\]\(([^)]*)\)"
 
 FRONTIER_COLS = [

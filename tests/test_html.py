@@ -482,3 +482,54 @@ def test_link_destinations_with_parens_and_spaces_stay_parseable():
     assert links == [("t", "http://x/wiki/A_%28band%29%20v2")]
     md = html_to_md('<img src="http://x/i (1).png" alt="a">')
     assert md == "![a](http://x/i%20%281%29.png)"
+
+
+# ---------------------------------------------------------------------------
+# r5 review fixes: entity-forged sentinels, unclosed <li>, script-safe
+# head scan, lookbehind conservatism
+# ---------------------------------------------------------------------------
+
+
+def test_numeric_entities_cannot_forge_sentinels():
+    # '&#3;' would decode to the \x03 syntax mark AFTER the control
+    # sweep, un-escaping hostile brackets; '&#0;7&#0;' would alias a
+    # stash placeholder and crash the restore
+    md = html_to_md("<p>&#3;[x&#3;](http://evil.test/)</p>")
+    assert _re.findall(MD_LINK_PAT, md) == [], md
+    assert html_to_md("<p>a&#0;7&#0;b</p>") == "a7b"
+    # legit numeric refs still decode
+    assert html_to_md("<p>&#7879;</p>") == "ệ"
+
+
+def test_unclosed_li_keeps_content():
+    # </li> is optional HTML5; items must not vanish
+    assert html_to_md("<ul><li>alpha<li>beta</ul>") == "- alpha\n- beta"
+    assert (
+        html_to_md("<ol><li>a<li>b</ol>") == "1. a\n2. b"
+    )
+    # mixed closed/unclosed
+    assert html_to_md("<ul><li>a</li><li>b<li>c</ul>") == "- a\n- b\n- c"
+
+
+def test_head_scan_ignores_body_inside_scripts():
+    from crawler_spark.functions.html import page_directives
+
+    html = (
+        '<head><script>var t = "<body>template";</script>'
+        '<meta name="robots" content="noindex"></head><body>x'
+    )
+    assert page_directives(html) == (True, False, None)
+    # commented-out </head> is not the boundary either
+    html = (
+        "<head><!-- </head> --><meta name='robots' content='nofollow'>"
+        "</head><body>"
+    )
+    assert page_directives(html) == (False, True, None)
+
+
+def test_escaped_backslash_before_link_is_conservative():
+    # documented one-char-lookbehind limit: the link after a literal
+    # backslash is NOT discovered (never the unsafe direction)
+    md = html_to_md('<p>path C:\\<a href="http://x.test/">link</a></p>')
+    assert _re.findall(MD_LINK_PAT, md) == []
+    assert "http://x.test/" in md  # the text itself survives
