@@ -429,6 +429,7 @@ def fetch_scheduled(
     fetcher,
     salted: bool = False,
     num_partitions: int | None = None,
+    csr_recover: bool = False,
 ) -> DataFrame:
     """Run the fetch UDF grouped by host (politeness co-location).
 
@@ -444,6 +445,14 @@ def fetch_scheduled(
     assigned *before* the fetch — only task layout changes; use it
     when the fetcher itself rate-limits per host (HTTP client token
     bucket) rather than relying on single-flight placement.
+
+    ``csr_recover=True`` (html bodies only): run
+    :func:`crawler_spark.functions.hydration.recover_csr` before
+    absolutization — <noscript> promotion plus hydration-payload /
+    JSON-LD content recovery for thin-shell client-rendered pages
+    (the no-browser answer to the reference's Playwright flows).
+    Opt-in: it appends a marked block to qualifying bodies, so byte
+    goldens against server-rendered fixtures keep it off.
 
     The group exchange is pinned with an explicit ``repartition(n,
     keys)``: AQE's partition coalescing sizes post-shuffle partitions
@@ -508,6 +517,16 @@ def fetch_scheduled(
                 if body_kind in ("markdown", "auto"):
                     body = absolutize_md(body, base)
                 if body_kind == "html" or (body_kind == "auto" and "<" in body):
+                    if csr_recover:
+                        # CSR recovery BEFORE absolutization so the
+                        # recovered <img>/<figure> block's (possibly
+                        # relative) URLs get the same base resolution
+                        # as author-written markup
+                        from crawler_spark.functions.hydration import (
+                            recover_csr,
+                        )
+
+                        body = recover_csr(body)
                     body = absolutize_html(body, base)
                 bodies[i] = body
             if canons is not None and canons[i]:
