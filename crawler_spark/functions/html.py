@@ -38,12 +38,15 @@ escaped (text-node scope, same as the real pipeline). Control chars
 ``\\x00-\\x08/\\x0b/\\x0c/\\x0e-\\x1f`` are dropped from the input
 first so hostile bytes can't forge placeholders.
 
-Documented subset divergences from the real unified pipeline:
-``!``/``(``/``)``/``~``/``<``/``&`` are not escaped (remark escapes
-``!`` before ``[`` and ``&``/``<`` entity/autolink-shaped runs — the
-semantic injection risk is already closed by escaping the bracket
-itself) and setext ``===`` underlines are not escaped (smartypants
-already rewrites ``---`` runs to em dashes). (The other three
+Documented subset divergences from the real unified pipeline, shrunk
+again in late r5 (the ``!``/``&``/``<``/``~`` after-context escapes
+are now implemented — ``!`` before ``[``, ``&`` opening a character
+reference, ``<`` when tag/autolink-shaped, and ``~~`` strikethrough
+runs, all scoped to text segments so link destinations with ``&``/
+``~`` stay byte-exact): remaining are ``(``/``)`` (never escaped —
+destinations percent-encode instead, see :func:`_dest`) and setext
+``===`` underlines (smartypants already rewrites ``---`` runs to em
+dashes; a paragraph-internal line of pure ``=`` stays literal). (The other three
 enumerated structural divergences all closed in r5: ``start=``
 offsets on ordered lists; nested ``<ul>/<ol>``, now converted
 innermost-first with CommonMark continuation-column indentation; and
@@ -100,34 +103,39 @@ _BQ_RE = re.compile(r"(?is)<blockquote\b[^>]*>(.*?)</blockquote>")
 _TAG_RE = re.compile(r"(?s)<[^>]+>")
 
 _ENTITIES = {
-    "&amp;": "&",
-    "&lt;": "<",
-    "&gt;": ">",
-    "&quot;": '"',
-    "&#39;": "'",
-    "&apos;": "'",
-    "&nbsp;": " ",
-    "&hellip;": "…",
-    "&ndash;": "–",
-    "&mdash;": "—",
+    "amp": "&",
+    "lt": "<",
+    "gt": ">",
+    "quot": '"',
+    "apos": "'",
+    "nbsp": " ",
+    "hellip": "…",
+    "ndash": "–",
+    "mdash": "—",
 }
+# ONE pass over named + numeric refs: sequential replace()-then-numeric
+# double-decoded "&amp;#98;" into "b" (the HTML answer is the literal
+# text "&#98;" — the & was spent by &amp;). A single alternation spends
+# each & exactly once.
+_ENTITY_RE = re.compile(
+    r"&(?:(" + "|".join(_ENTITIES) + r")|#(\d{1,7})|#[xX]([0-9a-fA-F]{1,6}));"
+)
 
 
 def _unescape(t: str) -> str:
-    for k, v in _ENTITIES.items():
-        t = t.replace(k, v)
-
-    def _chr(m: re.Match) -> str:
+    def _sub(m: re.Match) -> str:
+        if m.group(1):
+            return _ENTITIES[m.group(1)]
         # numeric refs must not re-introduce the control bytes the
         # input sweep removed — '&#3;' would forge a syntax sentinel
         # and '&#0;' a stash placeholder (escape-pass bypass)
-        n = int(m.group(1))
+        n = int(m.group(2)) if m.group(2) else int(m.group(3), 16)
         if n > 0x10FFFF:
             return ""
         c = chr(n)
         return "" if _CTRL_RE.match(c) else c
 
-    return re.sub(r"&#(\d+);", _chr, t)
+    return _ENTITY_RE.sub(_sub, t)
 
 
 # protected spans during smartypants: placeholders, markdown URLs, and
@@ -159,7 +167,7 @@ def _dest(url: str) -> str:
 
 
 def _img_syntax(alt: str, url: str) -> str:
-    return "!\x03[" + alt + "\x03](" + _dest(url) + ")"
+    return "\x03!\x03[" + alt + "\x03](" + _dest(url) + ")"
 
 
 # specials escaped ANYWHERE in text (remark's always-unsafe set, minus
@@ -170,14 +178,48 @@ _ESC_ANY_RE = re.compile(r"(?<!\x03)([\\`*_\[\]])")
 _ESC_ATX_RE = re.compile(r"(?m)^([ \t]*)([#>])")
 _ESC_BULLET_RE = re.compile(r"(?m)^([ \t]*)([-+])(?=[ \t])")
 _ESC_ENUM_RE = re.compile(r"(?m)^([ \t]*)(\d{1,9})([.)])(?=[ \t])")
+# conditional escapes (r5, closing four more enumerated divergences —
+# remark-stringify's after-context patterns):
+#   ! only before a bracket (image syntax) — runs AFTER the any-pass,
+#     when a text bracket reads \[ and a generated link/image bracket
+#     reads \x03[ (a text ! abutting a REAL link would render as an
+#     image, so both need the escape); generated image bangs are
+#     \x03-marked and skipped
+_ESC_BANG_RE = re.compile(r"(?<!\x03)!(?=\\\[|\x03\[)")
+#   & only when it begins a character reference — the text-node round
+#     trip hazard: _unescape turned page text "&amp;amp;" into literal
+#     "&amp;", which an unescaped markdown rendering would collapse
+#     back to "&"
+_ESC_AMP_RE = re.compile(
+    r"&(?=[A-Za-z][A-Za-z0-9]{0,31};|#\d{1,7};|#[xX][0-9a-fA-F]{1,6};)"
+)
+#   < only when tag/autolink-shaped (same round trip: "&lt;div&gt;"
+#     became literal "<div>", which markdown would re-parse as raw
+#     HTML); "a < b" stays untouched
+_ESC_LT_RE = re.compile(r"<(?=[!/?A-Za-z])")
+#   ~ runs of >=2 (GFM strikethrough openers): every tilde of the run
+#     is escaped; generated ~~ is emitted as \x03~\x03~ (never two
+#     adjacent tilde bytes), so it can't match
+_ESC_TILDE_RE = re.compile(r"(?<!\x03)~{2,}")
 
 
 def _escape_md(t: str) -> str:
     t = _ESC_ANY_RE.sub(r"\\\1", t)
+    t = _ESC_BANG_RE.sub(r"\\!", t)
     t = _ESC_ATX_RE.sub(r"\1\\\2", t)
     t = _ESC_BULLET_RE.sub(r"\1\\\2", t)
     t = _ESC_ENUM_RE.sub(r"\1\2\\\3", t)
-    return t
+    # the after-context escapes run on TEXT segments only (same
+    # _PROTECT_RE scope as smartypants): link DESTINATIONS legitimately
+    # contain & and ~ ("?a=1&b=2", "/~user/") and must stay byte-exact
+    parts = _PROTECT_RE.split(t)
+    for i in range(0, len(parts), 2):
+        s = parts[i]
+        s = _ESC_AMP_RE.sub(r"\\&", s)
+        s = _ESC_LT_RE.sub(r"\\<", s)
+        s = _ESC_TILDE_RE.sub(lambda m: r"\~" * len(m.group(0)), s)
+        parts[i] = s
+    return "".join(parts)
 
 
 def _smartypants(t: str) -> str:
@@ -577,10 +619,10 @@ def _figure_md(m: re.Match) -> str:
     if capm:
         caption = re.sub(r"\s+", " ", _TAG_RE.sub("", capm.group(1))).strip()
         if caption:
-            # syntax is \x03-marked: ![ is "!\x03[", ] is "\x03]"
+            # syntax is \x03-marked: ![ is "\x03!\x03[", ] is "\x03]"
             md = re.sub(
-                r"^!\x03\[(?:[^\x03]|\x03(?!\]))*\x03\]",
-                lambda _m: "!\x03[" + caption + "\x03]",
+                r"^\x03!\x03\[(?:[^\x03]|\x03(?!\]))*\x03\]",
+                lambda _m: "\x03!\x03[" + caption + "\x03]",
                 md,
             )
     rest = rest.strip()
@@ -799,7 +841,9 @@ def html_to_md(html: str) -> str:
     t = _A_RE.sub(_a_md, t)
     t = _STRONG_RE.sub(lambda m: "\x03*\x03*" + m.group(1).strip() + "\x03*\x03*", t)
     t = _EM_RE.sub(lambda m: "\x03*" + m.group(1).strip() + "\x03*", t)
-    t = _DEL_RE.sub(lambda m: f"~~{m.group(1).strip()}~~", t)
+    t = _DEL_RE.sub(
+        lambda m: "\x03~\x03~" + m.group(1).strip() + "\x03~\x03~", t
+    )
     # drop everything else, then entities
     t = _TAG_RE.sub("", t)
     t = _unescape(t)

@@ -35,7 +35,8 @@ CASES = [
         "sạch",
     ),
     # smartypants: entity-decoded straight quotes curl (text-node scope)
-    ("<p>&amp;amp; &lt;tag&gt; &quot;q&quot; &#7879;</p>", "&amp; <tag> “q” ệ"),
+    # decoded &amp;/&lt; re-escape so markdown can't re-parse them
+    ("<p>&amp;amp; &lt;tag&gt; &quot;q&quot; &#7879;</p>", "\\&amp; \\<tag> “q” ệ"),
     ("<div class='x'><span>giữ chữ</span></div>", "giữ chữ"),
     ("<h3 id='a'>Mục</h3>", "### Mục"),
     # --- r3: GFM + smartypants additions -------------------------------
@@ -81,8 +82,13 @@ def test_html_to_md_goldens():
 
 
 def test_entity_encoded_markup_stays_text():
-    # &lt;strong&gt; must NOT become markdown emphasis
-    assert html_to_md("<p>&lt;strong&gt;x&lt;/strong&gt;</p>") == "<strong>x</strong>"
+    # &lt;strong&gt; must NOT become markdown emphasis — and as of
+    # late r5 the decoded < is backslash-escaped so a MARKDOWN
+    # renderer can't re-parse it as raw HTML either
+    assert (
+        html_to_md("<p>&lt;strong&gt;x&lt;/strong&gt;</p>")
+        == "\\<strong>x\\</strong>"
+    )
 
 
 def test_code_content_protected_from_smartypants():
@@ -290,7 +296,8 @@ def test_html_to_md_structural_invariants(txt, start, items):
         assert f"{start + k}. {i}" in md  # start-offset numbering
     assert f"{txt} *raw*" in md  # code content verbatim (no smartypants)
     assert f"| {txt} | b |" in md
-    assert f"<b>{txt}</b>" in md  # entity-encoded markup is literal text
+    # entity-encoded markup is literal text (tag-shaped < escaped)
+    assert f"\\<b>{txt}\\</b>" in md
 
 
 @settings(max_examples=80, suppress_health_check=[HealthCheck.too_slow], deadline=None)
@@ -392,7 +399,7 @@ def test_control_bytes_cannot_forge_placeholders():
 @settings(max_examples=120, suppress_health_check=[HealthCheck.too_slow], deadline=None)
 @given(
     st.text(
-        alphabet=st.sampled_from(list("ab *_`[]()#>-+.1\\|~")),
+        alphabet=st.sampled_from(list("ab *_`[]()#>-+.1\\|~!&;x")),
         min_size=1,
         max_size=30,
     )
@@ -400,21 +407,63 @@ def test_control_bytes_cannot_forge_placeholders():
 def test_escape_roundtrip_property(raw):
     """For ANY special-laden TEXT: (1) the converted markdown yields
     zero phantom links/images under the repo's own downstream parsers,
-    and (2) stripping the escape backslashes recovers the original
-    text (escaping is lossless) — both properties the real
-    remark-stringify output also satisfies."""
+    and (2) stripping the escape backslashes recovers the
+    entity-decoded original text (escaping is lossless) — both
+    properties the real remark-stringify output also satisfies."""
+    from crawler_spark.functions.html import _unescape
+
     txt = " ".join(raw.split())
     if not txt:
         txt = "x"
     md = html_to_md(f"<p>{txt}</p>")
     assert not _re.findall(MD_LINK_PAT, md), (txt, md)
     assert not MD_IMG_RE.findall(md), (txt, md)
-    # lossless: unescape and undo smartypants's text rewrites (TeX
-    # quotes, ellipsis, dashes — same order as _smartypants)
+    # lossless vs the converter's own text model: entity refs decode
+    # first (the alphabet can spell &#98; etc.), then smartypants's
+    # rewrites (TeX quotes, ellipsis, dashes — same order)
     unescaped = _re.sub(r"\\(.)", r"\1", md)
-    expect = txt.replace("``", "“").replace("...", "…")
+    expect = _unescape(txt)
+    expect = expect.replace("``", "“").replace("...", "…")
     expect = _re.sub(r"(?<![-|])-{2,3}(?![-|])", "—", expect)
+    expect = " ".join(expect.split()) or "x"
     assert unescaped == expect, (txt, md)
+
+
+def test_after_context_escapes():
+    """r5: the four remark after-context escapes — ! before [, & when
+    entity-shaped, < when tag-shaped, ~~ runs — applied in text, never
+    in destinations or code."""
+    # entity-decoded text must not re-enter the HTML/markdown grammar
+    assert html_to_md("<p>&amp;amp; x</p>") == "\\&amp; x"
+    assert html_to_md("<p>&lt;div&gt; tag</p>") == "\\<div> tag"
+    # non-entity & and comparison < stay untouched
+    assert html_to_md("<p>a & b, 5 < 6</p>") == "a & b, 5 < 6"
+    # ~~ runs escape per tilde; single ~ stays; <del> stays syntax
+    assert html_to_md("<p>~~nope~~</p>") == "\\~\\~nope\\~\\~"
+    assert html_to_md("<p>a ~ b</p>") == "a ~ b"
+    assert html_to_md("<p><del>yes</del></p>") == "~~yes~~"
+    # ! escapes only when abutting a bracket
+    assert html_to_md("<p>a![b] c!</p>") == "a\\!\\[b\\] c!"
+    assert html_to_md("<p>wow! [x]</p>") == "wow! \\[x\\]"
+    # a text ! abutting a REAL link would render as an image
+    assert (
+        html_to_md('<p>go!<a href="http://h.test/">now</a></p>')
+        == "go\\![now](http://h.test/)"
+    )
+    # destinations keep & and ~ byte-exact
+    md = html_to_md('<a href="http://h.test/~u?a=1&amp;b=2">t</a>')
+    assert "(http://h.test/~u?a=1&b=2)" in md
+
+
+def test_double_encoded_entities_stay_literal():
+    """&amp;#98; is the literal text '&#98;' (the & was spent by
+    &amp;) — the old sequential replace decoded it twice into 'b'."""
+    md = html_to_md("<p>&amp;#98;</p>")
+    assert _re.sub(r"\\(.)", r"\1", md) == "&#98;"
+    md = html_to_md("<p>&amp;amp;</p>")
+    assert _re.sub(r"\\(.)", r"\1", md) == "&amp;"
+    # hex numeric refs decode (single pass)
+    assert html_to_md("<p>&#x41;</p>") == "A"
 
 
 # ---------------------------------------------------------------------------
