@@ -118,6 +118,11 @@ class CrawlEngine:
     #: discovery; the pages sink keeps them (flagged via content_fp ⨝
     #: content_seen) so the archive stays complete.
     content_seen: bool = False
+    #: CSR recovery at the fetch boundary (functions/hydration.py):
+    #: noscript promotion + hydration-payload/JSON-LD content for
+    #: thin-shell client-rendered pages. Default OFF — reference
+    #: parity; html fetchers on the open web turn it on.
+    csr_recover: bool = False
     quarantined: int = 0
     metrics: list[dict] = field(default_factory=list)
 
@@ -330,7 +335,25 @@ class CrawlEngine:
             scheduled,
             self.fetcher,
             salted=resolve_salted(self.salted_fetch, self._budget_cap),
-        ).cache()
+            csr_recover=self.csr_recover,
+        )
+        if getattr(self.fetcher, "BODY_KIND", "auto") == "html":
+            # normalize raw-HTML fetchers to the engine's markdown
+            # body model (the reference stores markdown too): links,
+            # images and content fingerprints all read markdown, so
+            # the C16 conversion runs ONCE here — absolutization
+            # already happened inside the fetch UDF, so converted
+            # refs are absolute. Arrow-batched; same stage, no
+            # additional exchange.
+            from crawler_spark.functions.html import html_to_md_udf
+
+            fetched = fetched.withColumn(
+                "body",
+                F.when(
+                    F.col("body").isNotNull(), html_to_md_udf(F.col("body"))
+                ),
+            )
+        fetched = fetched.cache()
         # one action materializes the cache AND yields both counts
         _c = fetched.agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.col("success").cast("long")).alias("ok")
