@@ -241,6 +241,7 @@ def ingest_stages(
     pack_budget: int = 2048,
     pack_group: int = 512,
     materialize: bool = False,
+    csr_recover: bool = False,
 ) -> dict[str, DataFrame]:
     """The composed chain, returned as an ordered {stage: DataFrame}
     dict — each value is the pipeline truncated after that stage, so a
@@ -284,10 +285,19 @@ def ingest_stages(
     stages["directives"] = directed
 
     # 3 — clean chain: HTML -> markdown (Arrow-batched) + PII scrub
-    # (JVM regexp chain); doc identity comes from the URL (map-only)
+    # (JVM regexp chain); doc identity comes from the URL (map-only).
+    # csr_recover=True prepends hydration-payload/noscript recovery
+    # (functions/hydration.py) so thin-shell client-rendered pages
+    # contribute their serialized content — still one Python boundary
+    # (adjacent pandas UDFs fuse into the same ArrowEvalPython stage)
+    body_col = F.col("body")
+    if csr_recover:
+        from crawler_spark.functions.hydration import recover_csr_udf
+
+        body_col = recover_csr_udf(body_col)
     cleaned = directed.select(
         F.regexp_extract("uri", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
-        scrub_pii_col(html_to_md_udf("body")).alias("text"),
+        scrub_pii_col(html_to_md_udf(body_col)).alias("text"),
     )
     stages["clean"] = cleaned
 

@@ -251,3 +251,32 @@ def test_doc_keyed_aggs_reuse_pinned_partitioning(stages):
     )
     assert m is not None, plan[:2000]
     assert "Exchange hashpartitioning(doc_id" not in m.group(1)
+
+
+def test_csr_recover_stage_surfaces_payload_text(spark, tmp_path):
+    """csr_recover=True: a thin-shell CSR page in the WARC contributes
+    its hydration-payload text to the clean stage; default keeps the
+    legacy bytes (opt-in, so the stage-count oracles above stay
+    valid)."""
+    from crawler_spark.sources.warc import write_warc
+
+    csr_body = (
+        '<html><body><div id="__next"></div>'
+        '<script id="__NEXT_DATA__" type="application/json">'
+        '{"props":{"article":{"body":"Only in the payload."}}}'
+        "</script></body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("http://h0.example/p/0", 200, csr_body)],
+        "url string, status int, body string",
+    )
+    d = str(tmp_path / "csr_warc")
+    write_warc(pages, d).count()
+
+    on = ingest_stages(spark, d + "/*.warc.gz", csr_recover=True)
+    txt = on["clean"].select("text").first()["text"]
+    assert "Only in the payload." in txt
+
+    off = ingest_stages(spark, d + "/*.warc.gz")
+    txt_off = off["clean"].select("text").first()["text"]
+    assert "Only in the payload." not in txt_off
