@@ -216,3 +216,52 @@ def test_fetch_boundary_absolutizes_recovered_images(spark):
     body = rows[0].body
     assert "<!-- csr-recovered -->" in body
     assert 'src="https://ex.test/img/page12.jpg"' in body
+
+
+# ---------------------------------------------------------------------------
+# adversarial property fuzz: arbitrary bytes must never raise, and the
+# structural guarantees hold on any input
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SOUP = st.text(
+    alphabet=st.sampled_from(
+        list('<>{}[]"\\/=;:,.&#! \n\tabcdeNEXTDATAscriptnoscriptwindow_')
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=150, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(_SOUP)
+def test_recover_csr_total_on_tag_soup(soup):
+    """recover_csr is total: any byte soup (broken tags, truncated
+    JSON, dangling assignments) produces a string, never an
+    exception; noscript containers never survive."""
+    out = recover_csr(soup)
+    assert isinstance(out, str)
+    assert "<noscript" not in out.lower() or "</noscript" not in out.lower()
+
+
+@settings(max_examples=150, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(_SOUP, st.integers(min_value=0, max_value=50))
+def test_state_extraction_total_and_json_strict(soup, pad):
+    html = soup + 'window.__INITIAL_STATE__ = ' + soup[:pad]
+    for name, payload in extract_state_json(html):
+        # anything extracted round-trips through strict json
+        json.dumps(payload)
+
+
+@settings(max_examples=100, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+@given(_SOUP)
+def test_rich_page_prefix_preserved(soup):
+    """When no recovery block is appended, output bytes are exactly
+    the noscript-promoted input — recovery never mutates author
+    content in place."""
+    out = recover_csr(soup)
+    if "<!-- csr-recovered -->" not in out:
+        assert out == promote_noscript(soup)
+    else:
+        assert out.startswith(promote_noscript(soup))
