@@ -25,6 +25,30 @@ def load(path: str) -> dict:
         data = json.load(f)
     if "parsed" in data and isinstance(data["parsed"], dict):
         data = data["parsed"]
+    if "queries" not in data and isinstance(data.get("tail"), str):
+        # r3/r4 driver records have parsed=null and a truncated stdout
+        # tail — salvage whatever per-query numbers survive in it:
+        # best-of scalars ("q01_x": 1.23) and per-trial lists
+        # ("q01_x": [1.3, 1.2]) alike (min of a trial list = the
+        # reported best-of figure)
+        import re
+
+        qs: dict[str, float] = {}
+        for name, val in re.findall(
+            r'"(q\d+[\w]*)":\s*(\[[^\]]*\]|[\d.]+)', data["tail"]
+        ):
+            try:
+                v = json.loads(val)
+            except ValueError:
+                continue
+            qs[name] = min(v) if isinstance(v, list) else float(v)
+        if qs:
+            print(
+                f"note: {path} has no parsed record; salvaged "
+                f"{len(qs)} per-query times from its tail",
+                file=sys.stderr,
+            )
+            data = {"queries": qs}
     if "queries" not in data:
         raise SystemExit(f"{path}: no 'queries' field")
     return data
