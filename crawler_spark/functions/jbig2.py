@@ -147,6 +147,18 @@ _GB_AT_COUNT = {0: 4, 1: 1, 2: 1, 3: 1}
 # TPGDON pseudo-contexts per template (T.88 §6.2.5.7)
 _GB_TPGD_CX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 
+#: containment bound for STREAM-DECLARED bitmap dimensions: a single
+#: corrupted header byte must raise ValueError, never drive a giant
+#: allocation (the quarantine contract — fuzz-gated in
+#: tests/test_codec_fuzz.py). 2^27 px ≈ an A2 sheet at 600 dpi —
+#: far above any real embedded bitonal region, worst-case ~128 MB.
+_MAX_PIXELS = 1 << 27
+
+
+def _guard_dims(h: int, w: int, what: str) -> None:
+    if h < 0 or w < 0 or h * w > _MAX_PIXELS:
+        raise ValueError(f"JBIG2 {what}: implausible dimensions {h}x{w}")
+
 
 def _gb_offsets(
     template: int, at_pairs: list[tuple[int, int]]
@@ -188,6 +200,7 @@ def _generic_decode_with(
     to 0 WITHOUT consuming a decision — halftone grayscale planes
     skip grid cells that fall outside the region."""
     offs = _gb_offsets(template, at_pairs)
+    _guard_dims(h, w, "generic region")
     bm = np.zeros((h, w), dtype=np.uint8)
     ltp = 0
     for y in range(h):
@@ -306,6 +319,7 @@ def _refine_decode_with(
 ) -> np.ndarray:
     coding, refofs = _gr_offsets(template, at_pairs or _GR_AT_NOMINAL)
     rh, rw = ref.shape
+    _guard_dims(h, w, "refinement region")
     bm = np.zeros((h, w), dtype=np.uint8)
 
     def refpix(yy: int, xx: int) -> int:
@@ -460,6 +474,7 @@ def compose_placements(
 ) -> np.ndarray:
     """OR-compose pool glyphs at TOPLEFT positions into an (h, w)
     bitmap — the plaintext a REFAGGNINST>1 aggregate decodes to."""
+    _guard_dims(h, w, "aggregate bitmap")
     bm = np.zeros((h, w), dtype=bool)
     for x, y, sid in placements:
         g = pool[sid]
@@ -648,6 +663,7 @@ def decode_text_region(
         code_len = max(1, (len(syms) - 1).bit_length())
     iaid = SymbolIDCodec(_IA_BASE + 512 * 16, code_len)
     strips = 1 << log_strips
+    _guard_dims(h, w, "text region")
     page = np.zeros((h, w), dtype=bool)
     stript = -(ia["dt"].decode(mq)) * strips
     firsts = 0
@@ -918,6 +934,7 @@ def decode_symbol_dict_huffman(
                 .astype(bool)
             )
         else:
+            _guard_dims(hcheight, totwidth, "symbol collective bitmap")
             bits = decode_g4(r.take_bytes(bmsize), columns=totwidth,
                              rows=hcheight) == 0
         x = 0
@@ -1019,6 +1036,7 @@ def decode_text_region_huffman(
         r.byte_align()  # §7.4.3.1.7: skip remaining bits of last byte
         decode_id = lambda: sym_t.decode(r)  # noqa: E731
     strips = 1 << log_strips
+    _guard_dims(h, w, "text region")
     page = np.zeros((h, w), dtype=bool)
     stript = -dt_t.decode(r) * strips
     firsts = 0
@@ -1106,6 +1124,7 @@ def decode_pattern_dict(body: bytes) -> list[np.ndarray]:
     if hdpw == 0 or hdph == 0:
         raise ValueError("JBIG2 pattern dict: zero pattern size")
     cw = (graymax + 1) * hdpw
+    _guard_dims(hdph, cw, "pattern dict collective")
     if hdmmr:
         coll = decode_g4(body[7:], columns=cw, rows=hdph) == 0
     else:
@@ -1186,6 +1205,8 @@ def decode_halftone_region(
     defpixel = (hflags >> 7) & 1
     hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", body, 18)
     hrx, hry = struct.unpack_from(">HH", body, 34)
+    _guard_dims(h, w, "halftone region")
+    _guard_dims(hgh, hgw, "halftone grid")
     region = np.full((h, w), bool(defpixel))
     bits = max(len(pats) - 1, 0).bit_length()
     skip = None
@@ -1317,6 +1338,7 @@ def _grow_page(state: dict, page: np.ndarray, rows: int) -> np.ndarray:
         return page
     if not state.get("striped"):
         raise ValueError("JBIG2 region exceeds page")
+    _guard_dims(rows, page.shape[1], "striped page growth")
     return np.vstack(
         [page, np.zeros((rows - page.shape[0], page.shape[1]), dtype=bool)]
     )
@@ -1368,8 +1390,10 @@ def _run_segments(data: bytes, state: dict) -> None:
                         "JBIG2 unknown page height without striping"
                     )
                 state["striped"] = True
+                _guard_dims(1, page_w, "page")
                 page = np.zeros((0, page_w), dtype=bool)
             else:
+                _guard_dims(page_h, page_w, "page")
                 page = np.zeros((page_h, page_w), dtype=bool)
         elif t == _END_OF_STRIPE:
             # body = u32 Y of the stripe's final row; the page is at
@@ -1383,6 +1407,7 @@ def _run_segments(data: bytes, state: dict) -> None:
             if page is None:
                 raise ValueError("JBIG2 region before page info")
             w, h, x, y = struct.unpack_from(">IIII", body, 0)
+            _guard_dims(h, w, "immediate generic region")
             # region info = 17 bytes (4 u32 + combination op byte)
             gflags = body[17]
             if gflags & 1:  # MMR payload = T.6
