@@ -1132,6 +1132,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 1-, 3- or 4-component JPEGs supported")
             if not (h and w):
                 raise ValueError("bad dimensions")
+            if h * w > 1 << 28:
+                # containment bound (same 2^28-px cap as the JPX SIZ
+                # canvas gate): a corrupted SOF of 65535x65535 would
+                # otherwise drive ~17 GB of coefficient allocation
+                # per component before any entropy decode fails
+                raise ValueError("JPEG: image too large for this decoder")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * c)
